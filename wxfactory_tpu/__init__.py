@@ -1,0 +1,34 @@
+"""WxFactory-TPU: a TPU-native numerical weather prediction dynamical core.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+Wx-Alliance-Meteo/WxFactory (reference: /root/reference): Direct Flux
+Reconstruction (DFR) discretization of the shallow-water and 3D Euler
+equations on the rotated equiangular cubed sphere (plus a 2D Cartesian test
+plane), driven by exponential (EPI/SRERK) and implicit (Ros2/CN/BDF2) time
+integrators built on matrix-free Krylov methods (KIOPS, PMEX, FGMRES).
+
+Design principles (TPU-first, not a port):
+  * All spatial operators are batched dense matmuls -> MXU.
+  * The state is a single array ``Q[num_var, ...element dims..., solpts^d]``
+    and every RHS is a pure jittable function ``q -> dq/dt``.
+  * Distribution = sharding the (panel, row, col) element grid over a
+    ``jax.sharding.Mesh``; halo exchange with panel-edge flips and vector
+    basis rotation is expressed as static gathers that XLA lowers to
+    collectives (explicit shard_map/ppermute path for the hot configuration).
+  * Jacobian action = ``jax.jvp`` (exact forward-mode) instead of the
+    reference's complex-step trick (solvers/matvec.py:36-68 there).
+  * Operator matrices are built on host with sympy/numpy at setup time and
+    closed over as compile-time constants.
+"""
+
+import os
+
+import jax
+
+# The reference framework is float64 throughout (see SURVEY.md); scientific
+# parity requires x64. Opt out with WXF_DISABLE_X64=1 (e.g. for bf16 perf
+# experiments driven through explicit dtype arguments).
+if not os.environ.get("WXF_DISABLE_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,65 @@
+"""Time-integrator base class.
+
+Capability parity with the reference's integrators/integrator.py:18-113:
+the `step` template tracks wall time, convergence info, and optional
+preconditioner preparation; concrete schemes implement `__step__`.
+
+TPU-native difference: concrete integrators are encouraged to expose their
+entire step as one jittable function (`self._step`), so a whole timestep
+(RHS evaluations + Krylov loops included) compiles to a single XLA program.
+"""
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from time import time
+from typing import Any, List, Optional
+
+
+@dataclass
+class SolverInfo:
+    """Per-step convergence / cost report from the inner solver."""
+
+    total_num_it: int = 0
+    num_substeps: int = 0
+    num_rejected: int = 0
+    error_estimate: float = 0.0
+    converged: bool = True
+    residuals: List[Any] = field(default_factory=list)
+
+
+class Integrator(ABC):
+    def __init__(self, verbose: int = 0, output_manager=None, preconditioner=None) -> None:
+        self.verbose = verbose
+        self.output_manager = output_manager
+        self.preconditioner = preconditioner
+        self.solver_info: Optional[SolverInfo] = None
+        self.latest_time: float = 0.0
+        self.sim_time: float = -1.0
+        self.failure_flag: int = 0
+        self.num_completed_steps: int = 0
+
+    @abstractmethod
+    def __step__(self, q, dt: float):
+        ...
+
+    def __prestep__(self, q, dt: float) -> None:
+        pass
+
+    def step(self, q, dt: float):
+        """Advance the state one timestep, with timing + stats accounting."""
+        t0 = time()
+        self.__prestep__(q, dt)
+        if self.preconditioner is not None:
+            self.preconditioner.prepare(dt, q)
+        result = self.__step__(q, dt)
+        self.latest_time = time() - t0
+
+        if self.output_manager is not None:
+            info = self.solver_info if self.solver_info is not None else SolverInfo()
+            self.output_manager.store_solver_stats(
+                self.latest_time, self.sim_time, dt, info, self.preconditioner
+            )
+        self.solver_info = None
+        self.sim_time += dt
+        self.num_completed_steps += 1
+        return result
