@@ -1,0 +1,119 @@
+"""Integrator tests on the rising-bubble problem: exponential (EPI/KIOPS,
+PMEX), Rosenbrock, and fully implicit schemes all reproduce a fine explicit
+reference solution at large time steps — the reference framework's
+headline capability (config/gaussian_bubble.ini runs epi2 at dt=5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wxfactory_tpu.geometry.cartesian import make_cartesian_2d
+from wxfactory_tpu.integrators import (
+    Bdf2,
+    BackwardEuler,
+    CrankNicolson,
+    Epi,
+    EpiStiff,
+    Ros2,
+    Tvdrk3,
+    alpha_coeff,
+)
+from wxfactory_tpu.models import make_rhs_euler_cartesian
+from wxfactory_tpu.ops import make_dfr_operators
+from wxfactory_tpu.testcases import initialize_cartesian2d
+
+
+@pytest.fixture(scope="module")
+def bubble():
+    ops = make_dfr_operators(3)
+    geom = make_cartesian_2d((0, 1000), (0, 1500), 4, 6, 3)
+    q0 = jnp.asarray(initialize_cartesian2d(geom, 2))
+    rhs = make_rhs_euler_cartesian(geom, ops)
+    # Fine explicit reference to t = 2.0
+    st = Tvdrk3(rhs)
+    qr = q0
+    for _ in range(400):
+        qr = st.step(qr, 0.005)
+    return q0, rhs, qr
+
+
+def _rel_err(a, b):
+    return float(jnp.abs(a - b).max() / jnp.abs(b).max())
+
+
+def test_epi2_kiops_large_step(bubble):
+    q0, rhs, qr = bubble
+    epi = Epi(rhs, order=2, tolerance=1e-12, exponential_solver="kiops")
+    q = epi.step(q0, 2.0)
+    assert _rel_err(q, qr) < 1e-7
+
+
+def test_epi2_pmex_large_step(bubble):
+    q0, rhs, qr = bubble
+    epi = Epi(rhs, order=2, tolerance=1e-12, exponential_solver="pmex")
+    q = epi.step(q0, 2.0)
+    assert _rel_err(q, qr) < 1e-7
+
+
+def test_epi3_multistep(bubble):
+    q0, rhs, qr = bubble
+    epi = Epi(rhs, order=3, tolerance=1e-12, exponential_solver="kiops")
+    q = q0
+    for _ in range(4):
+        q = epi.step(q, 0.5)
+    assert _rel_err(q, qr) < 1e-7
+
+
+def test_epi_stiff_4(bubble):
+    q0, rhs, qr = bubble
+    epi = EpiStiff(rhs, order=4, tolerance=1e-12, exponential_solver="kiops")
+    q = q0
+    for _ in range(8):
+        q = epi.step(q, 0.25)
+    assert _rel_err(q, qr) < 1e-6
+
+
+def test_ros2(bubble):
+    q0, rhs, qr = bubble
+    ros = Ros2(rhs, tolerance=1e-10)
+    q = q0
+    for _ in range(8):
+        q = ros.step(q, 0.25)
+    assert _rel_err(q, qr) < 1e-4
+
+
+def test_crank_nicolson(bubble):
+    q0, rhs, qr = bubble
+    cn = CrankNicolson(rhs, tolerance=1e-10)
+    q = q0
+    for _ in range(4):
+        q = cn.step(q, 0.5)
+    assert _rel_err(q, qr) < 1e-4
+
+
+def test_bdf2(bubble):
+    q0, rhs, qr = bubble
+    bdf = Bdf2(rhs, tolerance=1e-10)
+    q = q0
+    for _ in range(8):
+        q = bdf.step(q, 0.25)
+    assert _rel_err(q, qr) < 1e-4
+
+
+def test_backward_euler(bubble):
+    q0, rhs, qr = bubble
+    be = BackwardEuler(rhs, tolerance=1e-10)
+    q = q0
+    for _ in range(8):
+        q = be.step(q, 0.25)
+    # first order: loose tolerance
+    assert _rel_err(q, qr) < 5e-3
+
+
+def test_alpha_coeff_epi3_matches_table():
+    # EpiStiff order-3 alpha coefficients from node -1: known closed form
+    a = alpha_coeff([-1.0])
+    assert a.shape == (1, 1)
+    # For c = [-1]: denom = 1, alpha[0,0] = factorial(2) * 1 = 2 (up to sign)
+    assert np.isclose(abs(a[0, 0]), 2.0)

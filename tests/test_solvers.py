@@ -1,0 +1,135 @@
+"""Solver unit tests vs scipy, modeled on the reference's
+tests/unit/solvers/* (fgmres vs scipy gmres, kiops vs exact phi functions,
+kiops/pmex cross-agreement at tolerance)."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.sparse.linalg
+
+from wxfactory_tpu.solvers import fgmres, kiops, pmex
+
+
+def _random_system(n=200, seed=0, density=0.5, diag_shift=None):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) / np.sqrt(n)
+    if diag_shift is None:
+        diag_shift = 2.0
+    a += diag_shift * np.eye(n)
+    b = rng.standard_normal(n)
+    return a, b
+
+
+def _phi_exact(a, tau, u):
+    """Exact phi combination via the augmented-matrix identity:
+    w = sum_k phi_k(tau*A) u_k computed with one big expm."""
+    ppo, n = u.shape
+    p = ppo - 1
+    if p == 0:
+        p = 1
+        u = np.vstack((u, np.zeros(n)))
+    aug = np.zeros((n + p, n + p))
+    aug[:n, :n] = tau * a
+    aug[:n, n] = tau * u[-1]
+    for k in range(1, p):
+        aug[:n, n + k] = tau * u[p - k]
+        aug[n + k - 1, n + k] = tau
+    big = scipy.linalg.expm(aug)
+    e = np.zeros(n + p)
+    e[n + p - 1] = 1.0
+    return big[:n, :] @ e + big[:n, :n] @ u[0]
+
+
+class TestKiops:
+    @pytest.mark.parametrize("p", [0, 1, 3])
+    def test_matches_exact_phi(self, p):
+        n = 120
+        rng = np.random.default_rng(7)
+        a = -np.diag(np.linspace(0.5, 30.0, n)) + 0.1 * rng.standard_normal((n, n))
+        u = rng.standard_normal((p + 1, n))
+        w, stats = kiops([1.0], lambda v: a @ v, u, tol=1e-10, mmin=10, mmax=64)
+        exact = _phi_exact(a, 1.0, u.copy())
+        err = np.linalg.norm(w[0] - exact) / np.linalg.norm(exact)
+        assert err < 1e-8, (err, stats)
+
+    def test_multiple_tau_out(self):
+        n = 80
+        rng = np.random.default_rng(3)
+        a = -np.diag(np.linspace(0.5, 10.0, n))
+        u = rng.standard_normal((2, n))
+        taus = [0.25, 0.5, 1.0]
+        w, _ = kiops(taus, lambda v: a @ v, u, tol=1e-10)
+        for i, t in enumerate(taus):
+            exact = _phi_exact(a, t, u.copy())
+            assert np.linalg.norm(w[i] - exact) / np.linalg.norm(exact) < 1e-7
+
+    def test_stiff_substepping(self):
+        # Very stiff operator forces tau-substepping; result must stay accurate
+        n = 100
+        a = -np.diag(np.logspace(0, 3.2, n))
+        u = np.ones((2, n))
+        w, stats = kiops([1.0], lambda v: a @ v, u, tol=1e-9, mmax=32)
+        exact = _phi_exact(a, 1.0, u.copy())
+        assert np.linalg.norm(w[0] - exact) / np.linalg.norm(exact) < 1e-7
+        assert stats.substeps >= 1
+
+
+class TestPmex:
+    @pytest.mark.parametrize("p", [1, 2])
+    def test_matches_exact_phi(self, p):
+        n = 120
+        rng = np.random.default_rng(11)
+        a = -np.diag(np.linspace(0.5, 30.0, n)) + 0.1 * rng.standard_normal((n, n))
+        u = rng.standard_normal((p + 1, n))
+        w, stats = pmex([1.0], lambda v: a @ v, u, tol=1e-10, mmin=10, mmax=64)
+        exact = _phi_exact(a, 1.0, u.copy())
+        err = np.linalg.norm(w[0] - exact) / np.linalg.norm(exact)
+        assert err < 1e-8, (err, stats)
+
+    def test_agrees_with_kiops(self):
+        # Same cross-check as the reference's test_kiops_pmex_tolerance
+        n = 150
+        rng = np.random.default_rng(5)
+        a = rng.standard_normal((n, n)) / np.sqrt(n) - 2.0 * np.eye(n)
+        u = rng.standard_normal((3, n))
+        wk, _ = kiops([1.0], lambda v: a @ v, u, tol=1e-10)
+        wp, _ = pmex([1.0], lambda v: a @ v, u, tol=1e-10)
+        assert np.linalg.norm(wk - wp) / np.linalg.norm(wk) < 1e-8
+
+
+class TestFgmres:
+    def test_matches_scipy_gmres(self):
+        a, b = _random_system(n=200, seed=1)
+        x, norm_r, norm_b, niter, flag, _ = fgmres(lambda v: a @ v, b, tol=1e-10, restart=30)
+        assert flag == 0
+        x_ref = np.linalg.solve(a, b)
+        assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-8
+
+    def test_with_initial_guess_and_hegedus(self):
+        a, b = _random_system(n=150, seed=2)
+        x_ref = np.linalg.solve(a, b)
+        x0 = x_ref + 0.01 * np.random.default_rng(0).standard_normal(150)
+        x, norm_r, _, niter, flag, _ = fgmres(lambda v: a @ v, b, x0=x0, tol=1e-10, hegedus=True)
+        assert flag == 0
+        assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-8
+
+    def test_restart_path(self):
+        # Force several restarts with a small restart window
+        a, b = _random_system(n=120, seed=3)
+        x, norm_r, norm_b, niter, flag, res = fgmres(lambda v: a @ v, b, tol=1e-8, restart=8)
+        assert flag == 0
+        assert niter > 8  # actually restarted
+        assert norm_r / norm_b < 1e-8
+
+    def test_preconditioned(self):
+        a, b = _random_system(n=160, seed=4)
+        m_inv = np.diag(1.0 / np.diag(a))
+        x, _, _, niter_pc, flag, _ = fgmres(lambda v: a @ v, b, tol=1e-10, preconditioner=lambda v: m_inv @ v)
+        assert flag == 0
+        x_ref = np.linalg.solve(a, b)
+        assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-8
+
+    def test_zero_rhs(self):
+        a, _ = _random_system(n=64, seed=5)
+        x, norm_r, norm_b, niter, flag, _ = fgmres(lambda v: a @ v, np.zeros(64))
+        assert flag == 0 and np.all(x == 0.0)

@@ -1,4 +1,19 @@
 from .base import Integrator, SolverInfo
 from .explicit import Euler1, Tvdrk3
+from .epi import Epi, EpiStiff, alpha_coeff
+from .rosenbrock import Ros2
+from .implicit import BackwardEuler, Bdf2, CrankNicolson
 
-__all__ = ["Integrator", "SolverInfo", "Euler1", "Tvdrk3"]
+__all__ = [
+    "Integrator",
+    "SolverInfo",
+    "Euler1",
+    "Tvdrk3",
+    "Epi",
+    "EpiStiff",
+    "alpha_coeff",
+    "Ros2",
+    "BackwardEuler",
+    "Bdf2",
+    "CrankNicolson",
+]
