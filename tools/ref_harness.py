@@ -1,0 +1,310 @@
+"""In-process harness for running the REFERENCE implementation (read-only at
+/root/reference) to produce golden data for parity tests.
+
+The reference requires mpi4py with >= 6 ranks (one per cubed-sphere panel).
+This harness fakes mpi4py with a 6-thread lockstep world: every collective
+used by the reference (bcast, allreduce, gather, scatter, Split,
+Create_dist_graph_adjacent + Ineighbor_alltoall) is implemented with a
+shared barrier, which is sound because all ranks execute the identical
+sequence of collectives. The compiled-kernel Device is replaced by a tiny
+numpy stand-in (the shallow-water path is pure numpy).
+
+This file is test tooling, not part of the wxfactory_tpu package.
+"""
+
+import sys
+import threading
+import types
+from typing import Callable, Dict, List
+
+import numpy as np
+
+REFERENCE_PATH = "/root/reference/wx_factory"
+
+_tls = threading.local()
+
+
+class _World:
+    """Shared lockstep state for one fake-MPI world."""
+
+    def __init__(self, size: int):
+        self.size = size
+        self.barrier = threading.Barrier(size)
+        self.slots: List = [None] * size
+        self.lock = threading.Lock()
+        self.subcomms: Dict = {}
+
+
+class FakeComm:
+    """Subset of mpi4py.MPI.Comm used by the reference, thread-lockstep."""
+
+    def __init__(self, world: _World, ranks: List[int]):
+        self._world = world
+        self._ranks = ranks  # global thread-ranks of the members, sorted by key
+
+    # -- rank bookkeeping -------------------------------------------------
+    def _grank(self) -> int:
+        return _tls.rank
+
+    @property
+    def rank(self) -> int:
+        return self._ranks.index(_tls.rank)
+
+    @property
+    def size(self) -> int:
+        return len(self._ranks)
+
+    def Get_rank(self) -> int:
+        return self.rank
+
+    def Get_size(self) -> int:
+        return self.size
+
+    # -- generic lockstep exchange ---------------------------------------
+    def _exchange(self, value):
+        """Deposit `value`; returns the list of every member's value, indexed
+        by member rank. Two barriers make the slot array safe for reuse."""
+        w = self._world
+        w.slots[self._grank()] = value
+        w.barrier.wait()
+        gathered = [w.slots[g] for g in self._ranks]
+        w.barrier.wait()
+        return gathered
+
+    # -- collectives ------------------------------------------------------
+    def bcast(self, obj, root: int = 0):
+        return self._exchange(obj)[root]
+
+    def allreduce(self, value, op=None):
+        vals = self._exchange(value)
+        if op is None or op == "sum":
+            out = vals[0]
+            for v in vals[1:]:
+                out = out + v
+            return out
+        if op == "max":
+            return max(vals)
+        if op == "min":
+            return min(vals)
+        raise NotImplementedError(f"allreduce op {op}")
+
+    def Allreduce(self, sendbuf, recvbuf, op=None):
+        vals = self._exchange(np.array(sendbuf))
+        if op == "max":
+            out = np.max(np.stack(vals), axis=0)
+        elif op == "min":
+            out = np.min(np.stack(vals), axis=0)
+        else:
+            out = np.sum(np.stack(vals), axis=0)
+        np.copyto(recvbuf, out)
+
+    def gather(self, obj, root: int = 0):
+        vals = self._exchange(obj)
+        return vals if self.rank == root else None
+
+    def scatter(self, objs, root: int = 0):
+        vals = self._exchange(objs)
+        return vals[root][self.rank]
+
+    def barrier(self):
+        self._exchange(None)
+
+    Barrier = barrier
+
+    def Split(self, color, key=0):
+        members = self._exchange((color, key, self._grank()))
+        mine = [(k, g) for (c, k, g) in members if c == color]
+        ranks = [g for _, g in sorted(mine)]
+        keytuple = (tuple(ranks),)
+        with self._world.lock:
+            if keytuple not in self._world.subcomms:
+                self._world.subcomms[keytuple] = FakeComm(self._world, ranks)
+        self._world.barrier.wait()
+        return self._world.subcomms[keytuple]
+
+    def Create_dist_graph_adjacent(self, sources, destinations):
+        return FakeGraphComm(self, list(sources), list(destinations))
+
+
+class FakeGraphComm:
+    """Neighborhood alltoall over a parent FakeComm."""
+
+    def __init__(self, parent: FakeComm, sources: List[int], destinations: List[int]):
+        self.parent = parent
+        self.sources = sources
+        self.destinations = destinations
+
+    def Ineighbor_alltoall(self, sendbuf, recvbuf):
+        # Everyone deposits (destinations, sendbuf); then each rank pulls, for
+        # its k-th source, the source's send-block addressed to this rank
+        # (matching duplicate destinations by occurrence index, like MPI).
+        me = self.parent.rank
+        deposited = self.parent._exchange((self.destinations, np.array(sendbuf, copy=True)))
+
+        seen: Dict[int, int] = {}
+        for k, src in enumerate(self.sources):
+            occurrence = seen.get(src, 0)
+            seen[src] = occurrence + 1
+            src_dests, src_buf = deposited[src]
+            positions = [i for i, d in enumerate(src_dests) if d == me]
+            recvbuf[k] = src_buf[positions[occurrence]]
+        return _DoneRequest()
+
+
+class _DoneRequest:
+    def Wait(self):
+        return None
+
+    def wait(self):
+        return None
+
+
+def _install_fake_modules():
+    """Install fake mpi4py + device modules, and the reference on sys.path."""
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+
+    if "mpi4py" not in sys.modules:
+        mpi4py = types.ModuleType("mpi4py")
+        mpi_ns = types.SimpleNamespace()
+        mpi_ns.SUM = "sum"
+        mpi_ns.MAX = "max"
+        mpi_ns.MIN = "min"
+        mpi_ns.COMM_NULL = None
+        mpi_ns.Comm = FakeComm
+        mpi_ns.Request = _DoneRequest
+        mpi_ns.COMM_WORLD = None  # set per-world below via _set_world
+        mpi4py.MPI = mpi_ns
+        sys.modules["mpi4py"] = mpi4py
+        sys.modules["mpi4py.MPI"] = mpi_ns
+
+    if "device" not in sys.modules:
+        device_mod = types.ModuleType("device")
+
+        class Device:  # minimal duck-typed stand-in (reference device/device.py:16)
+            def __init__(self, comm):
+                import scipy
+
+                self.xp = np
+                self.xalg = scipy
+                self.comm = comm
+                self.pde = None
+
+            def synchronize(self, **kw):
+                pass
+
+            def array(self, a):
+                return np.asarray(a)
+
+            def to_host(self, a):
+                return np.asarray(a)
+
+        device_mod.Device = Device
+        device_mod.CpuDevice = Device
+        device_mod.CudaDevice = Device
+        sys.modules["device"] = device_mod
+
+
+def run_lockstep(size: int, fn: Callable[[int], object]) -> List:
+    """Run fn(rank) on `size` lockstep threads under the fake MPI world.
+    Returns the per-rank results (exceptions re-raised)."""
+    _install_fake_modules()
+    world = _World(size)
+    comm_world = FakeComm(world, list(range(size)))
+    sys.modules["mpi4py"].MPI.COMM_WORLD = comm_world
+
+    results: List = [None] * size
+    errors: List = [None] * size
+
+    def worker(r):
+        _tls.rank = r
+        try:
+            results[r] = fn(r)
+        except BaseException as e:  # noqa: BLE001 - reported to caller
+            errors[r] = e
+            # Break every barrier so siblings do not hang.
+            world.barrier.abort()
+
+    threads = [threading.Thread(target=worker, args=(r,)) for r in range(size)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for e in errors:
+        if e is not None:
+            raise e
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Reference shallow-water runs
+
+
+def reference_sw_case(case_number: int, nel_per_tile: int, num_solpts: int, lambda0=0.0, phi0=0.0, alpha0=0.0):
+    """Run the reference SW initial condition + one RHS evaluation on 6 ranks.
+
+    Returns (Q, rhs) as global arrays (3, 6, ny, nx, s^2) in panel order.
+    """
+    _install_fake_modules()
+
+    def tile_run(rank):
+        import numpy as xp_np  # noqa: F401
+
+        from mpi4py import MPI
+
+        import device as device_mod
+
+        dev = device_mod.CpuDevice(MPI.COMM_WORLD)
+
+        from process_topology import ProcessTopology
+
+        ptopo = ProcessTopology(dev)
+
+        from types import SimpleNamespace
+
+        param = SimpleNamespace(
+            case_number=case_number,
+            filter_apply=False,
+            expfilter_apply=False,
+            apply_sponge=False,
+            dt=60.0,
+            t_end=0.0,
+            matsuno_wave_type="Rossby",
+            matsuno_amp=1e-5,
+        )
+
+        from geometry.cubed_sphere_2d import CubedSphere2D
+        from geometry.metric2d import Metric2D
+        from geometry.operators import DFROperators
+
+        geom = CubedSphere2D(nel_per_tile, num_solpts, lambda0, phi0, alpha0, ptopo, param, dev)
+        mtrx = DFROperators(geom, param, dev)
+        metric = Metric2D(geom)
+
+        import init.shallow_water_test as swt
+
+        topo = None
+        if case_number == 2:
+            u1, u2, h = swt.williamson_case2(geom, metric, param)
+        elif case_number == 5:
+            u1, u2, h, hsurf, dzdx1, dzdx2, hsurf_i, hsurf_j = swt.williamson_case5(geom, metric, mtrx, param)
+            topo = SimpleNamespace(hsurf=hsurf, dzdx1=dzdx1, dzdx2=dzdx2, hsurf_itf_i=hsurf_i, hsurf_itf_j=hsurf_j)
+        elif case_number == 6:
+            u1, u2, h = swt.williamson_case6(geom, metric, param)
+        elif case_number == 8:
+            u1, u2, h = swt.case_galewsky(geom, metric, param)
+        else:
+            raise ValueError(case_number)
+
+        Q = np.stack([np.asarray(h), np.asarray(h * u1), np.asarray(h * u2)])
+
+        from rhs.rhs_sw import RhsShallowWater
+
+        rhs_fn = RhsShallowWater(Q.shape, geom, mtrx, metric, topo, ptopo, num_solpts, nel_per_tile)
+        dQ = rhs_fn(Q)
+        return np.asarray(Q), np.asarray(dQ)
+
+    results = run_lockstep(6, tile_run)
+    Q = np.stack([r[0] for r in results], axis=1)  # (3, 6, ny, nx, s^2)
+    dQ = np.stack([r[1] for r in results], axis=1)
+    return Q, dQ

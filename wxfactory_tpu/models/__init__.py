@@ -1,3 +1,4 @@
 from .euler_cartesian import make_rhs_euler_cartesian
+from .shallow_water import Topography, make_rhs_shallow_water
 
-__all__ = ["make_rhs_euler_cartesian"]
+__all__ = ["make_rhs_euler_cartesian", "make_rhs_shallow_water", "Topography"]

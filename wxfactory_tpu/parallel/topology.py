@@ -1,0 +1,207 @@
+"""Cubed-sphere panel topology and halo exchange, TPU-native.
+
+Capability parity with the reference's process_topology.py (ProcessTopology:
+panel adjacency, edge flips, contravariant/covariant vector conversion at
+panel edges, halo exchange of interface traces).
+
+TPU-first design — two departures from the reference:
+
+1. **No ranks.** State is global, ``(nvar, 6, ny, nx, ...)``. The "exchange"
+   is a pure function: for each of the 24 (panel, side) pairs it gathers the
+   neighbor panel's boundary trace, flips it if the coordinate runs opposite,
+   and rotates vector components into the local panel basis. Under ``jit``
+   with the state sharded over (panel, y, x), XLA GSPMD lowers these static
+   gathers to collective-permutes over ICI; on one chip they are cheap
+   copies. The reference's ``Ineighbor_alltoall`` + rank bookkeeping
+   (process_topology.py:258-320) disappears entirely, as do gather_cube /
+   distribute_cube (the global array IS the cube).
+
+2. **Derived, not transcribed, edge tables.** The reference hand-writes the
+   panel-neighbor table, the flip table and 48 per-edge conversion lambdas
+   (process_topology.py:105-214). Here all of it is *derived at setup*:
+   adjacency and flips by matching physical edge-point coordinates, and the
+   2x2 vector-conversion matrices exactly as J_local @ J_neighbor^-1 from
+   the closed-form panel Jacobians (geometry.cubed_sphere.wind_jacobian).
+   This is exact (same closed forms, no finite differences) and
+   self-validating: construction asserts that both panels' edge points
+   coincide physically.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.cubed_sphere import CubedSphere2D, gnomonic_to_cartesian, wind_jacobian
+
+SOUTH, NORTH, WEST, EAST = 0, 1, 2, 3
+_SIDE_NAMES = ("south", "north", "west", "east")
+
+
+def _edge_gnomonic(geom: CubedSphere2D, side: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Panel-local gnomonic (X, Y) of the boundary solution points along the
+    given panel side, ordered along the local edge coordinate."""
+    along = np.tan(geom.x1)  # (nel * s,)
+    ones = np.ones_like(along)
+    if side == SOUTH:
+        return along, -ones
+    if side == NORTH:
+        return along, ones
+    if side == WEST:
+        return -ones, along
+    return ones, along
+
+
+def _edge_xyz(geom: CubedSphere2D, panel: int, side: int) -> np.ndarray:
+    """Physical unit-sphere coordinates (npts, 3) of a panel edge's boundary
+    solution points, in local edge ordering."""
+    X, Y = _edge_gnomonic(geom, side)
+    x, y, z = gnomonic_to_cartesian(X, Y, geom.lon_p[panel], geom.lat_p[panel], geom.angle_p[panel])
+    return np.stack([x, y, z], axis=-1)
+
+
+def _edge_mid_xyz(geom: CubedSphere2D, panel: int, side: int) -> np.ndarray:
+    """Physical coordinates of the continuous midpoint of a panel edge."""
+    mids = {SOUTH: (0.0, -1.0), NORTH: (0.0, 1.0), WEST: (-1.0, 0.0), EAST: (1.0, 0.0)}
+    X, Y = mids[side]
+    x, y, z = gnomonic_to_cartesian(
+        np.array(X), np.array(Y), geom.lon_p[panel], geom.lat_p[panel], geom.angle_p[panel]
+    )
+    return np.stack([x, y, z], axis=-1)
+
+
+def _scaled_jacobian(X, Y, lat_p, angle_p, dx1, dx2) -> np.ndarray:
+    """(npts, 2, 2) Jacobian mapping (lambda_dot, phi_dot) to reference-element
+    contravariant components (u1, u2) at the given gnomonic points."""
+    dx1dlon, dx1dlat, dx2dlon, dx2dlat = wind_jacobian(X, Y, lat_p, angle_p)
+    row1 = np.stack([dx1dlon * 2.0 / dx1, dx1dlat * 2.0 / dx1], axis=-1)
+    row2 = np.stack([dx2dlon * 2.0 / dx2, dx2dlat * 2.0 / dx2], axis=-1)
+    return np.stack([row1, row2], axis=-2)
+
+
+@dataclass(frozen=True)
+class PanelEdge:
+    """One side of one panel: who is on the other side and how their data
+    maps into our coordinates."""
+
+    neighbor: int  # neighbor panel index
+    neighbor_side: int  # the neighbor's side that faces us
+    flip: bool  # neighbor's edge coordinate runs opposite to ours
+    conv_contra: np.ndarray  # (npts, 2, 2): neighbor contravariant -> local
+    conv_cov: np.ndarray  # (npts, 2, 2): neighbor covariant -> local
+
+
+class CubedSphereTopology:
+    """Static panel-edge tables + the jittable halo-exchange functions."""
+
+    def __init__(self, geom: CubedSphere2D):
+        self.geom = geom
+        self.num_points = geom.num_elements * geom.num_solpts
+
+        # --- Derive adjacency from edge-midpoint coincidence.
+        mids = np.array([[_edge_mid_xyz(geom, p, d) for d in range(4)] for p in range(6)])
+        self.edges: List[List[PanelEdge]] = []
+        for p in range(6):
+            row = []
+            for d in range(4):
+                matches = [
+                    (q, e)
+                    for q in range(6)
+                    for e in range(4)
+                    if (q, e) != (p, d) and np.allclose(mids[p, d], mids[q, e], atol=1e-12)
+                ]
+                if len(matches) != 1:
+                    raise RuntimeError(f"Panel {p} side {_SIDE_NAMES[d]}: ambiguous neighbors {matches}")
+                q, e = matches[0]
+
+                # --- Derive flip by comparing physical edge-point orderings.
+                my_xyz = _edge_xyz(geom, p, d)
+                nb_xyz = _edge_xyz(geom, q, e)
+                if np.allclose(my_xyz, nb_xyz, atol=1e-10):
+                    flip = False
+                elif np.allclose(my_xyz, nb_xyz[::-1], atol=1e-10):
+                    flip = True
+                else:
+                    raise RuntimeError(f"Panel {p}/{_SIDE_NAMES[d]} and {q}/{_SIDE_NAMES[e]} edges do not align")
+
+                # --- Exact vector conversion: A = J_local @ J_neighbor^-1,
+                # evaluated at the edge points in LOCAL ordering.
+                Xl, Yl = _edge_gnomonic(geom, d)
+                Xn, Yn = _edge_gnomonic(geom, e)
+                if flip:
+                    Xn, Yn = Xn[::-1], Yn[::-1]
+                j_loc = _scaled_jacobian(Xl, Yl, geom.lat_p[p], geom.angle_p[p], geom.delta_x1, geom.delta_x2)
+                j_nb = _scaled_jacobian(Xn, Yn, geom.lat_p[q], geom.angle_p[q], geom.delta_x1, geom.delta_x2)
+                conv = j_loc @ np.linalg.inv(j_nb)
+                conv_cov = np.linalg.inv(conv).transpose(0, 2, 1)
+                row.append(PanelEdge(neighbor=q, neighbor_side=e, flip=flip, conv_contra=conv, conv_cov=conv_cov))
+            self.edges.append(row)
+
+    # ------------------------------------------------------------------
+    # Trace extraction (jittable; static slicing only).
+
+    def _outgoing_trace(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray, panel: int, side: int) -> jnp.ndarray:
+        """The boundary-face trace a panel presents on one side, flattened to
+        (..., npts) in that panel's local edge ordering.
+
+        itf_i: (..., 6, ny, nx, 2s) west|east element-face values.
+        itf_j: (..., 6, ny, nx, 2s) south|north element-face values.
+        """
+        s = self.geom.num_solpts
+        lead = itf_i.shape[:-4]
+        if side == SOUTH:
+            t = itf_j[..., panel, 0, :, :s]
+        elif side == NORTH:
+            t = itf_j[..., panel, -1, :, s:]
+        elif side == WEST:
+            t = itf_i[..., panel, :, 0, :s]
+        else:
+            t = itf_i[..., panel, :, -1, s:]
+        return t.reshape(lead + (self.num_points,))
+
+    def halo_scalars(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray) -> Dict[int, jnp.ndarray]:
+        """Halo traces of a scalar field for every panel and side.
+
+        Returns {side: array (..., 6, npts)} — the neighbor's facing trace in
+        local edge ordering. Mirrors start_exchange_scalars + wait
+        (reference process_topology.py:269-320), minus the MPI.
+        """
+        out = {}
+        for d in range(4):
+            per_panel = []
+            for p in range(6):
+                edge = self.edges[p][d]
+                t = self._outgoing_trace(itf_i, itf_j, edge.neighbor, edge.neighbor_side)
+                if edge.flip:
+                    t = t[..., ::-1]
+                per_panel.append(t)
+            out[d] = jnp.stack(per_panel, axis=-2)  # (..., 6, npts)
+        return out
+
+    def halo_vectors(
+        self, itf_i_1, itf_j_1, itf_i_2, itf_j_2, covariant: bool = False
+    ) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Halo traces of a 2-vector field (components given as separate
+        itf_i/itf_j arrays), rotated into the local panel basis.
+
+        Returns {side: (comp1, comp2)}, each (..., 6, npts). Mirrors
+        start_exchange_vectors + wait (process_topology.py:322-386).
+        """
+        out = {}
+        for d in range(4):
+            c1_list, c2_list = [], []
+            for p in range(6):
+                edge = self.edges[p][d]
+                a1 = self._outgoing_trace(itf_i_1, itf_j_1, edge.neighbor, edge.neighbor_side)
+                a2 = self._outgoing_trace(itf_i_2, itf_j_2, edge.neighbor, edge.neighbor_side)
+                if edge.flip:
+                    a1, a2 = a1[..., ::-1], a2[..., ::-1]
+                conv = edge.conv_cov if covariant else edge.conv_contra
+                conv = jnp.asarray(conv, dtype=a1.dtype)
+                b1 = conv[:, 0, 0] * a1 + conv[:, 0, 1] * a2
+                b2 = conv[:, 1, 0] * a1 + conv[:, 1, 1] * a2
+                c1_list.append(b1)
+                c2_list.append(b2)
+            out[d] = (jnp.stack(c1_list, axis=-2), jnp.stack(c2_list, axis=-2))
+        return out
