@@ -1,10 +1,12 @@
 """Benchmark entry point. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-North-star metric (BASELINE.md): grid-points/s per chip on the canonical RHS.
-Currently measures the 2D Cartesian Euler DFR RHS (gaussian_bubble lab) at a
-production-like size; will switch to case6/dcmip31 once the cubed-sphere
-models land.
+North-star metric (BASELINE.md): grid-points/s per chip on the canonical
+RHS. Benchmarks the cubed-sphere shallow-water RHS (Williamson case 6
+configuration, float64 — the reference's working precision) on the real
+chip. Uses a persistent XLA compilation cache (.jax_cache) — the TPU-native
+replacement for the reference's compiled-kernel cache — so repeat runs skip
+the (slow, ~400 s over the axon tunnel) first compile.
 """
 
 import json
@@ -14,39 +16,41 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
-    from wxfactory_tpu.geometry.cartesian import make_cartesian_2d
-    from wxfactory_tpu.models.euler_cartesian import make_rhs_euler_cartesian
+def bench_sw_rhs(nel=32, num_solpts=4, dtype=jnp.float64, n_iter=50):
+    from wxfactory_tpu.geometry import make_cubed_sphere_2d, make_metric_2d
+    from wxfactory_tpu.models import make_rhs_shallow_water
     from wxfactory_tpu.ops.dfr import make_dfr_operators
-    from wxfactory_tpu.testcases.cartesian import initialize_cartesian2d
+    from wxfactory_tpu.testcases import williamson_case6
 
-    num_solpts = 4
-    nel = 64  # 64x64 elements x 16 solpts = 65536 grid points, 4 vars
-    geom = make_cartesian_2d((0.0, 1000.0), (0.0, 1500.0), nel, nel, num_solpts)
+    geom = make_cubed_sphere_2d(nel, num_solpts)
     ops = make_dfr_operators(num_solpts)
-    rhs = jax.jit(make_rhs_euler_cartesian(geom, ops))
-    q = jnp.asarray(initialize_cartesian2d(geom, 2))
+    metric = make_metric_2d(geom)
+    rhs = jax.jit(make_rhs_shallow_water(geom, ops, metric, dtype=dtype))
+    q = jnp.asarray(williamson_case6(geom), dtype=dtype)
 
-    # warmup / compile
     out = rhs(q)
     out.block_until_ready()
 
-    n_iter = 50
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        q_out = rhs(q)
-    q_out.block_until_ready()
+        out = rhs(q)
+    out.block_until_ready()
     elapsed = time.perf_counter() - t0
 
-    grid_points = nel * nel * num_solpts**2
-    gps = grid_points * n_iter / elapsed
+    grid_points = 6 * nel * nel * num_solpts**2
+    return grid_points * n_iter / elapsed
 
+
+def main():
+    gps = bench_sw_rhs()
     print(
         json.dumps(
             {
-                "metric": "euler2d_rhs_gridpoints_per_s",
+                "metric": "sw_case6_rhs_gridpoints_per_s",
                 "value": gps,
                 "unit": "gridpoints/s",
                 "vs_baseline": 1.0,  # reference publishes no numbers (BASELINE.md)

@@ -193,6 +193,16 @@ def _install_fake_modules():
             def synchronize(self, **kw):
                 pass
 
+            def timestamp(self, **kw):
+                import time
+
+                return time.time()
+
+            def elapsed(self, timestamps):
+                out = [timestamps[i + 1] - timestamps[i] for i in range(len(timestamps) - 1)]
+                out.append(timestamps[-1] - timestamps[0])
+                return out
+
             def array(self, a):
                 return np.asarray(a)
 
@@ -308,3 +318,102 @@ def reference_sw_case(case_number: int, nel_per_tile: int, num_solpts: int, lamb
     Q = np.stack([r[0] for r in results], axis=1)  # (3, 6, ny, nx, s^2)
     dQ = np.stack([r[1] for r in results], axis=1)
     return Q, dQ
+
+
+# ---------------------------------------------------------------------------
+# Reference 3D Euler runs
+
+
+def reference_euler3d_case(case_number: int, nel_h: int, nel_v: int, num_solpts: int, ztop: float):
+    """Run the reference 3D Euler initial condition + metric + one RHS
+    evaluation on 6 ranks (one panel per rank).
+
+    Returns a dict of global arrays (leading panel axis inserted after any
+    variable axis): Q, dQ, and the 'new layout' metric fields.
+    """
+    _install_fake_modules()
+
+    def tile_run(rank):
+        from types import SimpleNamespace
+
+        from mpi4py import MPI
+
+        import device as device_mod
+
+        dev = device_mod.CpuDevice(MPI.COMM_WORLD)
+
+        from process_topology import ProcessTopology
+
+        ptopo = ProcessTopology(dev)
+
+        param = SimpleNamespace(
+            case_number=case_number,
+            depth_approx="shallow",
+            filter_apply=False,
+            expfilter_apply=False,
+            apply_sponge=False,
+            num_elements_horizontal=nel_h,
+            num_elements_vertical=nel_v,
+            num_solpts=num_solpts,
+            ztop=ztop,
+            dt=30.0,
+            t_end=0.0,
+        )
+
+        from geometry.cubed_sphere_3d import CubedSphere3D
+        from geometry.metric3d import Metric3DTopo
+        from geometry.operators import DFROperators
+
+        geom = CubedSphere3D(nel_h, nel_v, num_solpts, 0.0, 0.0, 0.0, ztop, ptopo, param, dev)
+        mtrx = DFROperators(geom, param, dev)
+        metric = Metric3DTopo(geom, mtrx)
+
+        from init.initialize import initialize_euler
+
+        Q, _topo = initialize_euler(geom, metric, mtrx, param)
+
+        from pde.pde_euler_cubesphere import PDEEulerCubesphere
+        from rhs.rhs_dfr import RHSDirecFluxReconstruction_mpi
+
+        pde = PDEEulerCubesphere(geom, param, metric)
+        rhs_fn = RHSDirecFluxReconstruction_mpi(pde, geom, mtrx, metric, None, ptopo, param, Q.shape)
+        dQ = rhs_fn(Q)
+
+        out = {
+            "Q": np.asarray(Q),
+            "dQ": np.asarray(dQ),
+            "sqrtG": np.asarray(metric.sqrtG_new),
+            "inv_dzdeta": np.asarray(metric.inv_dzdeta_new),
+            "h_contra": np.asarray(metric.h_contra_new),
+            "christoffel": np.asarray(metric.christoffel),
+            "sqrtG_itf_i": np.asarray(metric.sqrtG_itf_i_new),
+            "sqrtG_itf_j": np.asarray(metric.sqrtG_itf_j_new),
+            "sqrtG_itf_k": np.asarray(metric.sqrtG_itf_k_new),
+            "h_contra_itf_i": np.asarray(metric.h_contra_itf_i_new),
+            "h_contra_itf_j": np.asarray(metric.h_contra_itf_j_new),
+            "h_contra_itf_k": np.asarray(metric.h_contra_itf_k_new),
+        }
+        return out
+
+    results = run_lockstep(6, tile_run)
+
+    def stack(key, var_axes):
+        """Stack the per-panel arrays, inserting the panel axis after any
+        leading variable axes."""
+        arrs = [r[key] for r in results]
+        return np.stack(arrs, axis=var_axes)
+
+    return {
+        "Q": stack("Q", 1),
+        "dQ": stack("dQ", 1),
+        "sqrtG": stack("sqrtG", 0),
+        "inv_dzdeta": stack("inv_dzdeta", 0),
+        "h_contra": stack("h_contra", 2),
+        "christoffel": stack("christoffel", 2),
+        "sqrtG_itf_i": stack("sqrtG_itf_i", 0),
+        "sqrtG_itf_j": stack("sqrtG_itf_j", 0),
+        "sqrtG_itf_k": stack("sqrtG_itf_k", 0),
+        "h_contra_itf_i": stack("h_contra_itf_i", 2),
+        "h_contra_itf_j": stack("h_contra_itf_j", 2),
+        "h_contra_itf_k": stack("h_contra_itf_k", 2),
+    }

@@ -1,0 +1,302 @@
+"""3D compressible Euler equations on the cubed sphere (DFR discretization).
+
+Capability parity with the reference's pde/pde_euler_cubesphere.py +
+rhs/rhs_dfr.py (RHSDirecFluxReconstruction_mpi) + pde/fluxes.py
+(rusanov_3d_*_new): log-space extrapolation of rho and rho*theta, sqrt(g)-
+weighted advective + pressure fluxes, Rusanov interface fluxes with the
+rho*w advection/pressure split (the pressure-gradient term of the w
+equation is computed in the p * d(log p) form), rigid-lid vertical BC via
+odd symmetry of w, Christoffel/Coriolis forcing contraction and the
+high-mode-filtered gravity term.
+
+TPU-first design: state is global ``Q[nvar, 6, nk, ny, nx, s^3]``
+(nvar = 5 + tracers), the whole RHS is one pure jittable function built
+from batched GEMMs over the trailing axis; interface fluxes are computed
+per interface; panel-edge halos come from parallel/topology.py (pure
+gathers + rotations -> ICI collectives under sharding). All tracer rows
+are exchanged like scalars (the reference leaves tracer halos at panel
+edges unexchanged — rhs_dfr.py:148-172 sends only the 5 dynamical rows).
+"""
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.constants import CPD, CVD, GRAVITY, P0, RD
+from ..geometry.cubed_sphere_3d import CubedSphere3D
+from ..geometry.metric3d import Metric3D
+from ..ops.dfr import DFROperators
+from ..parallel.topology import EAST, NORTH, SOUTH, WEST, CubedSphereTopology
+
+IDX_RHO = 0
+IDX_RHO_U1 = 1
+IDX_RHO_U2 = 2
+IDX_RHO_W = 3
+IDX_RHO_THETA = 4
+
+HEAT_CAPACITY_RATIO = CPD / CVD
+
+
+def make_rhs_euler_cubesphere(
+    geom: CubedSphere3D,
+    ops: DFROperators,
+    metric: Metric3D,
+    topology: Optional[CubedSphereTopology] = None,
+    advection_only: bool = False,
+    dtype=jnp.float64,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if topology is None:
+        topology = CubedSphereTopology(geom)
+    s = ops.num_solpts
+    ss = s * s
+    nel_h, nel_v = geom.nel_h, geom.nel_v
+
+    c = lambda a: jnp.asarray(a, dtype=dtype)
+
+    Ex, Ey, Ez = c(ops.extrap_x3), c(ops.extrap_y3), c(ops.extrap_z3)
+    Dx, Dy, Dz = c(ops.derivative_x3), c(ops.derivative_y3), c(ops.derivative_z3)
+    Cx, Cy, Cz = c(ops.correction_WE3), c(ops.correction_SN3), c(ops.correction_DU3)
+    highfilter_k = c(ops.highfilter_k)
+
+    sqrtG = c(metric.sqrtG)
+    inv_sqrtG = c(metric.inv_sqrtG)
+    inv_dzdeta = c(metric.inv_dzdeta)
+    h = {(a, b): c(metric.h_contra[a, b]) for a in range(3) for b in range(3)}
+    chr_ = c(metric.christoffel)  # (3, 9, ...)
+
+    sqrtG_ix = c(metric.sqrtG_itf_i)  # (6, nk, ny, nx+1, s^2)
+    sqrtG_jx = c(metric.sqrtG_itf_j)
+    sqrtG_kx = c(metric.sqrtG_itf_k)
+    h_ix = {(a, b): c(metric.h_contra_itf_i[a, b]) for a in range(3) for b in range(3)}
+    h_jx = {(a, b): c(metric.h_contra_itf_j[a, b]) for a in range(3) for b in range(3)}
+    h_kx = {(a, b): c(metric.h_contra_itf_k[a, b]) for a in range(3) for b in range(3)}
+
+    def pressure_of(rho_theta):
+        return P0 * jnp.exp(HEAT_CAPACITY_RATIO * jnp.log((RD / P0) * rho_theta))
+
+    def rusanov(qL, qR, vL, vR, sqrtG_itf, h_row, h_diag, adv_only):
+        """Rusanov common flux at a set of interfaces.
+
+        qL/qR: (nv, ..., s^2) face states; vL/vR: normal advection speed.
+        h_row: tuple of metric row components (h^{n,0}, h^{n,1}, h^{n,2}) at
+        the interfaces; h_diag: h^{nn}. Returns (flux, wflux_adv,
+        wflux_pres_sum, pL, pR). Reference pde/fluxes.py:150-560.
+        """
+        pL = pressure_of(qL[IDX_RHO_THETA])
+        pR = pressure_of(qR[IDX_RHO_THETA])
+
+        if adv_only:
+            eig = jnp.maximum(jnp.abs(vL), jnp.abs(vR))
+        else:
+            eig_l = jnp.abs(vL) + jnp.sqrt(h_diag * HEAT_CAPACITY_RATIO * pL / qL[IDX_RHO])
+            eig_r = jnp.abs(vR) + jnp.sqrt(h_diag * HEAT_CAPACITY_RATIO * pR / qR[IDX_RHO])
+            eig = jnp.maximum(eig_l, eig_r)
+
+        flux_l = sqrtG_itf * vL * qL
+        flux_r = sqrtG_itf * vR * qR
+        wflux_adv_l = flux_l[IDX_RHO_W]
+        wflux_adv_r = flux_r[IDX_RHO_W]
+
+        h0, h1, h2 = h_row
+        pres_l = jnp.stack([sqrtG_itf * h0 * pL, sqrtG_itf * h1 * pL, sqrtG_itf * h2 * pL])
+        pres_r = jnp.stack([sqrtG_itf * h0 * pR, sqrtG_itf * h1 * pR, sqrtG_itf * h2 * pR])
+        flux_l = flux_l.at[IDX_RHO_U1:IDX_RHO_W + 1].add(pres_l)
+        flux_r = flux_r.at[IDX_RHO_U1:IDX_RHO_W + 1].add(pres_r)
+
+        wflux_pres_l = sqrtG_itf * h2 * pL
+        wflux_pres_r = sqrtG_itf * h2 * pR
+
+        flux = 0.5 * (flux_l + flux_r - eig * sqrtG_itf * (qR - qL))
+        wflux_adv = 0.5 * (
+            wflux_adv_l + wflux_adv_r - eig * sqrtG_itf * (qR[IDX_RHO_W] - qL[IDX_RHO_W])
+        )
+        wflux_pres_sum = 0.5 * (wflux_pres_l + wflux_pres_r)
+        return flux, wflux_adv, wflux_pres_sum, pL, pR
+
+    def faces_x(itf):
+        return jnp.concatenate([itf[..., :-1, :], itf[..., 1:, :]], axis=-1)
+
+    def faces_y(itf):
+        return jnp.concatenate([itf[..., :-1, :, :], itf[..., 1:, :, :]], axis=-1)
+
+    def faces_z(itf):
+        return jnp.concatenate([itf[..., :-1, :, :, :], itf[..., 1:, :, :, :]], axis=-1)
+
+    def rhs(q: jnp.ndarray) -> jnp.ndarray:
+        nv = q.shape[0]
+        rho = q[IDX_RHO]
+        u1 = q[IDX_RHO_U1] / rho
+        u2 = q[IDX_RHO_U2] / rho
+        w = q[IDX_RHO_W] / rho
+
+        # --- 1. Extrapolation to faces; rho and rho*theta in log space
+        # (rhs_dfr.py:62-71) so the interface states stay positive.
+        q_itf_i = q @ Ex  # (nv, 6, nk, ny, nx, 2s^2)
+        q_itf_j = q @ Ey
+        q_itf_k = q @ Ez
+        log_rho = jnp.log(rho)
+        log_rt = jnp.log(q[IDX_RHO_THETA])
+        for rows, logf in ((IDX_RHO, log_rho), (IDX_RHO_THETA, log_rt)):
+            q_itf_i = q_itf_i.at[rows].set(jnp.exp(logf @ Ex))
+            q_itf_j = q_itf_j.at[rows].set(jnp.exp(logf @ Ey))
+            q_itf_k = q_itf_k.at[rows].set(jnp.exp(logf @ Ez))
+
+        # --- 2. Panel-edge halos: momentum as a 3-vector, the rest scalars.
+        scal_rows = [IDX_RHO, IDX_RHO_THETA] + list(range(5, nv))
+        scal_i = q_itf_i[jnp.array(scal_rows)]
+        scal_j = q_itf_j[jnp.array(scal_rows)]
+        h_scal = topology.halo_scalars_3d(scal_i, scal_j)
+        h_mom = topology.halo_vectors_3d(
+            q_itf_i[IDX_RHO_U1], q_itf_j[IDX_RHO_U1],
+            q_itf_i[IDX_RHO_U2], q_itf_j[IDX_RHO_U2],
+            q_itf_i[IDX_RHO_W], q_itf_j[IDX_RHO_W],
+        )
+
+        def halo_q(side):
+            """Assemble the full (nv, 6, nk, nh, s^2) halo state for a side."""
+            parts = [None] * nv
+            for k, row in enumerate(scal_rows):
+                parts[row] = h_scal[side][k]
+            parts[IDX_RHO_U1], parts[IDX_RHO_U2], parts[IDX_RHO_W] = h_mom[side]
+            return jnp.stack(parts)
+
+        halo_w_ = halo_q(WEST)
+        halo_e_ = halo_q(EAST)
+        halo_s_ = halo_q(SOUTH)
+        halo_n_ = halo_q(NORTH)
+
+        # --- 3. Pointwise fluxes (pde_euler_cubesphere.py:72-124).
+        pressure = pressure_of(q[IDX_RHO_THETA])
+        logp = jnp.log(pressure)
+
+        flux_x1 = sqrtG * u1 * q
+        flux_x2 = sqrtG * u2 * q
+        flux_x3 = sqrtG * w * q
+        wflux_adv_x1 = flux_x1[IDX_RHO_W]
+        wflux_adv_x2 = flux_x2[IDX_RHO_W]
+        wflux_adv_x3 = flux_x3[IDX_RHO_W]
+
+        mom = slice(IDX_RHO_U1, IDX_RHO_W + 1)
+        flux_x1 = flux_x1.at[mom].add(
+            jnp.stack([sqrtG * h[(0, 0)] * pressure, sqrtG * h[(0, 1)] * pressure, sqrtG * h[(0, 2)] * pressure])
+        )
+        flux_x2 = flux_x2.at[mom].add(
+            jnp.stack([sqrtG * h[(1, 0)] * pressure, sqrtG * h[(1, 1)] * pressure, sqrtG * h[(1, 2)] * pressure])
+        )
+        flux_x3 = flux_x3.at[mom].add(
+            jnp.stack([sqrtG * h[(2, 0)] * pressure, sqrtG * h[(2, 1)] * pressure, sqrtG * h[(2, 2)] * pressure])
+        )
+        wflux_pres_x1 = sqrtG * h[(0, 2)]
+        wflux_pres_x2 = sqrtG * h[(1, 2)]
+        wflux_pres_x3 = sqrtG * h[(2, 2)]
+
+        # --- 4. Interior derivatives.
+        df1 = flux_x1 @ Dx
+        df2 = flux_x2 @ Dy
+        df3 = flux_x3 @ Dz
+        w_adv1, w_presa1, w_presb1 = wflux_adv_x1 @ Dx, wflux_pres_x1 @ Dx, logp @ Dx
+        w_adv2, w_presa2, w_presb2 = wflux_adv_x2 @ Dy, wflux_pres_x2 @ Dy, logp @ Dy
+        w_adv3, w_presa3, w_presb3 = wflux_adv_x3 @ Dz, wflux_pres_x3 @ Dz, logp @ Dz
+
+        # --- 5. Per-interface left/right states.
+        east = q_itf_i[..., ss:]
+        west = q_itf_i[..., :ss]
+        qL_x = jnp.concatenate([halo_w_[..., None, :], east], axis=-2)  # (nv, 6, nk, ny, nx+1, s^2)
+        qR_x = jnp.concatenate([west, halo_e_[..., None, :]], axis=-2)
+
+        north = q_itf_j[..., ss:]
+        south = q_itf_j[..., :ss]
+        qL_y = jnp.concatenate([halo_s_[..., None, :, :], north], axis=-3)
+        qR_y = jnp.concatenate([south, halo_n_[..., None, :, :]], axis=-3)
+
+        top = q_itf_k[..., ss:]
+        bot = q_itf_k[..., :ss]
+        qL_z = jnp.concatenate([bot[..., 0:1, :, :, :], top], axis=-4)  # ground: mirror state
+        qR_z = jnp.concatenate([bot, top[..., -1:, :, :, :]], axis=-4)
+
+        # Normal speeds; vertical uses physical w with odd symmetry at the
+        # rigid boundaries (pde_euler_cubesphere.py:150-156).
+        vL_x = qL_x[IDX_RHO_U1] / qL_x[IDX_RHO]
+        vR_x = qR_x[IDX_RHO_U1] / qR_x[IDX_RHO]
+        vL_y = qL_y[IDX_RHO_U2] / qL_y[IDX_RHO]
+        vR_y = qR_y[IDX_RHO_U2] / qR_y[IDX_RHO]
+        w_bot = bot[IDX_RHO_W] / bot[IDX_RHO]
+        w_top = top[IDX_RHO_W] / top[IDX_RHO]
+        vL_z = jnp.concatenate([-w_bot[..., 0:1, :, :, :], w_top], axis=-4)
+        vR_z = jnp.concatenate([w_bot, -w_top[..., -1:, :, :, :]], axis=-4)
+
+        f_x, wadv_x, wpres_x, pLx, pRx = rusanov(
+            qL_x, qR_x, vL_x, vR_x, sqrtG_ix, (h_ix[(0, 0)], h_ix[(0, 1)], h_ix[(0, 2)]), h_ix[(0, 0)], advection_only
+        )
+        f_y, wadv_y, wpres_y, pLy, pRy = rusanov(
+            qL_y, qR_y, vL_y, vR_y, sqrtG_jx, (h_jx[(1, 0)], h_jx[(1, 1)], h_jx[(1, 2)]), h_jx[(1, 1)], advection_only
+        )
+        f_z, wadv_z, wpres_z, pLz, pRz = rusanov(
+            qL_z, qR_z, vL_z, vR_z, sqrtG_kx, (h_kx[(2, 0)], h_kx[(2, 1)], h_kx[(2, 2)]), h_kx[(2, 2)], advection_only
+        )
+
+        # --- 6. Boundary corrections. The w pressure-split terms divide the
+        # common w-pressure flux by the local face pressure (fluxes.py:215-217)
+        # and use the face log-pressure (rhs_dfr.py:113-136).
+        def w_terms(wadv, wpres, p_face_w, p_face_e, faces, Cmat, interior_adv, interior_presa,
+                    interior_presb, wflux_pres_int):
+            wadv_faces = faces(wadv)
+            # Face-located division: west face of an element is the R side of
+            # its interface; east face is the L side of the next interface.
+            if faces is faces_x:
+                pres_w = wpres[..., :-1, :] / p_face_w
+                pres_e = wpres[..., 1:, :] / p_face_e
+            elif faces is faces_y:
+                pres_w = wpres[..., :-1, :, :] / p_face_w
+                pres_e = wpres[..., 1:, :, :] / p_face_e
+            else:
+                pres_w = wpres[..., :-1, :, :, :] / p_face_w
+                pres_e = wpres[..., 1:, :, :, :] / p_face_e
+            wpres_faces = jnp.concatenate([pres_w, pres_e], axis=-1)
+            logp_faces = jnp.concatenate([jnp.log(p_face_w), jnp.log(p_face_e)], axis=-1)
+
+            t_adv = interior_adv + wadv_faces @ Cmat
+            t_presa = (interior_presa + wpres_faces @ Cmat) * pressure
+            t_presb = (interior_presb + logp_faces @ Cmat) * pressure * wflux_pres_int
+            return t_adv + t_presa + t_presb
+
+        # Face pressures: R side of interface m is the west face of element m.
+        w_df1 = w_terms(wadv_x, wpres_x, pRx[..., :-1, :], pLx[..., 1:, :], faces_x, Cx,
+                        w_adv1, w_presa1, w_presb1, wflux_pres_x1)
+        w_df2 = w_terms(wadv_y, wpres_y, pRy[..., :-1, :, :], pLy[..., 1:, :, :], faces_y, Cy,
+                        w_adv2, w_presa2, w_presb2, wflux_pres_x2)
+        w_df3 = w_terms(wadv_z, wpres_z, pRz[..., :-1, :, :, :], pLz[..., 1:, :, :, :], faces_z, Cz,
+                        w_adv3, w_presa3, w_presb3, wflux_pres_x3)
+
+        df1 = df1 + faces_x(f_x) @ Cx
+        df2 = df2 + faces_y(f_y) @ Cy
+        df3 = df3 + faces_z(f_z) @ Cz
+
+        out = -inv_sqrtG * (df1 + df2 + df3)
+        out = out.at[IDX_RHO_W].set(-inv_sqrtG * (w_df1 + w_df2 + w_df3))
+
+        # --- 7. Forcing: Christoffel/Coriolis contraction
+        # (pde_euler_cubesphere.py:12-53) + filtered gravity (:279-281).
+        def forcing_row(a):
+            ch = chr_[a]
+            return (
+                2.0 * rho * (ch[0] * u1 + ch[1] * u2 + ch[2] * w)
+                + ch[3] * (rho * u1 * u1 + h[(0, 0)] * pressure)
+                + 2.0 * ch[4] * (rho * u1 * u2 + h[(0, 1)] * pressure)
+                + 2.0 * ch[5] * (rho * u1 * w + h[(0, 2)] * pressure)
+                + ch[6] * (rho * u2 * u2 + h[(1, 1)] * pressure)
+                + 2.0 * ch[7] * (rho * u2 * w + h[(1, 2)] * pressure)
+                + ch[8] * (rho * w * w + h[(2, 2)] * pressure)
+            )
+
+        out = out.at[IDX_RHO_U1].add(-forcing_row(0))
+        out = out.at[IDX_RHO_U2].add(-forcing_row(1))
+        gravity_term = inv_dzdeta * GRAVITY * inv_sqrtG * ((sqrtG * rho) @ highfilter_k)
+        out = out.at[IDX_RHO_W].add(-(forcing_row(2) + gravity_term))
+
+        if advection_only:
+            out = out.at[:5].set(0.0)
+        return out
+
+    return rhs

@@ -95,9 +95,12 @@ class PanelEdge:
 class CubedSphereTopology:
     """Static panel-edge tables + the jittable halo-exchange functions."""
 
-    def __init__(self, geom: CubedSphere2D):
+    def __init__(self, geom):
+        """geom: CubedSphere2D or CubedSphere3D (only the horizontal panel
+        structure — x1, panel rotations, delta_x — is used)."""
         self.geom = geom
-        self.num_points = geom.num_elements * geom.num_solpts
+        self.nel_h = getattr(geom, "num_elements", None) or geom.nel_h
+        self.num_points = self.nel_h * geom.num_solpts
 
         # --- Derive adjacency from edge-midpoint coincidence.
         mids = np.array([[_edge_mid_xyz(geom, p, d) for d in range(4)] for p in range(6)])
@@ -177,6 +180,87 @@ class CubedSphereTopology:
                     t = t[..., ::-1]
                 per_panel.append(t)
             out[d] = jnp.stack(per_panel, axis=-2)  # (..., 6, npts)
+        return out
+
+    # ------------------------------------------------------------------
+    # 3D variants: traces carry a vertical element axis (nk) and s^2 faces
+    # where only the horizontal half flips / rotates. Mirrors the reference's
+    # flip_dim=(-3, -1) exchanges with halo_side_shape (nel_h, s, s)
+    # (rhs_dfr.py:141-172, cubed_sphere_3d.py:197).
+
+    def _outgoing_trace_3d(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray, panel: int, side: int) -> jnp.ndarray:
+        """Boundary-face trace, 3D: returns (..., nk, nh, s, s) with axes
+        (vertical element, horizontal element, kz, k_horizontal) in the
+        sending panel's local ordering.
+
+        itf_i: (..., 6, nk, ny, nx, 2s^2) west|east faces (face idx kz*s+ky).
+        itf_j: (..., 6, nk, ny, nx, 2s^2) south|north faces (face idx kz*s+kx).
+        """
+        s = self.geom.num_solpts
+        ss = s * s
+        if side == SOUTH:
+            t = itf_j[..., panel, :, 0, :, :ss]
+        elif side == NORTH:
+            t = itf_j[..., panel, :, -1, :, ss:]
+        elif side == WEST:
+            t = itf_i[..., panel, :, :, 0, :ss]
+        else:
+            t = itf_i[..., panel, :, :, -1, ss:]
+        return t.reshape(t.shape[:-1] + (s, s))
+
+    def halo_scalars_3d(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray) -> Dict[int, jnp.ndarray]:
+        """{side: (..., 6, nk, nh, s^2)} halo traces of a scalar field."""
+        out = {}
+        for d in range(4):
+            per_panel = []
+            for p in range(6):
+                edge = self.edges[p][d]
+                t = self._outgoing_trace_3d(itf_i, itf_j, edge.neighbor, edge.neighbor_side)
+                if edge.flip:
+                    t = t[..., ::-1, :, ::-1]  # horizontal element + k_horizontal
+                per_panel.append(t.reshape(t.shape[:-2] + (self.geom.num_solpts**2,)))
+            out[d] = jnp.stack(per_panel, axis=-4)
+        return out
+
+    def halo_vectors_3d(
+        self,
+        itf_i_1,
+        itf_j_1,
+        itf_i_2,
+        itf_j_2,
+        itf_i_3,
+        itf_j_3,
+        covariant: bool = False,
+    ) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+        """3-vector halo: components 1/2 rotate with the 2x2 edge matrices
+        (broadcast over the vertical), component 3 (vertical) passes through
+        unchanged (reference process_topology.py:377)."""
+        s = self.geom.num_solpts
+        nel = self.nel_h
+        out = {}
+        for d in range(4):
+            c1_list, c2_list, c3_list = [], [], []
+            for p in range(6):
+                edge = self.edges[p][d]
+                a1 = self._outgoing_trace_3d(itf_i_1, itf_j_1, edge.neighbor, edge.neighbor_side)
+                a2 = self._outgoing_trace_3d(itf_i_2, itf_j_2, edge.neighbor, edge.neighbor_side)
+                a3 = self._outgoing_trace_3d(itf_i_3, itf_j_3, edge.neighbor, edge.neighbor_side)
+                if edge.flip:
+                    a1, a2, a3 = (a[..., ::-1, :, ::-1] for a in (a1, a2, a3))
+                conv = edge.conv_cov if covariant else edge.conv_contra
+                # (npts, 2, 2) -> (nh, 1, s, 2, 2): broadcast over kz.
+                conv = jnp.asarray(conv.reshape(nel, 1, s, 2, 2), dtype=a1.dtype)
+                b1 = conv[..., 0, 0] * a1 + conv[..., 0, 1] * a2
+                b2 = conv[..., 1, 0] * a1 + conv[..., 1, 1] * a2
+                ss = s * s
+                c1_list.append(b1.reshape(b1.shape[:-2] + (ss,)))
+                c2_list.append(b2.reshape(b2.shape[:-2] + (ss,)))
+                c3_list.append(a3.reshape(a3.shape[:-2] + (ss,)))
+            out[d] = (
+                jnp.stack(c1_list, axis=-4),
+                jnp.stack(c2_list, axis=-4),
+                jnp.stack(c3_list, axis=-4),
+            )
         return out
 
     def halo_vectors(

@@ -1,4 +1,5 @@
 from .cartesian import initialize_cartesian2d
+from .dcmip import acoustic_wave, dcmip_gravity_wave
 from .shallow_water import (
     case_galewsky,
     case_unsteady_zonal,
@@ -12,6 +13,8 @@ from .shallow_water import (
 )
 
 __all__ = [
+    "acoustic_wave",
+    "dcmip_gravity_wave",
     "initialize_cartesian2d",
     "solid_body_rotation",
     "williamson_case1",
