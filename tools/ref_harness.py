@@ -89,6 +89,11 @@ class FakeComm:
         raise NotImplementedError(f"allreduce op {op}")
 
     def Allreduce(self, sendbuf, recvbuf, op=None):
+        # mpi4py accepts [buffer, datatype] pairs — unwrap them.
+        if isinstance(sendbuf, (list, tuple)):
+            sendbuf = sendbuf[0]
+        if isinstance(recvbuf, (list, tuple)):
+            recvbuf = recvbuf[0]
         vals = self._exchange(np.array(sendbuf))
         if op == "max":
             out = np.max(np.stack(vals), axis=0)
@@ -170,6 +175,8 @@ def _install_fake_modules():
         mpi_ns.SUM = "sum"
         mpi_ns.MAX = "max"
         mpi_ns.MIN = "min"
+        mpi_ns.DOUBLE = "double"
+        mpi_ns.COMPLEX16 = "complex16"
         mpi_ns.COMM_NULL = None
         mpi_ns.Comm = FakeComm
         mpi_ns.Request = _DoneRequest
@@ -318,6 +325,131 @@ def reference_sw_case(case_number: int, nel_per_tile: int, num_solpts: int, lamb
     Q = np.stack([r[0] for r in results], axis=1)  # (3, 6, ny, nx, s^2)
     dQ = np.stack([r[1] for r in results], axis=1)
     return Q, dQ
+
+
+def reference_euler3d_rhs_at(case_number, nel_h, nel_v, num_solpts, ztop, Q_global):
+    """Evaluate the reference RHS at a PROVIDED global state (nv, 6, ...).
+    Returns the global dQ."""
+    _install_fake_modules()
+    Q_global = np.asarray(Q_global)
+
+    def tile_run(rank):
+        from types import SimpleNamespace
+
+        from mpi4py import MPI
+
+        import device as device_mod
+
+        dev = device_mod.CpuDevice(MPI.COMM_WORLD)
+        from process_topology import ProcessTopology
+
+        ptopo = ProcessTopology(dev)
+        param = SimpleNamespace(
+            case_number=case_number, depth_approx="shallow", filter_apply=False,
+            expfilter_apply=False, apply_sponge=False, num_elements_horizontal=nel_h,
+            num_elements_vertical=nel_v, num_solpts=num_solpts, ztop=ztop, dt=30.0, t_end=0.0,
+        )
+        from geometry.cubed_sphere_3d import CubedSphere3D
+        from geometry.metric3d import Metric3DTopo
+        from geometry.operators import DFROperators
+
+        geom = CubedSphere3D(nel_h, nel_v, num_solpts, 0.0, 0.0, 0.0, ztop, ptopo, param, dev)
+        mtrx = DFROperators(geom, param, dev)
+        metric = Metric3DTopo(geom, mtrx)
+        from init.initialize import initialize_euler
+
+        initialize_euler(geom, metric, mtrx, param)  # builds metric (case geometry)
+        from pde.pde_euler_cubesphere import PDEEulerCubesphere
+        from rhs.rhs_dfr import RHSDirecFluxReconstruction_mpi
+
+        Q = np.ascontiguousarray(Q_global[:, rank])
+        pde = PDEEulerCubesphere(geom, param, metric)
+        rhs_fn = RHSDirecFluxReconstruction_mpi(pde, geom, mtrx, metric, None, ptopo, param, Q.shape)
+        return np.asarray(rhs_fn(Q))
+
+    results = run_lockstep(6, tile_run)
+    return np.stack(results, axis=1)
+
+
+def reference_euler3d_epi_steps(
+    case_number: int,
+    nel_h: int,
+    nel_v: int,
+    num_solpts: int,
+    ztop: float,
+    dt: float,
+    num_steps: int,
+    order: int = 2,
+    exponential_solver: str = "kiops",
+    tolerance: float = 1e-7,
+):
+    """Run the reference Epi integrator for `num_steps` steps on a 3D Euler
+    case. Returns the global state after each step: (num_steps, nv, 6, ...)."""
+    _install_fake_modules()
+
+    def tile_run(rank):
+        from types import SimpleNamespace
+
+        from mpi4py import MPI
+
+        import device as device_mod
+
+        dev = device_mod.CpuDevice(MPI.COMM_WORLD)
+
+        from process_topology import ProcessTopology
+
+        ptopo = ProcessTopology(dev)
+
+        param = SimpleNamespace(
+            case_number=case_number,
+            depth_approx="shallow",
+            filter_apply=False,
+            expfilter_apply=False,
+            apply_sponge=False,
+            num_elements_horizontal=nel_h,
+            num_elements_vertical=nel_v,
+            num_solpts=num_solpts,
+            ztop=ztop,
+            dt=dt,
+            t_end=dt * num_steps,
+            tolerance=tolerance,
+            jacobian_method="complex",
+            exponential_solver=exponential_solver,
+            time_integrator=f"epi{order}",
+            exode_method="RK45",
+            exode_controller="",
+            verbose_solver=0,
+        )
+
+        from geometry.cubed_sphere_3d import CubedSphere3D
+        from geometry.metric3d import Metric3DTopo
+        from geometry.operators import DFROperators
+
+        geom = CubedSphere3D(nel_h, nel_v, num_solpts, 0.0, 0.0, 0.0, ztop, ptopo, param, dev)
+        mtrx = DFROperators(geom, param, dev)
+        metric = Metric3DTopo(geom, mtrx)
+
+        from init.initialize import initialize_euler
+
+        Q, _topo = initialize_euler(geom, metric, mtrx, param)
+
+        from pde.pde_euler_cubesphere import PDEEulerCubesphere
+        from rhs.rhs_dfr import RHSDirecFluxReconstruction_mpi
+
+        pde = PDEEulerCubesphere(geom, param, metric)
+        rhs_fn = RHSDirecFluxReconstruction_mpi(pde, geom, mtrx, metric, None, ptopo, param, Q.shape)
+
+        from integrators.epi import Epi
+
+        stepper = Epi(param, order, rhs_fn, device=dev)
+        states = []
+        for _ in range(num_steps):
+            Q = stepper.step(Q, dt)
+            states.append(np.asarray(Q).copy())
+        return np.stack(states)
+
+    results = run_lockstep(6, tile_run)
+    return np.stack(results, axis=2)  # (num_steps, nv, 6, ...)
 
 
 # ---------------------------------------------------------------------------

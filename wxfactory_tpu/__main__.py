@@ -1,0 +1,55 @@
+"""Command-line entry point: ``python -m wxfactory_tpu config.ini``.
+
+Capability parity with the reference's ./WxFactory executable: run a
+simulation from an INI file, dump the option reference with
+--config-options, optional cProfile.
+"""
+
+import argparse
+import cProfile
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="wxfactory_tpu", description="TPU-native NWP dynamical core (WxFactory capabilities)"
+    )
+    parser.add_argument("config", nargs="?", help="Path to the simulation configuration (INI)")
+    parser.add_argument("--profile", action="store_true", help="Profile the run with cProfile")
+    parser.add_argument(
+        "--config-options", action="store_true", help="Print every available configuration option and exit"
+    )
+    parser.add_argument("--show-every-crash", action="store_true", help="Print full tracebacks")
+    args = parser.parse_args(argv)
+
+    if args.config_options:
+        from .config import schema_documentation
+
+        print(schema_documentation())
+        return 0
+
+    if not args.config:
+        parser.error("a configuration file is required (or use --config-options)")
+
+    from .simulation import Simulation
+
+    def run():
+        sim = Simulation(args.config)
+        sim.run()
+
+    try:
+        if args.profile:
+            cProfile.runctx("run()", globals(), locals(), filename="prof.out")
+            print("Profile written to prof.out")
+        else:
+            run()
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

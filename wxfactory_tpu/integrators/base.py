@@ -51,15 +51,9 @@ class Integrator(ABC):
         self.__prestep__(q, dt)
         if self.preconditioner is not None:
             self.preconditioner.prepare(dt, q)
+        self.solver_info = None  # concrete __step__ fills it (or leaves None)
         result = self.__step__(q, dt)
         self.latest_time = time() - t0
-
-        if self.output_manager is not None:
-            info = self.solver_info if self.solver_info is not None else SolverInfo()
-            self.output_manager.store_solver_stats(
-                self.latest_time, self.sim_time, dt, info, self.preconditioner
-            )
-        self.solver_info = None
         self.sim_time += dt
         self.num_completed_steps += 1
         return result

@@ -62,8 +62,8 @@ class Epi(Integrator):
         tolerance: float = 1e-7,
         exponential_solver: str = "kiops",
         krylov_size: int = 1,
-        mmin: int = 10,
-        mmax: int = 128,
+        mmin: int = 16,
+        mmax: int = 64,
         init_method: Optional[Integrator] = None,
         init_substeps: int = 1,
         **kwargs,
@@ -106,9 +106,12 @@ class Epi(Integrator):
         self._rhs = _rhs
 
     def _solve_phi(self, matvec, vec):
+        # The reference caps the Krylov size at 64 (epi.py:325-336): the
+        # incomplete (IOP-2) orthogonalization silently degrades for large m,
+        # so tau-substepping with modest m is both faster and stable.
         if self.exponential_solver in ("pmex", "pmex_ne"):
             phiv, stats = pmex([1.0], matvec, vec, tol=self.tol, m_init=self.krylov_size,
-                               mmin=max(self.mmin, 16), mmax=min(self.mmax, 64))
+                               mmin=self.mmin, mmax=self.mmax)
         elif self.exponential_solver == "kiops":
             phiv, stats = kiops([1.0], matvec, vec, tol=self.tol, m_init=self.krylov_size,
                                 mmin=self.mmin, mmax=self.mmax)

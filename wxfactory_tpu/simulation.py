@@ -1,0 +1,200 @@
+"""Simulation driver: configuration -> geometry -> state -> integrator -> run.
+
+Capability parity with the reference's simulation/simulation.py
+(Simulation): builds every layer from a Configuration, dispatches the time
+integrator by name, runs the step loop with the end-time clamp and the
+global NaN check, and drives the output manager.
+"""
+
+import math
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Configuration, load_configuration
+from .geometry import (
+    make_cartesian_2d,
+    make_cubed_sphere_2d,
+    make_cubed_sphere_3d,
+    make_metric_2d,
+    make_metric_3d,
+)
+from .integrators import BackwardEuler, Bdf2, CrankNicolson, Epi, EpiStiff, Euler1, Ros2, Tvdrk3
+from .models import make_rhs_euler_cartesian, make_rhs_euler_cubesphere, make_rhs_shallow_water
+from .ops.dfr import make_dfr_operators
+from .output import OutputManager
+from .parallel import CubedSphereTopology
+
+
+def _dcmip_planet_params(case_number: int) -> Tuple[float, bool]:
+    """Reduced-planet configuration per DCMIP case
+    (reference cubed_sphere_3d.py:408-432)."""
+    if case_number == 31:
+        return 125.0, False
+    if case_number == 20:
+        return 1.0, False
+    if case_number in (21, 22):
+        return 500.0, False
+    return 1.0, True
+
+
+class Simulation:
+    def __init__(self, config: Configuration | str):
+        if isinstance(config, str):
+            config = load_configuration(config)
+        self.config = config
+        c = config
+
+        self.ops = make_dfr_operators(c.num_solpts, three_d=(c.equations == "euler" and c.grid_type == "cubed_sphere"))
+        self.topo = None
+        self.topology = None
+
+        if c.grid_type == "cubed_sphere" and c.equations == "shallow_water":
+            self.geom = make_cubed_sphere_2d(c.num_elements_horizontal, c.num_solpts, c.lambda0, c.phi0, c.alpha0)
+            self.metric = make_metric_2d(self.geom)
+            self.topology = CubedSphereTopology(self.geom)
+            q0, self.topo = self._init_sw()
+            self.rhs = make_rhs_shallow_water(self.geom, self.ops, self.metric, topo=self.topo)
+        elif c.grid_type == "cubed_sphere" and c.equations == "euler":
+            scale, rotating = _dcmip_planet_params(c.case_number)
+            self.geom = make_cubed_sphere_3d(
+                c.num_elements_horizontal, c.num_elements_vertical, c.num_solpts, c.ztop,
+                c.lambda0, c.phi0, c.alpha0, deep=(c.depth_approx == "deep"),
+                planet_scaling_factor=scale, planet_is_rotating=rotating,
+            )
+            q0 = self._init_euler3d()
+            self.topology = CubedSphereTopology(self.geom)
+            self.metric = make_metric_3d(self.geom, self.ops, self.topology)
+            self.rhs = make_rhs_euler_cubesphere(
+                self.geom, self.ops, self.metric, self.topology, advection_only=(c.case_number < 13)
+            )
+        elif c.grid_type == "cartesian2d":
+            self.geom = make_cartesian_2d(
+                (c.x0, c.x1), (c.z0, c.z1), c.num_elements_horizontal, c.num_elements_vertical, c.num_solpts
+            )
+            self.metric = None
+            from .testcases import initialize_cartesian2d
+
+            q0 = initialize_cartesian2d(self.geom, c.case_number, c.bubble_theta, c.bubble_rad)
+            self.rhs = make_rhs_euler_cartesian(self.geom, self.ops)
+        else:
+            raise ValueError(f"Unsupported grid/equations: {c.grid_type}/{c.equations}")
+
+        self.output = OutputManager(c, self.geom, self.ops, self.metric, self.topo)
+
+        self.initial_q = jnp.asarray(q0)
+        self.starting_step = 0
+        if c.starting_step > 0:
+            try:
+                self.initial_q = jnp.asarray(
+                    self.output.load_state_from_file(c.starting_step, self.initial_q.shape)
+                )
+                self.starting_step = c.starting_step
+            except (FileNotFoundError, ValueError) as e:
+                print(f"WARNING: Could not load state for step {c.starting_step} ({e}); starting from step 0")
+
+        self.integrator = self._create_integrator()
+
+    # ------------------------------------------------------------------
+    def _init_sw(self):
+        from .testcases import (
+            case_galewsky,
+            case_unsteady_zonal,
+            williamson_case1,
+            williamson_case2,
+            williamson_case5,
+            williamson_case6,
+        )
+
+        c = self.config
+        topo = None
+        if c.case_number == 1:
+            q = williamson_case1(self.geom)
+        elif c.case_number == 2:
+            q = williamson_case2(self.geom)
+        elif c.case_number == 5:
+            q, topo = williamson_case5(self.geom, self.ops)
+        elif c.case_number == 6:
+            q = williamson_case6(self.geom)
+        elif c.case_number == 8:
+            q = case_galewsky(self.geom)
+        elif c.case_number == 10:
+            q, topo = case_unsteady_zonal(self.geom, self.ops)
+        else:
+            raise ValueError(f"Unsupported shallow-water case {c.case_number}")
+        return q, topo
+
+    def _init_euler3d(self):
+        from .testcases import acoustic_wave, dcmip_gravity_wave
+
+        c = self.config
+        if c.case_number == 31:
+            return dcmip_gravity_wave(self.geom)
+        if c.case_number == 77:
+            return acoustic_wave(self.geom)
+        raise ValueError(f"Unsupported 3D Euler case {c.case_number}")
+
+    def _create_integrator(self):
+        c = self.config
+        name = c.time_integrator.lower()
+        common = dict(verbose=c.verbose_solver)
+        if name == "euler1":
+            return Euler1(self.rhs, **common)
+        if name == "tvdrk3":
+            return Tvdrk3(self.rhs, **common)
+        if name.startswith("epi_stiff"):
+            order = int(name.removeprefix("epi_stiff"))
+            return EpiStiff(self.rhs, order, tolerance=c.tolerance,
+                            exponential_solver=c.exponential_solver,
+                            krylov_size=max(c.krylov_size, 1), **common)
+        if name.startswith("epi"):
+            order = int(name.removeprefix("epi"))
+            return Epi(self.rhs, order, tolerance=c.tolerance,
+                       exponential_solver=c.exponential_solver,
+                       krylov_size=max(c.krylov_size, 1), **common)
+        if name == "ros2":
+            return Ros2(self.rhs, tolerance=c.tolerance, restart=c.gmres_restart, **common)
+        if name == "crank_nicolson":
+            return CrankNicolson(self.rhs, tolerance=c.tolerance, **common)
+        if name == "bdf2":
+            return Bdf2(self.rhs, tolerance=c.tolerance, **common)
+        if name == "backward_euler":
+            return BackwardEuler(self.rhs, tolerance=c.tolerance, **common)
+        raise ValueError(f"Unrecognized time integrator: {c.time_integrator}")
+
+    # ------------------------------------------------------------------
+    def step(self, q, step_id: int, t: float):
+        """One step: dt clamp near t_end, integrator, NaN guard, outputs.
+        Returns (q_new, new_time)."""
+        c = self.config
+        dt = min(c.dt, c.t_end - t) if c.t_end > t else c.dt
+        t0 = time.time()
+        q = self.integrator.step(q, dt)
+        solve_time = time.time() - t0
+
+        if not bool(jnp.all(jnp.isfinite(q))):
+            raise RuntimeError(f"NaN/Inf detected in state after step {step_id}")
+
+        self.output.step(q, step_id, t + dt)
+        self.output.store_solver_stats(step_id, self.integrator.solver_info, solve_time)
+        return q, t + dt
+
+    def run(self):
+        c = self.config
+        q = self.initial_q
+        t = self.starting_step * c.dt
+        step_id = self.starting_step
+        num_steps = int(math.ceil((c.t_end - t) / c.dt)) if c.t_end > t else 0
+
+        t_start = time.time()
+        self.output.step(q, step_id, t)  # initial output
+        while t < c.t_end - 1e-10:
+            step_id += 1
+            q, t = self.step(q, step_id, t)
+            if c.verbose_solver > 0 or step_id % max(1, num_steps // 10) == 0:
+                print(f"Step {step_id}/{self.starting_step + num_steps} (t = {t:.1f} s)", flush=True)
+        self.output.finalize(total_time=time.time() - t_start)
+        return q

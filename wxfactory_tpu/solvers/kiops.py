@@ -133,35 +133,53 @@ def kiops(
             tau_new, m_new = min(tau_end - (tau_now + tau), tau), m
             happy = False
         else:
-            # Local truncation error and the omega controller
+            # Local truncation error and the omega controller. Guard every
+            # estimate against non-finite values (overflowing expm / lost
+            # IOP orthogonality at large m force a clean rejection instead
+            # of NaNs propagating into the controller).
             err = abs(beta * nrm * F[j - 1, j])
             oldomega = omega
             omega = tau_end * err / (tau * tol)
+            if not math.isfinite(omega):
+                omega = 1e300  # forces rejection below with finite arithmetic
 
-            if m == oldm and tau != oldtau and ireject >= 1:
-                order = max(1.0, math.log(omega / oldomega) / math.log(tau / oldtau))
+            if m == oldm and tau != oldtau and ireject >= 1 and oldomega > 0 and math.isfinite(oldomega):
+                try:
+                    order = max(1.0, math.log(omega / oldomega) / math.log(tau / oldtau))
+                except (ValueError, ZeroDivisionError, OverflowError):
+                    order = max(1.0, j / 4)
                 order_old = False
             elif order_old or ireject == 0:
                 order_old = True
                 order = j / 4
             else:
                 order_old = True
+            if not math.isfinite(order) or order <= 0:
+                order = max(1.0, j / 4)
 
-            if m != oldm and tau == oldtau and ireject >= 1:
-                kest = max(1.1, (omega / oldomega) ** (1.0 / (oldm - m)))
+            if m != oldm and tau == oldtau and ireject >= 1 and oldomega > 0 and math.isfinite(oldomega):
+                try:
+                    kest = max(1.1, (omega / oldomega) ** (1.0 / (oldm - m)))
+                except (ValueError, ZeroDivisionError, OverflowError):
+                    kest = 2.0
                 kest_old = False
             elif kest_old or ireject == 0:
                 kest_old = True
                 kest = 2.0
             else:
                 kest_old = True
+            if not math.isfinite(kest) or kest <= 1.0:
+                kest = 2.0
 
             remaining_time = tau_end - tau_now if omega > delta else tau_end - (tau_now + tau)
 
             same_tau = min(remaining_time, tau)
             tau_opt = tau * (gamma / omega) ** (1.0 / order)
             tau_opt = min(remaining_time, max(tau / 5, min(5 * tau, tau_opt)))
-            m_opt = math.ceil(j + math.log(omega / gamma) / math.log(kest))
+            try:
+                m_opt = math.ceil(j + math.log(omega / gamma) / math.log(kest))
+            except (ValueError, OverflowError):
+                m_opt = j
             m_opt = max(mmin, min(mmax, max(math.floor(3 / 4 * m), min(m_opt, math.ceil(4 / 3 * m)))))
 
             if j == mmax:
@@ -204,6 +222,8 @@ def kiops(
 
         oldtau, tau = tau, tau_new
         oldm, m = m, m_new
+        if tau <= 0.0 and tau_now < tau_end:
+            tau = tau_end - tau_now  # finish the residual rounding sliver
 
     if task1:
         for k in range(num_steps):
