@@ -2,6 +2,7 @@ from .base import Integrator, SolverInfo
 from .explicit import Euler1, Tvdrk3
 from .epi import Epi, EpiStiff, alpha_coeff
 from .rosenbrock import Ros2
+from .srerk import Srerk, opt_nodes
 from .implicit import BackwardEuler, Bdf2, CrankNicolson
 
 __all__ = [
@@ -13,6 +14,8 @@ __all__ = [
     "EpiStiff",
     "alpha_coeff",
     "Ros2",
+    "Srerk",
+    "opt_nodes",
     "BackwardEuler",
     "Bdf2",
     "CrankNicolson",

@@ -44,8 +44,12 @@ def make_rhs_euler_cubesphere(
     metric: Metric3D,
     topology: Optional[CubedSphereTopology] = None,
     advection_only: bool = False,
+    extra_forcing: Optional[Callable] = None,
     dtype=jnp.float64,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """`extra_forcing(rho, u1, u2, w)` may return momentum-forcing additions
+    (f1, f2, f3) — used for the DCMIP 21/22 Rayleigh damping
+    (reference pde_euler_cubesphere.py:283-288)."""
     if topology is None:
         topology = CubedSphereTopology(geom)
     s = ops.num_solpts
@@ -290,10 +294,15 @@ def make_rhs_euler_cubesphere(
                 + ch[8] * (rho * w * w + h[(2, 2)] * pressure)
             )
 
-        out = out.at[IDX_RHO_U1].add(-forcing_row(0))
-        out = out.at[IDX_RHO_U2].add(-forcing_row(1))
+        f1, f2 = forcing_row(0), forcing_row(1)
         gravity_term = inv_dzdeta * GRAVITY * inv_sqrtG * ((sqrtG * rho) @ highfilter_k)
-        out = out.at[IDX_RHO_W].add(-(forcing_row(2) + gravity_term))
+        f3 = forcing_row(2) + gravity_term
+        if extra_forcing is not None:
+            e1, e2, e3 = extra_forcing(rho, u1, u2, w)
+            f1, f2, f3 = f1 + e1, f2 + e2, f3 + e3
+        out = out.at[IDX_RHO_U1].add(-f1)
+        out = out.at[IDX_RHO_U2].add(-f2)
+        out = out.at[IDX_RHO_W].add(-f3)
 
         if advection_only:
             out = out.at[:5].set(0.0)

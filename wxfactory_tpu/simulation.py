@@ -22,7 +22,7 @@ from .geometry import (
     make_metric_2d,
     make_metric_3d,
 )
-from .integrators import BackwardEuler, Bdf2, CrankNicolson, Epi, EpiStiff, Euler1, Ros2, Tvdrk3
+from .integrators import BackwardEuler, Bdf2, CrankNicolson, Epi, EpiStiff, Euler1, Ros2, Srerk, Tvdrk3
 from .models import make_rhs_euler_cartesian, make_rhs_euler_cubesphere, make_rhs_shallow_water
 from .ops.dfr import make_dfr_operators
 from .output import OutputManager
@@ -51,6 +51,8 @@ class Simulation:
         self.ops = make_dfr_operators(c.num_solpts, three_d=(c.equations == "euler" and c.grid_type == "cubed_sphere"))
         self.topo = None
         self.topology = None
+        self.metric = None
+        self.post_step_hook = None
 
         if c.grid_type == "cubed_sphere" and c.equations == "shallow_water":
             self.geom = make_cubed_sphere_2d(c.num_elements_horizontal, c.num_solpts, c.lambda0, c.phi0, c.alpha0)
@@ -65,12 +67,32 @@ class Simulation:
                 c.lambda0, c.phi0, c.alpha0, deep=(c.depth_approx == "deep"),
                 planet_scaling_factor=scale, planet_is_rotating=rotating,
             )
-            q0 = self._init_euler3d()
             self.topology = CubedSphereTopology(self.geom)
-            self.metric = make_metric_3d(self.geom, self.ops, self.topology)
+            extra_forcing = None
+            q0, extra_forcing = self._init_euler3d()
+            if self.metric is None:
+                self.metric = make_metric_3d(self.geom, self.ops, self.topology)
             self.rhs = make_rhs_euler_cubesphere(
-                self.geom, self.ops, self.metric, self.topology, advection_only=(c.case_number < 13)
+                self.geom, self.ops, self.metric, self.topology,
+                advection_only=(c.case_number < 13), extra_forcing=extra_forcing,
             )
+            if c.case_number in (11, 12):
+                # Prescribed time-dependent winds: overwrite the momentum after
+                # every step (reference simulation.py:159-172).
+                from .testcases.dcmip import dcmip_T11_update_winds, dcmip_T12_update_winds
+
+                update = dcmip_T11_update_winds if c.case_number == 11 else dcmip_T12_update_winds
+
+                def wind_overwrite(q, t):
+                    u1, u2, w = update(self.geom, t)
+                    rho = q[0]
+                    return (
+                        q.at[1].set(rho * jnp.asarray(u1))
+                        .at[2].set(rho * jnp.asarray(u2))
+                        .at[3].set(rho * jnp.asarray(w))
+                    )
+
+                self.post_step_hook = wind_overwrite
         elif c.grid_type == "cartesian2d":
             self.geom = make_cartesian_2d(
                 (c.x0, c.x1), (c.z0, c.z1), c.num_elements_horizontal, c.num_elements_vertical, c.num_solpts
@@ -128,13 +150,35 @@ class Simulation:
         return q, topo
 
     def _init_euler3d(self):
-        from .testcases import acoustic_wave, dcmip_gravity_wave
+        """Build the 3D Euler initial state; may replace self.geom (cases with
+        topography) and set self.metric. Returns (Q, extra_forcing)."""
+        from .testcases.dcmip import (
+            acoustic_wave,
+            dcmip_advection_deformation,
+            dcmip_advection_hadley,
+            dcmip_gravity_wave,
+            dcmip_schar_waves,
+            dcmip_steady_state_mountain,
+            make_schar_damping,
+        )
 
         c = self.config
+        builder = lambda g: make_metric_3d(g, self.ops, self.topology)
+        if c.case_number == 11:
+            return dcmip_advection_deformation(self.geom), None
+        if c.case_number == 12:
+            return dcmip_advection_hadley(self.geom), None
+        if c.case_number == 20:
+            q0, self.geom = dcmip_steady_state_mountain(self.geom)
+            return q0, None
+        if c.case_number in (21, 22):
+            shear = c.case_number == 22
+            q0, self.geom, self.metric = dcmip_schar_waves(self.geom, builder, shear=shear)
+            return q0, make_schar_damping(self.geom, self.metric, shear)
         if c.case_number == 31:
-            return dcmip_gravity_wave(self.geom)
+            return dcmip_gravity_wave(self.geom), None
         if c.case_number == 77:
-            return acoustic_wave(self.geom)
+            return acoustic_wave(self.geom), None
         raise ValueError(f"Unsupported 3D Euler case {c.case_number}")
 
     def _create_integrator(self):
@@ -150,6 +194,11 @@ class Simulation:
             return EpiStiff(self.rhs, order, tolerance=c.tolerance,
                             exponential_solver=c.exponential_solver,
                             krylov_size=max(c.krylov_size, 1), **common)
+        if name.startswith("srerk"):
+            order = int(name.removeprefix("srerk"))
+            return Srerk(self.rhs, order, tolerance=c.tolerance,
+                         exponential_solver=c.exponential_solver,
+                         krylov_size=max(c.krylov_size, 1), **common)
         if name.startswith("epi"):
             order = int(name.removeprefix("epi"))
             return Epi(self.rhs, order, tolerance=c.tolerance,
@@ -174,6 +223,9 @@ class Simulation:
         t0 = time.time()
         q = self.integrator.step(q, dt)
         solve_time = time.time() - t0
+
+        if self.post_step_hook is not None:
+            q = self.post_step_hook(q, t + dt)
 
         if not bool(jnp.all(jnp.isfinite(q))):
             raise RuntimeError(f"NaN/Inf detected in state after step {step_id}")
