@@ -117,3 +117,73 @@ def test_alpha_coeff_epi3_matches_table():
     assert a.shape == (1, 1)
     # For c = [-1]: denom = 1, alpha[0,0] = factorial(2) * 1 = 2 (up to sign)
     assert np.isclose(abs(a[0, 0]), 2.0)
+
+
+class TestHybridAndSplitting:
+    """Imex2 / RosExp2 / PartRosExp2 / SDIRK / splittings reproduce the fine
+    explicit reference on the bubble problem (reference integrators/
+    imex2.py, rosexp2.py, partrosexp2.py, sdirk.py, splitting.py)."""
+
+    def _err(self, q, qr):
+        return float(jnp.max(jnp.abs(q[3] - qr[3])) / jnp.max(jnp.abs(qr[3])))
+
+    def test_imex2(self, bubble):
+        from wxfactory_tpu.integrators import Imex2
+
+        q0, rhs, qr = bubble
+        # Use the full RHS as the implicit part and zero as explicit: IMEX
+        # midpoint then reduces to the implicit midpoint rule.
+        integ = Imex2(lambda q: jnp.zeros_like(q), rhs, tolerance=1e-10)
+        q = q0
+        for _ in range(4):
+            q = integ.step(q, 0.5)
+        assert self._err(q, qr) < 2e-2
+
+    @pytest.mark.parametrize("cls_name", ["RosExp2", "PartRosExp2"])
+    def test_rosexp_variants(self, bubble, cls_name):
+        import wxfactory_tpu.integrators as I
+
+        q0, rhs, qr = bubble
+        # implicit part = full RHS (exponential part then handles the rest)
+        integ = getattr(I, cls_name)(rhs, rhs, tolerance=1e-8)
+        q = q0
+        for _ in range(4):
+            q = integ.step(q, 0.5)
+        assert self._err(q, qr) < 2e-2
+
+    def test_sdirk(self, bubble):
+        from wxfactory_tpu.integrators import SdirkLstable
+
+        q0, rhs, qr = bubble
+        integ = SdirkLstable(rhs, tolerance=1e-10)
+        q = q0
+        for _ in range(4):
+            q = integ.step(q, 0.5)
+        assert self._err(q, qr) < 2e-2
+
+    def test_strang_splitting(self, bubble):
+        from wxfactory_tpu.integrators import Epi, StrangSplitting, Tvdrk3
+
+        q0, rhs, qr = bubble
+        # Split the full RHS in half between two schemes.
+        half = lambda q: 0.5 * rhs(q)
+        integ = StrangSplitting(Epi(half, 2, tolerance=1e-10), Epi(half, 2, tolerance=1e-10))
+        q = q0
+        for _ in range(4):
+            q = integ.step(q, 0.5)
+        assert self._err(q, qr) < 2e-2
+
+    def test_lie_and_os22(self, bubble):
+        from wxfactory_tpu.integrators import Epi, LieSplitting, OS22Splitting
+
+        q0, rhs, qr = bubble
+        half = lambda q: 0.5 * rhs(q)
+        for maker in (
+            lambda: LieSplitting(Epi(half, 2, tolerance=1e-10), Epi(half, 2, tolerance=1e-10)),
+            lambda: OS22Splitting(Epi(half, 2, tolerance=1e-10), Epi(half, 2, tolerance=1e-10), 0.8),
+        ):
+            integ = maker()
+            q = q0
+            for _ in range(4):
+                q = integ.step(q, 0.5)
+            assert self._err(q, qr) < 5e-2

@@ -133,3 +133,41 @@ class TestFgmres:
         a, _ = _random_system(n=64, seed=5)
         x, norm_r, norm_b, niter, flag, _ = fgmres(lambda v: a @ v, np.zeros(64))
         assert flag == 0 and np.all(x == 0.0)
+
+
+class TestLowSyncVariants:
+    """Every low-sync orthogonalization variant must reproduce the exact
+    phi combination (reference's lowsync zoo: cwy/icwy/dcgs2/pmex/kiops_nest)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        ["pmex_1s", "pmex_ne1s", "cwy_1s", "cwy_ne", "cwy_ne1s",
+         "icwy_1s", "icwy_ne", "icwy_ne1s", "icwy_neiop", "dcgs2", "kiops_nest"],
+    )
+    def test_matches_exact_phi(self, name):
+        import wxfactory_tpu.solvers as S
+
+        solver = getattr(S, name)
+        n = 120
+        rng = np.random.default_rng(11)
+        a = -np.diag(np.linspace(0.5, 25.0, n)) + 0.1 * rng.standard_normal((n, n))
+        u = rng.standard_normal((3, n))
+        w, stats = solver([1.0], lambda v: a @ v, u, tol=1e-10, mmin=10, mmax=64)
+        exact = _phi_exact(a, 1.0, u.copy())
+        err = np.linalg.norm(w[0] - exact) / np.linalg.norm(exact)
+        assert err < 1e-8, (name, err)
+
+
+class TestExode:
+    @pytest.mark.parametrize("method", ["BS3(2)", "DP5(4)", "DP8(7)"])
+    def test_matches_exact_phi(self, method):
+        from wxfactory_tpu.solvers import exode
+
+        n = 80
+        rng = np.random.default_rng(5)
+        a = -np.diag(np.linspace(0.2, 5.0, n))
+        u = rng.standard_normal((3, n))
+        w, stats = exode(1.0, lambda v: a @ v, u, method=method, rtol=1e-10, atol=1e-12)
+        exact = _phi_exact(a, 1.0, u.copy())
+        err = np.linalg.norm(w[0] - exact) / np.linalg.norm(exact)
+        assert err < 1e-7, (method, err)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import solvers as _solvers
 from ..solvers import kiops, pmex
 from .base import Integrator, SolverInfo
 
@@ -109,15 +110,25 @@ class Epi(Integrator):
         # The reference caps the Krylov size at 64 (epi.py:325-336): the
         # incomplete (IOP-2) orthogonalization silently degrades for large m,
         # so tau-substepping with modest m is both faster and stable.
-        if self.exponential_solver in ("pmex", "pmex_ne"):
-            phiv, stats = pmex([1.0], matvec, vec, tol=self.tol, m_init=self.krylov_size,
-                               mmin=self.mmin, mmax=self.mmax)
-        elif self.exponential_solver == "kiops":
-            phiv, stats = kiops([1.0], matvec, vec, tol=self.tol, m_init=self.krylov_size,
-                                mmin=self.mmin, mmax=self.mmax)
-            self.krylov_size = math.floor(0.7 * stats.last_krylov_size + 0.3 * self.krylov_size)
+        name = self.exponential_solver
+        if name in ("pmex", "pmex_ne"):
+            solver = pmex
+        elif name == "kiops":
+            solver = kiops
+        elif name == "exode":
+            from ..solvers.exode import exode as _ex
+
+            phiv, stats = _ex(1.0, matvec, vec, method=getattr(self, "exode_method", "BS3(2)"),
+                              controller=getattr(self, "exode_controller", ""), atol=self.tol)
+            self.solver_info = SolverInfo(total_num_it=stats.krylov_steps)
+            return phiv
+        elif hasattr(_solvers, name):
+            solver = getattr(_solvers, name)
         else:
             raise ValueError(f"Unrecognized exponential solver {self.exponential_solver}")
+        phiv, stats = solver([1.0], matvec, vec, tol=self.tol, m_init=self.krylov_size,
+                             mmin=self.mmin, mmax=self.mmax)
+        self.krylov_size = max(1, math.floor(0.7 * stats.last_krylov_size + 0.3 * self.krylov_size))
         if self.verbose > 0:
             print(
                 f"{self.exponential_solver} converged at iteration {stats.krylov_steps} "

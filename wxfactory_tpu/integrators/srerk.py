@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import solvers as _solvers
 from ..solvers import kiops, pmex
 from .base import Integrator, SolverInfo
 from .epi import alpha_coeff
@@ -78,14 +79,17 @@ class Srerk(Integrator):
         self._rhs = _rhs
 
     def _solve_phi(self, tau_out, matvec, vec):
-        if self.exponential_solver == "kiops":
-            z, stats = kiops(tau_out, matvec, vec, tol=self.tol, m_init=self.krylov_size,
-                             mmin=self.mmin, mmax=self.mmax)
-        elif self.exponential_solver in ("pmex", "pmex_ne"):
-            z, stats = pmex(tau_out, matvec, vec, tol=self.tol, m_init=self.krylov_size,
-                            mmin=self.mmin, mmax=self.mmax)
+        name = self.exponential_solver
+        if name == "kiops":
+            solver = kiops
+        elif name in ("pmex", "pmex_ne"):
+            solver = pmex
+        elif hasattr(_solvers, name):
+            solver = getattr(_solvers, name)
         else:
             raise ValueError(f"Unrecognized exponential solver {self.exponential_solver}")
+        z, stats = solver(tau_out, matvec, vec, tol=self.tol, m_init=self.krylov_size,
+                          mmin=self.mmin, mmax=self.mmax)
         self.krylov_size = max(1, math.floor(0.7 * stats.last_krylov_size + 0.3 * self.krylov_size))
         if self.solver_info is None:
             self.solver_info = SolverInfo()

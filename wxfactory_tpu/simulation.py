@@ -206,6 +206,24 @@ class Simulation:
                        krylov_size=max(c.krylov_size, 1), **common)
         if name == "ros2":
             return Ros2(self.rhs, tolerance=c.tolerance, restart=c.gmres_restart, **common)
+        if name == "rosexp2":
+            from .integrators import RosExp2
+
+            return RosExp2(self.rhs, self.rhs, tolerance=c.tolerance, restart=c.gmres_restart, **common)
+        if name == "sdirk":
+            from .integrators import SdirkLstable
+
+            return SdirkLstable(self.rhs, tolerance=c.tolerance, **common)
+        if name in ("imex2", "partrosexp2") or name.startswith("strang_"):
+            # These need a stiff/nonstiff RHS split; the reference's split SW
+            # RHS (rhs_sw_stiff/nonstiff) is legacy-layout dead code not wired
+            # into its selector either (rhs_selector.py:36-37 raises there).
+            # The integrators themselves (integrators/hybrid.py, splitting.py)
+            # are available for user-provided splits.
+            raise ValueError(
+                f"Integrator {name} requires a partitioned (implicit/explicit) RHS, "
+                "which is not available for the built-in models"
+            )
         if name == "crank_nicolson":
             return CrankNicolson(self.rhs, tolerance=c.tolerance, **common)
         if name == "bdf2":

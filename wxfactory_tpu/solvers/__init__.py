@@ -2,7 +2,12 @@ from .global_ops import global_dotprod, global_inf_norm, global_norm
 from .matvec import make_jvp_matvec, make_fd_matvec, make_rat_matvec
 from .kiops import kiops
 from .pmex import pmex
+from .lowsync import (
+    cwy_1s, cwy_ne, cwy_ne1s, dcgs2, icwy_1s, icwy_ne, icwy_ne1s, icwy_neiop,
+    kiops_nest, lowsync_phi, pmex_1s, pmex_ne1s,
+)
 from .fgmres import fgmres
+from .exode import exode
 from .nonlin import newton_krylov
 from .stats import PhiStats
 
@@ -15,7 +20,20 @@ __all__ = [
     "make_rat_matvec",
     "kiops",
     "pmex",
+    "pmex_1s",
+    "pmex_ne1s",
+    "cwy_1s",
+    "cwy_ne",
+    "cwy_ne1s",
+    "icwy_1s",
+    "icwy_ne",
+    "icwy_ne1s",
+    "icwy_neiop",
+    "dcgs2",
+    "kiops_nest",
+    "lowsync_phi",
     "fgmres",
     "newton_krylov",
+    "exode",
     "PhiStats",
 ]
