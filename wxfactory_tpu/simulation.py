@@ -131,9 +131,15 @@ class Simulation:
             williamson_case6,
         )
 
+        from .testcases import case_matsuno, circular_vortex
+
         c = self.config
         topo = None
-        if c.case_number == 1:
+        if c.case_number == 0:
+            q = circular_vortex(self.geom)
+        elif c.case_number == 9:
+            q = case_matsuno(self.geom, c.matsuno_wave_type, c.matsuno_amp)
+        elif c.case_number == 1:
             q = williamson_case1(self.geom)
         elif c.case_number == 2:
             q = williamson_case2(self.geom)
@@ -181,10 +187,26 @@ class Simulation:
             return acoustic_wave(self.geom), None
         raise ValueError(f"Unsupported 3D Euler case {c.case_number}")
 
+    def _create_preconditioner(self):
+        """lu/ilu -> Factorization (practical for small problems); the
+        multigrid slots are gated off exactly like the reference
+        (simulation.py:274-275 there raises for anything != none)."""
+        c = self.config
+        if c.preconditioner == "none":
+            return None
+        if c.preconditioner in ("lu", "ilu"):
+            from .precondition import Factorization
+
+            return Factorization(self.rhs, c.preconditioner)
+        raise ValueError(
+            f"Preconditioner '{c.preconditioner}' is not available (the reference gates "
+            "these off too; use none, lu or ilu)"
+        )
+
     def _create_integrator(self):
         c = self.config
         name = c.time_integrator.lower()
-        common = dict(verbose=c.verbose_solver)
+        common = dict(verbose=c.verbose_solver, preconditioner=self._create_preconditioner())
         if name == "euler1":
             return Euler1(self.rhs, **common)
         if name == "tvdrk3":
@@ -205,7 +227,7 @@ class Simulation:
                        exponential_solver=c.exponential_solver,
                        krylov_size=max(c.krylov_size, 1), **common)
         if name == "ros2":
-            return Ros2(self.rhs, tolerance=c.tolerance, restart=c.gmres_restart, **common)
+            return Ros2(self.rhs, tolerance=c.tolerance, gmres_restart=c.gmres_restart, **common)
         if name == "rosexp2":
             from .integrators import RosExp2
 

@@ -7,7 +7,9 @@ from .lowsync import (
     kiops_nest, lowsync_phi, pmex_1s, pmex_ne1s,
 )
 from .fgmres import fgmres
+from .eigenvalue_util import gen_matrix, jacobian_matrix, save_spectrum
 from .exode import exode
+from .gcrot import gcrot
 from .nonlin import newton_krylov
 from .stats import PhiStats
 
@@ -35,5 +37,9 @@ __all__ = [
     "fgmres",
     "newton_krylov",
     "exode",
+    "gcrot",
+    "gen_matrix",
+    "jacobian_matrix",
+    "save_spectrum",
     "PhiStats",
 ]

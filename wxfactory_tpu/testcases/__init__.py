@@ -1,6 +1,16 @@
 from .cartesian import initialize_cartesian2d
-from .dcmip import acoustic_wave, dcmip_gravity_wave
+from .dcmip import (
+    acoustic_wave,
+    dcmip_advection_deformation,
+    dcmip_advection_hadley,
+    dcmip_gravity_wave,
+    dcmip_schar_waves,
+    dcmip_steady_state_mountain,
+)
+from .matsuno import case_matsuno, eval_field
 from .shallow_water import (
+    circular_vortex,
+    height_vortex,
     case_galewsky,
     case_unsteady_zonal,
     height_case1,
@@ -14,6 +24,10 @@ from .shallow_water import (
 
 __all__ = [
     "acoustic_wave",
+    "case_matsuno",
+    "circular_vortex",
+    "eval_field",
+    "height_vortex",
     "dcmip_gravity_wave",
     "initialize_cartesian2d",
     "solid_body_rotation",

@@ -195,6 +195,45 @@ def case_unsteady_zonal(geom: CubedSphere2D, ops: DFROperators) -> Tuple[np.ndar
     return np.stack([h, h * u1, h * u2]), topo
 
 
+def circular_vortex(geom: CubedSphere2D) -> np.ndarray:
+    """Case 0: deformational circular vortex (Nair & Machenhauer 2002;
+    reference shallow_water_test.py:42-101). Q = [h, h*u1, h*u2] with the
+    prescribed rotational wind field."""
+    lon_c = math.pi - 0.8
+    lat_c = math.pi / 4.8
+
+    h, omega_field = height_vortex(geom, 0.0)
+    u = geom.earth_radius * omega_field * (
+        math.sin(lat_c) * geom.coslat - math.cos(lat_c) * np.cos(geom.lon - lon_c) * geom.sinlat
+    )
+    v = geom.earth_radius * omega_field * math.cos(lat_c) * np.sin(geom.lon - lon_c)
+    u1, u2 = geom.wind2contra(u, v)
+    return np.stack([h, h * u1, h * u2])
+
+
+def height_vortex(geom: CubedSphere2D, t: float):
+    """Analytic vortex height at time t; returns (h, Omega angular speed)."""
+    lon_c = math.pi - 0.8
+    lat_c = math.pi / 4.8
+    v0 = 2.0 * math.pi * geom.earth_radius / (12.0 * DAY_IN_SECS)
+    rho0 = 3.0
+    gamma = 5.0
+
+    lon_r = np.arctan2(
+        geom.coslat * np.sin(geom.lon - lon_c),
+        geom.coslat * math.sin(lat_c) * np.cos(geom.lon - lon_c) - math.cos(lat_c) * geom.sinlat,
+    )
+    lon_r = np.where(lon_r < 0.0, lon_r + 2.0 * math.pi, lon_r)
+    lat_r = np.arcsin(
+        np.clip(geom.sinlat * math.sin(lat_c) + geom.coslat * math.cos(lat_c) * np.cos(geom.lon - lon_c), -1, 1)
+    )
+    rho = rho0 * np.cos(lat_r)
+    vt = v0 * 1.5 * math.sqrt(3.0) * np.tanh(rho) / np.cosh(rho) ** 2
+    omega_field = np.where(np.abs(rho) > 1e-9, vt / (geom.earth_radius * np.maximum(rho, 1e-300)), 0.0)
+    h = 1.0 - np.tanh(rho / gamma * np.sin(lon_r - omega_field * t))
+    return h, omega_field
+
+
 def williamson_case1(geom: CubedSphere2D) -> np.ndarray:
     """Cosine-bell tracer advection (case 1)."""
     u1, u2 = solid_body_rotation(geom, 1)
