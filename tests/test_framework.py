@@ -105,3 +105,38 @@ def test_cli_config_options():
     from wxfactory_tpu.__main__ import main
 
     assert main(["--config-options"]) == 0
+
+
+def test_multigrid_preconditioner_via_config(tmp_path):
+    """p-MG through the config path on the bubble problem (the reference
+    gates this off; simulation.py:274-275 there raises for != none)."""
+    ini = """
+[General]
+equations = euler
+[Grid]
+grid_type = cartesian2d
+x0 = 0
+x1 = 1000
+z0 = 0
+z1 = 1500
+[Test_case]
+case_number = 2
+[Time_integration]
+dt = 1
+t_end = 2
+time_integrator = ros2
+tolerance = 1e-7
+[Preconditioning]
+preconditioner = p-mg
+num_mg_levels = 3
+pseudo_cfl = 3.0
+[Spatial_discretization]
+num_solpts = 4
+num_elements_horizontal = 5
+num_elements_vertical = 7
+[Output_options]
+output_dir = {outdir}
+""".format(outdir=tmp_path)
+    sim = Simulation(Configuration(ini))
+    q = sim.run()
+    assert np.all(np.isfinite(np.asarray(q)))

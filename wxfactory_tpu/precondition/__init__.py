@@ -1,3 +1,4 @@
 from .factorization import Factorization
+from .multigrid import Multigrid, MultigridLevel
 
-__all__ = ["Factorization"]
+__all__ = ["Factorization", "Multigrid", "MultigridLevel"]

@@ -198,9 +198,22 @@ class Simulation:
             from .precondition import Factorization
 
             return Factorization(self.rhs, c.preconditioner)
+        if c.preconditioner in ("p-mg", "fv-mg") and c.grid_type == "cartesian2d":
+            from .precondition import Multigrid
+
+            return Multigrid(
+                self.geom,
+                num_levels=c.num_mg_levels,
+                num_pre_smoothe=c.num_pre_smoothe,
+                num_post_smoothe=c.num_post_smoothe,
+                pseudo_cfl=c.pseudo_cfl,
+                smoother=c.mg_smoother if c.mg_smoother in ("erk1", "erk3") else "erk3",
+                solve_coarsest=c.mg_solve_coarsest,
+            )
         raise ValueError(
-            f"Preconditioner '{c.preconditioner}' is not available (the reference gates "
-            "these off too; use none, lu or ilu)"
+            f"Preconditioner '{c.preconditioner}' is not available for this configuration "
+            "(the reference gates all preconditioning off; here none/lu/ilu work everywhere "
+            "and p-mg/fv-mg on cartesian2d)"
         )
 
     def _create_integrator(self):
