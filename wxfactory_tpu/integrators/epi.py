@@ -67,10 +67,15 @@ class Epi(Integrator):
         mmax: int = 64,
         init_method: Optional[Integrator] = None,
         init_substeps: int = 1,
+        jtv: Optional[Callable] = None,
         **kwargs,
     ) -> None:
+        """`jtv(v, dt, q, rhs_q)` optionally supplies a custom Jacobian action
+        (the reference's Epi_others, integrators/epi_for_others.py, takes a
+        user JTV for the stiff-PDE lab); default is the exact jvp of `rhs`."""
         super().__init__(**kwargs)
         self.rhs = rhs
+        self.jtv = jtv
         self.tol = tolerance
         self.exponential_solver = exponential_solver
         self.krylov_size = krylov_size
@@ -160,8 +165,12 @@ class Epi(Integrator):
 
         rhs_q = self._rhs(q)
 
-        def matvec(v):
-            return np.asarray(self._jvp(q, jnp.asarray(v), dt))
+        if self.jtv is not None:
+            def matvec(v):
+                return np.asarray(self.jtv(v, dt, q, rhs_q)).ravel()
+        else:
+            def matvec(v):
+                return np.asarray(self._jvp(q, jnp.asarray(v), dt))
 
         n = rhs_q.size
         vec = np.zeros((self.max_phi + 1, n))
@@ -214,8 +223,12 @@ class EpiStiff(Epi):
 
         rhs_q = self._rhs(q)
 
-        def matvec(v):
-            return np.asarray(self._jvp(q, jnp.asarray(v), dt))
+        if self.jtv is not None:
+            def matvec(v):
+                return np.asarray(self.jtv(v, dt, q, rhs_q)).ravel()
+        else:
+            def matvec(v):
+                return np.asarray(self._jvp(q, jnp.asarray(v), dt))
 
         n = rhs_q.size
         vec = np.zeros((self.max_phi + 1, n))

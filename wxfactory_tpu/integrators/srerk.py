@@ -51,11 +51,15 @@ class Srerk(Integrator):
         krylov_size: int = 1,
         mmin: int = 16,
         mmax: int = 64,
+        jtv: Optional[Callable] = None,
         **kwargs,
     ) -> None:
-        """With `nodes` given, uses them directly and ignores `order`."""
+        """With `nodes` given, uses them directly and ignores `order`.
+        `jtv(v, dt, q, rhs_q)` optionally supplies a custom Jacobian action
+        (the reference's Srerk_others)."""
         super().__init__(**kwargs)
         self.rhs = rhs
+        self.jtv = jtv
         self.tol = tolerance
         self.exponential_solver = exponential_solver
         self.krylov_size = krylov_size
@@ -103,8 +107,12 @@ class Srerk(Integrator):
         f_flat = np.asarray(rhs_q).ravel()
         n = f_flat.size
 
-        def matvec(v):
-            return np.asarray(self._jvp(q, jnp.asarray(v), dt))
+        if self.jtv is not None:
+            def matvec(v):
+                return np.asarray(self.jtv(v, dt, q, rhs_q)).ravel()
+        else:
+            def matvec(v):
+                return np.asarray(self._jvp(q, jnp.asarray(v), dt))
 
         vec = np.zeros((2, n))
         vec[1, :] = f_flat
