@@ -76,6 +76,7 @@ class Multigrid:
         pseudo_cfl: float = 5.0,
         smoother: str = "erk3",
         solve_coarsest: bool = False,
+        spectral_radii=None,
     ):
         p0 = geom.num_solpts
         orders = [max(p0 - i, 1) for i in range(num_levels)]
@@ -85,6 +86,7 @@ class Multigrid:
         self.pseudo_cfl = pseudo_cfl
         self.smoother = smoother
         self.solve_coarsest = solve_coarsest
+        self.spectral_radii = list(spectral_radii or [2.0])
 
         # Transfer operators between consecutive levels (trailing s^2 axis).
         self.restrict_ops = []
@@ -110,14 +112,56 @@ class Multigrid:
                 state = state @ self.restrict_ops[i]
 
     def _smooth(self, level: MultigridLevel, x, b, iterations: int):
-        """Pseudo-time RK smoothing of A x = b (reference smoother.py RK1/RK3
-        pseudo-time marching with a CFL-scaled pseudo step)."""
-        # Pseudo step ~ pseudo_cfl normalized by a rough spectral bound of A.
+        """Smoothing of A x = b. Schemes mirror the reference smoother family
+        (smoother.py:25-340): erk1/erk3 pseudo-time RK, 'exp' Chebyshev
+        iteration over an estimated spectral interval, 'kiops' exponential
+        pseudo-time step; 'ark3' runs as erk3 (the additive splitting the
+        reference uses there has no separate stiff part in this operator)."""
         tau = self.pseudo_cfl / (4.0 * level.geom.num_elements_x * max(level.num_solpts, 1) ** 2)
+
+        if self.smoother == "exp":
+            # Chebyshev smoothing on [lmin, lmax] of A (A = I - dt/2 J is
+            # positive-real for dissipative J); radii from the config list.
+            idx = min(self.levels.index(level), len(self.spectral_radii) - 1)
+            lmax = self.spectral_radii[idx]
+            lmin = lmax / 30.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma = theta / delta
+            rho_prev = 1.0 / sigma
+            r = b - level.apply_A(x)
+            d = r / theta
+            for _ in range(max(iterations, 1) * 3):
+                x = x + d
+                r = b - level.apply_A(x)
+                rho = 1.0 / (2.0 * sigma - rho_prev)
+                d = rho * rho_prev * d + 2.0 * rho / delta * r
+                rho_prev = rho
+            return x + d
+
+        if self.smoother == "kiops":
+            # Exponential pseudo-time smoothing: x += tau*phi1(-tau A) r
+            # (reference smoother.py KiopsSmoother), at loose tolerance with
+            # a tiny Krylov space.
+            from ..solvers import kiops as kiops_solver
+
+            shape = x.shape
+
+            def neg_tau_A(v):
+                return -tau * np.asarray(level.apply_A(jnp.asarray(v.reshape(shape)))).ravel()
+
+            for _ in range(iterations):
+                r = np.asarray(b - level.apply_A(x)).ravel()
+                vec = np.zeros((2, r.size))
+                vec[1] = tau * r
+                w, _stats = kiops_solver([1.0], neg_tau_A, vec, tol=1e-2, m_init=4, mmin=4, mmax=16)
+                x = x + jnp.asarray(w[0]).reshape(shape)
+            return x
+
         for _ in range(iterations):
             if self.smoother == "erk1":
                 x = x + tau * (b - level.apply_A(x))
-            else:  # erk3: 3-stage pseudo-time RK (reference smoother.py RK3)
+            else:  # erk3 / ark3: 3-stage pseudo-time RK (smoother.py RK3)
                 r = b - level.apply_A(x)
                 x1 = x + tau / 3.0 * r
                 r1 = b - level.apply_A(x1)

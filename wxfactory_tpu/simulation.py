@@ -120,6 +120,10 @@ class Simulation:
 
         self.integrator = self._create_integrator()
 
+        from .ops.filters import make_apply_filters
+
+        self.apply_filters = make_apply_filters(c, self.ops, self.metric, self.geom)
+
     # ------------------------------------------------------------------
     def _init_sw(self):
         from .testcases import (
@@ -207,8 +211,9 @@ class Simulation:
                 num_pre_smoothe=c.num_pre_smoothe,
                 num_post_smoothe=c.num_post_smoothe,
                 pseudo_cfl=c.pseudo_cfl,
-                smoother=c.mg_smoother if c.mg_smoother in ("erk1", "erk3") else "erk3",
+                smoother=c.mg_smoother,
                 solve_coarsest=c.mg_solve_coarsest,
+                spectral_radii=c.exp_smoothe_spectral_radii,
             )
         raise ValueError(
             f"Preconditioner '{c.preconditioner}' is not available for this configuration "
@@ -276,6 +281,8 @@ class Simulation:
         t0 = time.time()
         q = self.integrator.step(q, dt)
         solve_time = time.time() - t0
+        if self.apply_filters is not None:
+            q = self.apply_filters(q, dt)
 
         if self.post_step_hook is not None:
             q = self.post_step_hook(q, t + dt)
