@@ -117,3 +117,30 @@ def test_sharded_3d_rhs_matches(mine31):
     q_sharded = jax.device_put(q, sharding)
     got = np.asarray(jax.jit(rhs, in_shardings=(sharding,), out_shardings=sharding)(q_sharded))
     np.testing.assert_allclose(got, expected, rtol=1e-11, atol=1e-14)
+
+
+def test_epi2_kiops_steps_match_reference(mine31):
+    """End-to-end time integration parity: 2 EPI2+KIOPS steps vs the
+    reference integrator (adaptive Krylov paths diverge slowly from
+    subgradient differences at kinks; tolerance reflects that)."""
+    from ref_harness import reference_euler3d_epi_steps
+
+    from wxfactory_tpu.integrators import Epi
+
+    # nel_h=4 is the smallest grid where the trajectory is not dominated by
+    # amplification of solver-tolerance noise within two steps.
+    nel_h = 4
+    ref_states = reference_euler3d_epi_steps(31, nel_h, NEL_V, S, ZTOP, 30.0, 2)
+
+    geom = make_cubed_sphere_3d(nel_h, NEL_V, S, ZTOP, planet_scaling_factor=125.0, planet_is_rotating=False)
+    ops = make_dfr_operators(S, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    rhs = make_rhs_euler_cubesphere(geom, ops, metric)
+    q = jnp.asarray(dcmip_gravity_wave(geom))
+    integ = Epi(rhs, order=2, exponential_solver="kiops", tolerance=1e-7)
+    tols = (1e-4, 5e-3)
+    for i in range(2):
+        q = integ.step(q, 30.0)
+        scale = np.abs(ref_states[i]).max()
+        d = np.abs(np.asarray(q) - ref_states[i]).max() / scale
+        assert d < tols[i], (i, d)
