@@ -14,6 +14,7 @@ ICI collectives when sharded). Interface fluxes are computed per *interface*
 and feeds a single boundary-correction GEMM per direction.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -48,6 +49,7 @@ def make_rhs_shallow_water(
     metric: Metric2D,
     topo: Optional[Topography] = None,
     dtype=jnp.float64,
+    interior: Optional[str] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the jittable shallow-water RHS ``Q -> dQ/dt``.
 
@@ -55,10 +57,18 @@ def make_rhs_shallow_water(
     extrapolate (with topography added to h) -> exchange boundary traces ->
     sqrt(g)-weighted pointwise fluxes -> interior derivative -> AUSM interface
     fluxes -> boundary correction -> metric/Coriolis/topography forcing.
+
+    ``interior`` selects the implementation of the pointwise-flux +
+    interior-derivative stage: ``"xla"`` (default; fused jnp, reference
+    semantics, runs everywhere) or ``"pallas"`` (fused VMEM-resident Pallas
+    kernel, f32, TPU; also honours ``WXF_USE_PALLAS=1``).
     """
     s = ops.num_solpts
     nel = geom.num_elements
     topology = CubedSphereTopology(geom)
+    if interior is None:
+        interior = "pallas" if os.environ.get("WXF_USE_PALLAS", "0") == "1" else "xla"
+    use_pallas = interior == "pallas"
 
     extrap_x = jnp.asarray(ops.extrap_x, dtype=dtype)
     extrap_y = jnp.asarray(ops.extrap_z, dtype=dtype)  # x2 is the slow element axis
@@ -82,6 +92,14 @@ def make_rhs_shallow_water(
     sqrtG_jx = c(metric.sqrtG_itf_j[:, 1:, :, :s])  # (6, ny+1, nx, s)
     h12_jx = c(metric.H_contra_12_itf_j[:, 1:, :, :s])
     h22_jx = c(metric.H_contra_22_itf_j[:, 1:, :, :s])
+
+    if use_pallas:
+        from ..ops.pallas_kernels import sw_interior_flux_divergence
+
+        s2 = s * s
+        flat = lambda a: a.reshape(-1, s2)
+        sqrtG_f, h11_f, h12_f, h21_f, h22_f = map(flat, (sqrtG, h11, h12, h21, h22))
+        dxy = jnp.concatenate([derivative_x, derivative_y], axis=0)  # (2*s2, s2)
 
     chr_1_01, chr_1_02 = c(metric.christoffel_1_01), c(metric.christoffel_1_02)
     chr_2_01, chr_2_02 = c(metric.christoffel_2_01), c(metric.christoffel_2_02)
@@ -158,23 +176,30 @@ def make_rhs_shallow_water(
         halo_n = halo_q(NORTH, (6, 1, nx, s))
 
         # 3. Pointwise sqrt(g)-weighted fluxes + interior derivatives.
-        hsq = h**2
-        fx = jnp.stack(
-            [
-                sqrtG * hu1,
-                sqrtG * (hu1 * u1 + 0.5 * GRAVITY * h11 * hsq),
-                sqrtG * (hu2 * u1 + 0.5 * GRAVITY * h21 * hsq),
-            ]
-        )
-        fy = jnp.stack(
-            [
-                sqrtG * hu2,
-                sqrtG * (hu1 * u2 + 0.5 * GRAVITY * h12 * hsq),
-                sqrtG * (hu2 * u2 + 0.5 * GRAVITY * h22 * hsq),
-            ]
-        )
-        df1 = fx @ derivative_x
-        df2 = fy @ derivative_y
+        if use_pallas:
+            df_int = sw_interior_flux_divergence(
+                q.reshape(3, -1, s * s), sqrtG_f, h11_f, h12_f, h21_f, h22_f, dxy
+            ).reshape(q.shape)
+            df1 = df_int
+            df2 = 0.0
+        else:
+            hsq = h**2
+            fx = jnp.stack(
+                [
+                    sqrtG * hu1,
+                    sqrtG * (hu1 * u1 + 0.5 * GRAVITY * h11 * hsq),
+                    sqrtG * (hu2 * u1 + 0.5 * GRAVITY * h21 * hsq),
+                ]
+            )
+            fy = jnp.stack(
+                [
+                    sqrtG * hu2,
+                    sqrtG * (hu1 * u2 + 0.5 * GRAVITY * h12 * hsq),
+                    sqrtG * (hu2 * u2 + 0.5 * GRAVITY * h22 * hsq),
+                ]
+            )
+            df1 = fx @ derivative_x
+            df2 = fy @ derivative_y
 
         # 4. Left/right states at every x1 interface (nx+1 per element row).
         qL_x = jnp.concatenate([halo_w, itf_x[..., s:].reshape(3, 6, ny, nx, s)], axis=-2)
