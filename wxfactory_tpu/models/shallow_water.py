@@ -93,14 +93,6 @@ def make_rhs_shallow_water(
     h12_jx = c(metric.H_contra_12_itf_j[:, 1:, :, :s])
     h22_jx = c(metric.H_contra_22_itf_j[:, 1:, :, :s])
 
-    if use_pallas:
-        from ..ops.pallas_kernels import sw_interior_flux_divergence
-
-        s2 = s * s
-        flat = lambda a: a.reshape(-1, s2)
-        sqrtG_f, h11_f, h12_f, h21_f, h22_f = map(flat, (sqrtG, h11, h12, h21, h22))
-        dxy = jnp.concatenate([derivative_x, derivative_y], axis=0)  # (2*s2, s2)
-
     chr_1_01, chr_1_02 = c(metric.christoffel_1_01), c(metric.christoffel_1_02)
     chr_2_01, chr_2_02 = c(metric.christoffel_2_01), c(metric.christoffel_2_02)
     chr_1_11, chr_1_12 = c(metric.christoffel_1_11), c(metric.christoffel_1_12)
@@ -176,30 +168,23 @@ def make_rhs_shallow_water(
         halo_n = halo_q(NORTH, (6, 1, nx, s))
 
         # 3. Pointwise sqrt(g)-weighted fluxes + interior derivatives.
-        if use_pallas:
-            df_int = sw_interior_flux_divergence(
-                q.reshape(3, -1, s * s), sqrtG_f, h11_f, h12_f, h21_f, h22_f, dxy
-            ).reshape(q.shape)
-            df1 = df_int
-            df2 = 0.0
-        else:
-            hsq = h**2
-            fx = jnp.stack(
-                [
-                    sqrtG * hu1,
-                    sqrtG * (hu1 * u1 + 0.5 * GRAVITY * h11 * hsq),
-                    sqrtG * (hu2 * u1 + 0.5 * GRAVITY * h21 * hsq),
-                ]
-            )
-            fy = jnp.stack(
-                [
-                    sqrtG * hu2,
-                    sqrtG * (hu1 * u2 + 0.5 * GRAVITY * h12 * hsq),
-                    sqrtG * (hu2 * u2 + 0.5 * GRAVITY * h22 * hsq),
-                ]
-            )
-            df1 = fx @ derivative_x
-            df2 = fy @ derivative_y
+        hsq = h**2
+        fx = jnp.stack(
+            [
+                sqrtG * hu1,
+                sqrtG * (hu1 * u1 + 0.5 * GRAVITY * h11 * hsq),
+                sqrtG * (hu2 * u1 + 0.5 * GRAVITY * h21 * hsq),
+            ]
+        )
+        fy = jnp.stack(
+            [
+                sqrtG * hu2,
+                sqrtG * (hu1 * u2 + 0.5 * GRAVITY * h12 * hsq),
+                sqrtG * (hu2 * u2 + 0.5 * GRAVITY * h22 * hsq),
+            ]
+        )
+        df1 = fx @ derivative_x
+        df2 = fy @ derivative_y
 
         # 4. Left/right states at every x1 interface (nx+1 per element row).
         qL_x = jnp.concatenate([halo_w, itf_x[..., s:].reshape(3, 6, ny, nx, s)], axis=-2)
@@ -244,4 +229,83 @@ def make_rhs_shallow_water(
 
         return inv_sqrtG * (-df1 - df2) - forcing
 
-    return rhs
+    if not use_pallas or topo is not None:
+        return rhs
+
+    # --- Pallas fast path: the element-local pipeline (extrapolation +
+    # pointwise flux + interior divergence + forcing) runs as one fused
+    # lane-packed kernel (ops/pallas_kernels.py); the interface stages
+    # (halo exchange, AUSM, boundary correction) stay in XLA.
+    from ..ops.pallas_kernels import sw_element_local
+
+    s2 = s * s
+    n_elem = 6 * nel * nel
+    g = max(1, 128 // s2)
+    while n_elem % g:
+        g -= 1
+    lanes = g * s2
+    m_rows = n_elem // g
+
+    ex_np = np.asarray(ops.extrap_x)
+    ey_np = np.asarray(ops.extrap_z)
+    dx_np = np.asarray(ops.derivative_x)
+    dy_np = np.asarray(ops.derivative_z)
+    eex_np = np.zeros((lanes, g * 2 * s))
+    eey_np = np.zeros((lanes, g * 2 * s))
+    dd_np = np.zeros((2 * lanes, lanes))
+    for k in range(g):
+        rows = slice(k * s2, (k + 1) * s2)
+        cols = slice(k * s2, (k + 1) * s2)
+        tcols = slice(k * 2 * s, (k + 1) * 2 * s)
+        eex_np[rows, tcols] = ex_np
+        eey_np[rows, tcols] = ey_np
+        dd_np[rows, cols] = dx_np
+        dd_np[lanes + k * s2 : lanes + (k + 1) * s2, cols] = dy_np
+    eex = jnp.asarray(eex_np, dtype=dtype)
+    eey = jnp.asarray(eey_np, dtype=dtype)
+    dd = jnp.asarray(dd_np, dtype=dtype)
+    packed = lambda a: a.reshape(m_rows, lanes)
+    pallas_fields = [
+        packed(a)
+        for a in (
+            sqrtG, h11, h12, h21, h22,
+            chr_1_01, chr_1_02, chr_2_01, chr_2_02,
+            chr_1_11, chr_1_12, chr_2_12, chr_2_22,
+            inv_sqrtG,
+        )
+    ]
+
+    def rhs_pallas(q: jnp.ndarray) -> jnp.ndarray:
+        df, traces_x, traces_y = sw_element_local(
+            q.reshape(3, m_rows, lanes), pallas_fields, eex, eey, dd
+        )
+        itf_x = traces_x.reshape(3, 6, nel, nel, 2 * s)
+        itf_y = traces_y.reshape(3, 6, nel, nel, 2 * s)
+
+        h_halo = topology.halo_scalars(itf_x[IDX_H], itf_y[IDX_H])
+        u_halo = topology.halo_vectors(itf_x[IDX_HU1], itf_y[IDX_HU1], itf_x[IDX_HU2], itf_y[IDX_HU2])
+
+        def halo_q(side, shape):
+            return jnp.stack([h_halo[side], u_halo[side][0], u_halo[side][1]]).reshape((3,) + shape)
+
+        ny = nx = nel
+        halo_w = halo_q(WEST, (6, ny, 1, s))
+        halo_e = halo_q(EAST, (6, ny, 1, s))
+        halo_s = halo_q(SOUTH, (6, 1, nx, s))
+        halo_n = halo_q(NORTH, (6, 1, nx, s))
+
+        qL_x = jnp.concatenate([halo_w, itf_x[..., s:].reshape(3, 6, ny, nx, s)], axis=-2)
+        qR_x = jnp.concatenate([itf_x[..., :s].reshape(3, 6, ny, nx, s), halo_e], axis=-2)
+        qL_y = jnp.concatenate([halo_s, itf_y[..., s:].reshape(3, 6, ny, nx, s)], axis=-3)
+        qR_y = jnp.concatenate([itf_y[..., :s].reshape(3, 6, ny, nx, s), halo_n], axis=-3)
+
+        f_itf_x = ausm_interface_flux(qL_x, qR_x, sqrtG_ix, h11_ix, h21_ix, IDX_HU1)
+        f_itf_y = ausm_interface_flux(qL_y, qR_y, sqrtG_jx, h22_jx, h12_jx, IDX_HU2)
+
+        faces_x = jnp.concatenate([f_itf_x[..., :-1, :], f_itf_x[..., 1:, :]], axis=-1)
+        faces_y = jnp.concatenate([f_itf_y[..., :-1, :, :], f_itf_y[..., 1:, :, :]], axis=-1)
+        corr = faces_x @ correction_we + faces_y @ correction_sn
+
+        return df.reshape(q.shape) - inv_sqrtG * corr
+
+    return rhs_pallas

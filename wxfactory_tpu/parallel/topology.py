@@ -141,6 +141,56 @@ class CubedSphereTopology:
                 row.append(PanelEdge(neighbor=q, neighbor_side=e, flip=flip, conv_contra=conv, conv_cov=conv_cov))
             self.edges.append(row)
 
+        # --- Batched exchange tables: the 24 per-edge gathers collapse into
+        # ONE take() on a stacked trace pool (sides x panels x npts), with
+        # edge flips folded into the index table and the 2x2 vector
+        # rotations stacked for a single vectorized multiply. This keeps the
+        # halo at ~10 HLO ops instead of ~150 tiny ones (TPU ops have ~1us
+        # fixed cost each).
+        npts = self.num_points
+        src = np.empty((4, 6), dtype=np.int32)
+        flips = np.empty((4, 6), dtype=bool)
+        conv_c = np.empty((4, 6, npts, 2, 2))
+        conv_v = np.empty((4, 6, npts, 2, 2))
+        for d in range(4):
+            for p in range(6):
+                edge = self.edges[p][d]
+                src[d, p] = edge.neighbor_side * 6 + edge.neighbor
+                flips[d, p] = edge.flip
+                conv_c[d, p] = edge.conv_contra
+                conv_v[d, p] = edge.conv_cov
+        self._edge_src = src.reshape(-1)
+        self._flip_mask = flips.reshape(-1)
+        self._conv_contra_all = conv_c
+        self._conv_cov_all = conv_v
+
+    def _trace_pool(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray) -> jnp.ndarray:
+        """All 24 outgoing boundary traces, stacked (..., 4, 6, npts) in
+        (side, panel) order with sides (S, N, W, E)."""
+        s = self.geom.num_solpts
+        lead = itf_i.shape[:-4]
+        shp = lead + (6, self.num_points)
+        south = itf_j[..., :, 0, :, :s].reshape(shp)
+        north = itf_j[..., :, -1, :, s:].reshape(shp)
+        west = itf_i[..., :, :, 0, :s].reshape(shp)
+        east = itf_i[..., :, :, -1, s:].reshape(shp)
+        return jnp.stack([south, north, west, east], axis=-3)
+
+    def _gather_halo(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray) -> jnp.ndarray:
+        """(..., 4, 6, npts): for each (side, panel), the neighbor's facing
+        trace in local edge ordering (flips applied).
+
+        Row-level take of 24 contiguous traces (never a lane-axis gather —
+        those hit the TPU scalar core) + a vectorized flip select.
+        """
+        pool = self._trace_pool(itf_i, itf_j)
+        flat = pool.reshape(pool.shape[:-3] + (24, self.num_points))
+        sel = jnp.take(flat, jnp.asarray(self._edge_src), axis=-2)
+        out = jnp.where(
+            jnp.asarray(self._flip_mask)[:, None], jnp.flip(sel, axis=-1), sel
+        )
+        return out.reshape(pool.shape)
+
     # ------------------------------------------------------------------
     # Trace extraction (jittable; static slicing only).
 
@@ -170,17 +220,8 @@ class CubedSphereTopology:
         local edge ordering. Mirrors start_exchange_scalars + wait
         (reference process_topology.py:269-320), minus the MPI.
         """
-        out = {}
-        for d in range(4):
-            per_panel = []
-            for p in range(6):
-                edge = self.edges[p][d]
-                t = self._outgoing_trace(itf_i, itf_j, edge.neighbor, edge.neighbor_side)
-                if edge.flip:
-                    t = t[..., ::-1]
-                per_panel.append(t)
-            out[d] = jnp.stack(per_panel, axis=-2)  # (..., 6, npts)
-        return out
+        g = self._gather_halo(itf_i, itf_j)
+        return {d: g[..., d, :, :] for d in range(4)}
 
     # ------------------------------------------------------------------
     # 3D variants: traces carry a vertical element axis (nk) and s^2 faces
@@ -272,20 +313,10 @@ class CubedSphereTopology:
         Returns {side: (comp1, comp2)}, each (..., 6, npts). Mirrors
         start_exchange_vectors + wait (process_topology.py:322-386).
         """
-        out = {}
-        for d in range(4):
-            c1_list, c2_list = [], []
-            for p in range(6):
-                edge = self.edges[p][d]
-                a1 = self._outgoing_trace(itf_i_1, itf_j_1, edge.neighbor, edge.neighbor_side)
-                a2 = self._outgoing_trace(itf_i_2, itf_j_2, edge.neighbor, edge.neighbor_side)
-                if edge.flip:
-                    a1, a2 = a1[..., ::-1], a2[..., ::-1]
-                conv = edge.conv_cov if covariant else edge.conv_contra
-                conv = jnp.asarray(conv, dtype=a1.dtype)
-                b1 = conv[:, 0, 0] * a1 + conv[:, 0, 1] * a2
-                b2 = conv[:, 1, 0] * a1 + conv[:, 1, 1] * a2
-                c1_list.append(b1)
-                c2_list.append(b2)
-            out[d] = (jnp.stack(c1_list, axis=-2), jnp.stack(c2_list, axis=-2))
-        return out
+        a1 = self._gather_halo(itf_i_1, itf_j_1)  # (..., 4, 6, npts)
+        a2 = self._gather_halo(itf_i_2, itf_j_2)
+        conv = self._conv_cov_all if covariant else self._conv_contra_all
+        conv = jnp.asarray(conv, dtype=a1.dtype)
+        b1 = conv[..., 0, 0] * a1 + conv[..., 0, 1] * a2
+        b2 = conv[..., 1, 0] * a1 + conv[..., 1, 1] * a2
+        return {d: (b1[..., d, :, :], b2[..., d, :, :]) for d in range(4)}
