@@ -18,6 +18,7 @@ import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -232,80 +233,66 @@ def make_rhs_shallow_water(
     if not use_pallas or topo is not None:
         return rhs
 
-    # --- Pallas fast path: the element-local pipeline (extrapolation +
-    # pointwise flux + interior divergence + forcing) runs as one fused
-    # lane-packed kernel (ops/pallas_kernels.py); the interface stages
-    # (halo exchange, AUSM, boundary correction) stay in XLA.
-    from ..ops.pallas_kernels import sw_element_local
+    # --- Pallas fast path (ops/pallas_sw.py): the whole spatial operator as
+    # two fused VMEM-resident kernels — K1 (extrapolation + pointwise flux +
+    # interior divergence + forcing) and K2 (AUSM interface fluxes + boundary
+    # correction for both directions). Only the tiny panel-edge halo stage
+    # runs in XLA between them; every array crossing a kernel boundary is
+    # bit-contiguous in the packed (rows, 128) layout, so no relayouts.
+    from ..ops import pallas_sw
 
-    s2 = s * s
-    n_elem = 6 * nel * nel
-    g = max(1, 128 // s2)
-    while n_elem % g:
-        g -= 1
-    lanes = g * s2
-    m_rows = n_elem // g
+    if not pallas_sw.supported(s, nel, dtype):
+        return rhs
 
-    ex_np = np.asarray(ops.extrap_x)
-    ey_np = np.asarray(ops.extrap_z)
-    dx_np = np.asarray(ops.derivative_x)
-    dy_np = np.asarray(ops.derivative_z)
-    eex_np = np.zeros((lanes, g * 2 * s))
-    eey_np = np.zeros((lanes, g * 2 * s))
-    dd_np = np.zeros((2 * lanes, lanes))
-    for k in range(g):
-        rows = slice(k * s2, (k + 1) * s2)
-        cols = slice(k * s2, (k + 1) * s2)
-        tcols = slice(k * 2 * s, (k + 1) * 2 * s)
-        eex_np[rows, tcols] = ex_np
-        eey_np[rows, tcols] = ey_np
-        dd_np[rows, cols] = dx_np
-        dd_np[lanes + k * s2 : lanes + (k + 1) * s2, cols] = dy_np
-    eex = jnp.asarray(eex_np, dtype=dtype)
-    eey = jnp.asarray(eey_np, dtype=dtype)
-    dd = jnp.asarray(dd_np, dtype=dtype)
-    packed = lambda a: a.reshape(m_rows, lanes)
-    pallas_fields = [
-        packed(a)
-        for a in (
-            sqrtG, h11, h12, h21, h22,
-            chr_1_01, chr_1_02, chr_2_01, chr_2_02,
-            chr_1_11, chr_1_12, chr_2_12, chr_2_22,
-            inv_sqrtG,
+    consts = pallas_sw.build_constants(ops, metric, nel, dtype=dtype)
+    rows = 6 * nel * nel // pallas_sw.G8
+    rpr = nel // pallas_sw.G8
+    npts = nel * s
+    interp = jax.default_backend() != "tpu"
+
+    def rhs_packed(qp: jnp.ndarray) -> jnp.ndarray:
+        """RHS on the packed (3, R, 128) layout — the fast path. All XLA ops
+        between the two kernels touch only KB-sized edge arrays."""
+        df, tr = pallas_sw.k1_element_local(qp, consts.fields, consts.eexy, consts.dd, interpret=interp)
+
+        # Outgoing boundary traces (S, N, W, E), sliced straight out of the
+        # packed trace layout.
+        v = tr.reshape(3, 6, nel, rpr, 128)
+        west = v[:, :, :, 0, 0:s].reshape(3, 6, npts)
+        east = v[:, :, :, rpr - 1, 64 - s : 64].reshape(3, 6, npts)
+        south = v[:, :, 0, :, 64:128].reshape(3, 6, rpr, 8, 2, s)[..., 0, :].reshape(3, 6, npts)
+        north = v[:, :, nel - 1, :, 64:128].reshape(3, 6, rpr, 8, 2, s)[..., 1, :].reshape(3, 6, npts)
+        pool = jnp.stack([south, north, west, east], axis=1)  # (3, 4, 6, npts)
+
+        bh = topology.exchange_pool(pool[IDX_H])
+        b1, b2 = topology.exchange_pool_vectors(pool[IDX_HU1], pool[IDX_HU2])
+        halo = jnp.stack([bh, b1, b2])  # (3, 4, 6, npts)
+
+        # Pack the received traces into the small arrays K2 expands in VMEM.
+        hw = halo[:, WEST].reshape(3, 6, nel, 1, s)
+        he = halo[:, EAST].reshape(3, 6, nel, 1, s)
+        hwe = (
+            jnp.pad(hw, ((0, 0), (0, 0), (0, 0), (0, 31), (0, 0)))
+            + jnp.pad(he, ((0, 0), (0, 0), (0, 0), (15, 16), (0, 0)))
+        ).reshape(3, 6 * nel, 128)
+        # South/north edges go in as one flat lane-padded row per panel
+        # ((3, 6, 8, npl) with data in row 0); K2 windows and spreads them
+        # onto the trace-layout slots in VMEM. Strictly minor-dim pads only —
+        # no lane/sublane restructuring on the host side.
+        npl = -(-npts // 128) * 128
+        edge_pad = ((0, 0), (0, 0), (0, 7), (0, npl - npts))
+        hs = jnp.pad(halo[:, SOUTH].reshape(3, 6, 1, npts), edge_pad)
+        hn = jnp.pad(halo[:, NORTH].reshape(3, 6, 1, npts), edge_pad)
+
+        return pallas_sw.k2_interface(
+            tr, hwe, hs, hn, consts.m_sg, consts.m_hd, consts.m_ho,
+            df, consts.fields[13], consts.wmat, consts.spread, rpr=rpr, interpret=interp,
         )
-    ]
 
     def rhs_pallas(q: jnp.ndarray) -> jnp.ndarray:
-        df, traces_x, traces_y = sw_element_local(
-            q.reshape(3, m_rows, lanes), pallas_fields, eex, eey, dd
-        )
-        itf_x = traces_x.reshape(3, 6, nel, nel, 2 * s)
-        itf_y = traces_y.reshape(3, 6, nel, nel, 2 * s)
+        return rhs_packed(q.reshape(3, rows, 128)).reshape(q.shape)
 
-        h_halo = topology.halo_scalars(itf_x[IDX_H], itf_y[IDX_H])
-        u_halo = topology.halo_vectors(itf_x[IDX_HU1], itf_y[IDX_HU1], itf_x[IDX_HU2], itf_y[IDX_HU2])
-
-        def halo_q(side, shape):
-            return jnp.stack([h_halo[side], u_halo[side][0], u_halo[side][1]]).reshape((3,) + shape)
-
-        ny = nx = nel
-        halo_w = halo_q(WEST, (6, ny, 1, s))
-        halo_e = halo_q(EAST, (6, ny, 1, s))
-        halo_s = halo_q(SOUTH, (6, 1, nx, s))
-        halo_n = halo_q(NORTH, (6, 1, nx, s))
-
-        qL_x = jnp.concatenate([halo_w, itf_x[..., s:].reshape(3, 6, ny, nx, s)], axis=-2)
-        qR_x = jnp.concatenate([itf_x[..., :s].reshape(3, 6, ny, nx, s), halo_e], axis=-2)
-        qL_y = jnp.concatenate([halo_s, itf_y[..., s:].reshape(3, 6, ny, nx, s)], axis=-3)
-        qR_y = jnp.concatenate([itf_y[..., :s].reshape(3, 6, ny, nx, s), halo_n], axis=-3)
-
-        f_itf_x = ausm_interface_flux(qL_x, qR_x, sqrtG_ix, h11_ix, h21_ix, IDX_HU1)
-        f_itf_y = ausm_interface_flux(qL_y, qR_y, sqrtG_jx, h22_jx, h12_jx, IDX_HU2)
-
-        faces_x = jnp.concatenate([f_itf_x[..., :-1, :], f_itf_x[..., 1:, :]], axis=-1)
-        faces_y = jnp.concatenate([f_itf_y[..., :-1, :, :], f_itf_y[..., 1:, :, :]], axis=-1)
-        corr = faces_x @ correction_we + faces_y @ correction_sn
-
-        return df.reshape(q.shape) - inv_sqrtG * corr
-
+    rhs_pallas.packed = rhs_packed
+    rhs_pallas.pack = lambda q: q.reshape(3, rows, 128)
+    rhs_pallas.unpack = lambda qp: qp.reshape(3, 6, nel, nel, s * s)
     return rhs_pallas

@@ -1,0 +1,410 @@
+"""Fused Pallas TPU pipeline for the shallow-water DFR RHS.
+
+Two kernels cover the whole spatial operator (reference rhs/rhs_sw.py:38-240);
+between them only the tiny panel-edge halo computation (``parallel/topology``)
+runs in XLA on ~KB-sized edge arrays.
+
+Layout. The packed state view is ``(R, 128)`` with ``R = 6*nel^2/8`` rows of
+``g = 8`` consecutive elements x ``s^2 = 16`` solution points (f32 lane width
+128, zero padding). Element ``e = (p*nel + ey)*nel + ex`` sits at row
+``e // 8``, lane group ``ex % 8`` (requires ``nel % 8 == 0`` so element-grid
+rows tile position-rows exactly). Face traces use the matching ``(R, 128)``
+layout ``[x half | y half]``: lane ``dir*64 + group*8 + face*4 + k`` holds
+face value ``k`` of the west/east (x) or south/north (y) face. Every
+array the two kernels exchange is bit-contiguous in this row order, so all
+inter-kernel reshapes are free — the relayout copies that dominate the pure
+XLA schedule (profiled at ~30% of RHS time) disappear.
+
+K1 (``_k1_kernel``): per block of packed rows — extrapolation GEMM to both
+direction traces at once (one ``(128,128)`` matmul per variable), pointwise
+sqrt(g)-weighted fluxes, interior-divergence GEMM, Coriolis/Christoffel
+forcing. Flux fields live only in VMEM.
+
+K2 (``_k2_kernel``): per panel — assembles the left/right interface states
+with ``pltpu.roll`` shifts (neighbour element faces are one lane-group or one
+position-row away; panel-edge slots are patched from the halo-filled ``E``
+array), evaluates the AUSM Mach-splitting flux for BOTH directions in one
+vector pass (x in lanes 0..63, y in 64..127), places the per-element face
+fluxes, applies the boundary-correction GEMM (block-diagonal ``(128,128)``
+operator) and produces the final ``df - 1/sqrt(g)*corr`` update.
+
+Reference semantics: rhs/rhs_sw.py:120-131 (pointwise), :170-207 (AUSM),
+:223-238 (forcing + assembly). f32 operating point; the XLA path remains the
+float64 parity reference.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..common.constants import GRAVITY
+
+G8 = 8  # elements per packed row
+S = 4  # num_solpts this pipeline is specialized for (s^2=16, 2s=8)
+S2 = S * S
+LANES = G8 * S2  # 128
+
+
+def supported(num_solpts: int, nel: int, dtype) -> bool:
+    """Shapes/dtypes the fused pipeline handles; others fall back to XLA.
+
+    float64 is accepted only off-TPU (pallas interpret mode, used by the
+    parity tests); Mosaic has no f64 vector path."""
+    if num_solpts != S or nel % G8 != 0:
+        return False
+    if dtype in (jnp.float32, np.float32):
+        return True
+    return dtype in (jnp.float64, np.float64) and jax.default_backend() != "tpu"
+
+
+class SWConstants(NamedTuple):
+    """Trace-time constants for the fused kernels (all device arrays)."""
+
+    fields: tuple  # 14 packed metric fields (R, 128) for K1
+    eexy: jnp.ndarray  # (128, 128) fused [extrap_x | extrap_y] block-diag
+    dd: jnp.ndarray  # (256, 128) stacked block-diag [Dx ; Dy]
+    m_sg: jnp.ndarray  # (R, 128) interface sqrt(g) in trace layout
+    m_hd: jnp.ndarray  # (R, 128) interface H^11 (x half) / H^22 (y half)
+    m_ho: jnp.ndarray  # (R, 128) interface H^21 (x half) / H^12 (y half)
+    wmat: jnp.ndarray  # (128, 128) faces -> correction block-diag GEMM
+    spread: jnp.ndarray  # (128, 128) flat edge lanes -> y-h1 trace slots
+
+
+def _block_diag(a: np.ndarray, reps: int) -> np.ndarray:
+    r, c = a.shape
+    out = np.zeros((reps * r, reps * c), a.dtype)
+    for k in range(reps):
+        out[k * r : (k + 1) * r, k * c : (k + 1) * c] = a
+    return out
+
+
+def build_constants(ops, metric, nel: int, dtype=jnp.float32) -> SWConstants:
+    """Precompute every constant array of the fused SW pipeline (host-side)."""
+    s, s2 = S, S2
+    rows = 6 * nel * nel // G8
+    rpr = nel // G8
+
+    eexy = np.concatenate(
+        [_block_diag(np.asarray(ops.extrap_x), G8), _block_diag(np.asarray(ops.extrap_z), G8)],
+        axis=1,
+    )  # (128, 128)
+    dd = np.concatenate(
+        [_block_diag(np.asarray(ops.derivative_x), G8), _block_diag(np.asarray(ops.derivative_z), G8)],
+        axis=0,
+    )  # (256, 128)
+
+    packed = lambda a: np.asarray(a, np.float64).reshape(rows, LANES)
+    fields = tuple(
+        jnp.asarray(packed(a), dtype=dtype)
+        for a in (
+            metric.sqrtG, metric.H_contra_11, metric.H_contra_12,
+            metric.H_contra_21, metric.H_contra_22,
+            metric.christoffel_1_01, metric.christoffel_1_02,
+            metric.christoffel_2_01, metric.christoffel_2_02,
+            metric.christoffel_1_11, metric.christoffel_1_12,
+            metric.christoffel_2_12, metric.christoffel_2_22,
+            metric.inv_sqrtG,
+        )
+    )
+
+    # Interface-metric arrays in the trace layout. h1 slots carry the metric
+    # at the element's west/south interface; h2 slots default to 1.0 (their
+    # AUSM output is discarded) except at panel-edge elements, where they
+    # carry the east/north boundary-interface metric so the main vector pass
+    # also computes the two boundary fluxes of each row/column.
+    sg_ix = np.asarray(metric.sqrtG_itf_i, np.float64)[:, :, 1:, :s]  # (6, nel, nel+1, s)
+    h11_ix = np.asarray(metric.H_contra_11_itf_i, np.float64)[:, :, 1:, :s]
+    h21_ix = np.asarray(metric.H_contra_21_itf_i, np.float64)[:, :, 1:, :s]
+    sg_jx = np.asarray(metric.sqrtG_itf_j, np.float64)[:, 1:, :, :s]  # (6, nel+1, nel, s)
+    h22_jx = np.asarray(metric.H_contra_22_itf_j, np.float64)[:, 1:, :, :s]
+    h12_jx = np.asarray(metric.H_contra_12_itf_j, np.float64)[:, 1:, :, :s]
+
+    def itf_layout(mx, my):
+        """mx: (6, nel, nel+1, s), my: (6, nel+1, nel, s) -> (rows, 128)."""
+        out = np.ones((6, nel, rpr, 2, G8, 2, s))  # (p, ey, rpos, dir, grp, half, k)
+        for p in range(6):
+            for ey in range(nel):
+                for ex in range(nel):
+                    r, grp = ex // G8, ex % G8
+                    out[p, ey, r, 0, grp, 0] = mx[p, ey, ex]  # west interface
+                    out[p, ey, r, 1, grp, 0] = my[p, ey, ex]  # south interface
+                out[p, ey, rpr - 1, 0, G8 - 1, 1] = mx[p, ey, nel]  # east edge
+            for ex in range(nel):
+                r, grp = ex // G8, ex % G8
+                out[p, nel - 1, r, 1, grp, 1] = my[p, nel, ex]  # north edge
+        return out.reshape(rows, LANES)
+
+    m_sg = itf_layout(sg_ix, sg_jx)
+    m_hd = itf_layout(h11_ix, h22_jx)
+    m_ho = itf_layout(h21_ix, h12_jx)
+
+    # Correction operator: faces (dir, grp, half, k) -> packed (grp, s^2).
+    cw = np.asarray(ops.correction_WE)  # (2s, s^2)
+    cs = np.asarray(ops.correction_DU)
+    wmat = np.zeros((LANES, LANES))
+    for grp in range(G8):
+        for half in range(2):
+            for k in range(s):
+                wmat[0 * 64 + grp * 2 * s + half * s + k, grp * s2 : (grp + 1) * s2] = cw[half * s + k]
+                wmat[1 * 64 + grp * 2 * s + half * s + k, grp * s2 : (grp + 1) * s2] = cs[half * s + k]
+
+    # In-kernel south/north halo placement: flat edge lane j = 4*g + k of a
+    # 32-lane window maps to trace slot 64 + 8*g + k (y h1); north adds +4
+    # via a lane roll in the kernel.
+    spread = np.zeros((LANES, LANES))
+    for j in range(32):
+        spread[j, 64 + 8 * (j // 4) + (j % 4)] = 1.0
+
+    c = lambda a: jnp.asarray(a, dtype=dtype)
+    return SWConstants(fields, c(eexy), c(dd), c(m_sg), c(m_hd), c(m_ho), c(wmat), c(spread))
+
+
+# ---------------------------------------------------------------------------
+# K1: element-local pipeline (extrapolation, pointwise flux, interior
+# divergence, forcing). One block of packed rows per program.
+
+
+def _k1_kernel(
+    q_ref,
+    sqrtg_ref, h11_ref, h12_ref, h21_ref, h22_ref,
+    c101_ref, c102_ref, c201_ref, c202_ref,
+    c111_ref, c112_ref, c212_ref, c222_ref,
+    invsg_ref, eexy_ref, dd_ref,
+    df_ref, tr_ref,
+):
+    h = q_ref[0]
+    hu1 = q_ref[1]
+    hu2 = q_ref[2]
+    sqrtg = sqrtg_ref[...]
+    u1 = hu1 / h
+    u2 = hu2 / h
+    hsq = h * h
+    half_g = 0.5 * GRAVITY
+
+    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=df_ref.dtype)
+    eexy = eexy_ref[...]
+    dd = dd_ref[...]
+
+    # Both directions' face traces in one GEMM per variable.
+    tr_ref[0] = mm(h, eexy)
+    tr_ref[1] = mm(hu1, eexy)
+    tr_ref[2] = mm(hu2, eexy)
+
+    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    div0 = mm(cat(sqrtg * hu1, sqrtg * hu2), dd)
+    div1 = mm(
+        cat(
+            sqrtg * (hu1 * u1 + half_g * h11_ref[...] * hsq),
+            sqrtg * (hu1 * u2 + half_g * h12_ref[...] * hsq),
+        ),
+        dd,
+    )
+    div2 = mm(
+        cat(
+            sqrtg * (hu2 * u1 + half_g * h21_ref[...] * hsq),
+            sqrtg * (hu2 * u2 + half_g * h22_ref[...] * hsq),
+        ),
+        dd,
+    )
+
+    forcing_1 = (
+        2.0 * (c101_ref[...] * hu1 + c102_ref[...] * hu2)
+        + c111_ref[...] * hu1 * u1
+        + 2.0 * c112_ref[...] * hu1 * u2
+    )
+    forcing_2 = (
+        2.0 * (c201_ref[...] * hu1 + c202_ref[...] * hu2)
+        + 2.0 * c212_ref[...] * hu1 * u2
+        + c222_ref[...] * hu2 * u2
+    )
+    invsg = invsg_ref[...]
+    df_ref[0] = -invsg * div0
+    df_ref[1] = -invsg * div1 - forcing_1
+    df_ref[2] = -invsg * div2 - forcing_2
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def k1_element_local(q, fields, eexy, dd, block: int = 256, interpret: bool = False):
+    """q: (3, R, 128) packed f32 state. Returns (df, tr): each (3, R, 128);
+    tr is the fused [x|y] face-trace array feeding the halo + K2 stages."""
+    rows = q.shape[1]
+    nblocks = (rows + block - 1) // block
+    if rows % block:
+        block = rows  # small grids: single block
+        nblocks = 1
+
+    zero = np.int32(0)
+    fld = lambda: pl.BlockSpec((block, LANES), lambda i: (i, zero))
+    st3 = lambda: pl.BlockSpec((3, block, LANES), lambda i: (zero, i, zero))
+    outs = pl.pallas_call(
+        _k1_kernel,
+        grid=(nblocks,),
+        in_specs=[st3()]
+        + [fld() for _ in range(14)]
+        + [
+            pl.BlockSpec((LANES, LANES), lambda i: (zero, zero)),
+            pl.BlockSpec((2 * LANES, LANES), lambda i: (zero, zero)),
+        ],
+        out_specs=[st3()] * 2,
+        out_shape=[jax.ShapeDtypeStruct((3, rows, LANES), q.dtype)] * 2,
+        interpret=interpret,
+    )(q, *fields, eexy, dd)
+    return outs[0], outs[1]
+
+
+# ---------------------------------------------------------------------------
+# K2: the whole interface stage, one panel per program.
+
+
+def _make_k2(rpr: int, prows: int):
+    """Build the K2 kernel body for a panel of `prows` packed rows with
+    `rpr` position-rows per element-grid row."""
+
+    half_g = 0.5 * GRAVITY
+    _i32 = lambda v: np.int32(v)
+
+    def kernel(
+        tr_ref, hwe_ref, hs_ref, hn_ref,
+        msg_ref, mhd_ref, mho_ref,
+        df_ref, invsg_ref, wmat_ref, spread_ref,
+        o_ref,
+    ):
+        shape = (prows, LANES)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        is_x = lane < 64
+        lmod8 = jax.lax.rem(lane, jnp.int32(8))
+        h1 = lmod8 < S
+        rmod = jax.lax.rem(row, jnp.int32(rpr))
+        west_slot = is_x & (lane < S) & (rmod == 0)
+        east_slot = is_x & (lane >= 64 - S) & (rmod == rpr - 1)
+        south_slot = (~is_x) & h1 & (row < rpr)
+        north_slot = (~is_x) & (~h1) & (row >= prows - rpr)
+        edge_h2 = east_slot | north_slot
+
+        A = (tr_ref[0], tr_ref[1], tr_ref[2])
+
+        # Expand the small halo arrays to full panel shape in VMEM. hwe
+        # (nel, 128) carries west (lanes 0..3) and east (60..63) values of one
+        # element-grid row -> repeat over its rpr position-rows. hs/hn hold a
+        # panel edge as ONE flat lane-padded row; position-row r of the
+        # first/last grid row takes its 32-lane window via a lane roll, then
+        # one (128,128) one-hot matmul spreads it onto the y-face slots. Only
+        # slot-masked selects ever read the result.
+        spread = spread_ref[...]
+
+        def expand_sn(src, north):
+            npl = src.shape[-1]
+            rows = []
+            for r in range(rpr):
+                shift = (npl - 32 * r) % npl
+                rolled = pltpu.roll(src, _i32(shift), 1) if shift else src
+                rows.append(rolled[:, :LANES])
+            b = jnp.concatenate(rows, axis=0) if rpr > 1 else rows[0]
+            e = jax.lax.dot(b, spread, preferred_element_type=src.dtype)
+            if north:
+                e = pltpu.roll(e, _i32(4), 1)
+                return jnp.pad(e, ((prows - rpr, 0), (0, 0)))
+            return jnp.pad(e, ((0, prows - rpr), (0, 0)))
+
+        E = tuple(
+            jnp.repeat(hwe_ref[i], rpr, axis=0)
+            + expand_sn(hs_ref[i, 0, 0:1, :], False)
+            + expand_sn(hn_ref[i, 0, 0:1, :], True)
+            for i in range(3)
+        )
+
+        def assemble_L(a, e):
+            prev = pltpu.roll(a, _i32(1), 0)
+            # x: qL = east face of the lane-group to the west (same row),
+            # with the group-0 carry from the previous position-row.
+            lx = jnp.where(lane < S, pltpu.roll(prev, _i32(68), 1), pltpu.roll(a, _i32(4), 1))
+            # y: qL = north face of the element one position-row up.
+            ly = pltpu.roll(pltpu.roll(a, _i32(LANES - 4), 1), _i32(rpr), 0)
+            l = jnp.where(is_x, lx, ly)
+            # Panel-edge interfaces: qL west/south comes from the halo;
+            # qL east/north is this element's own east/north face (in place).
+            l = jnp.where(west_slot | south_slot, e, l)
+            return jnp.where(edge_h2, a, l)
+
+        L = tuple(assemble_L(a, e) for a, e in zip(A, E))
+        R = tuple(jnp.where(edge_h2, e, a) for a, e in zip(A, E))
+
+        # AUSM Mach-splitting flux, both directions at once
+        # (reference rhs_sw.py:170-207).
+        sg = msg_ref[...]
+        hd = mhd_ref[...]
+        ho = mho_ref[...]
+        hL, hR = L[0], R[0]
+        aL = jnp.sqrt(GRAVITY * hL * hd)
+        aR = jnp.sqrt(GRAVITY * hR * hd)
+        qnL = jnp.where(is_x, L[1], L[2])
+        qnR = jnp.where(is_x, R[1], R[2])
+        tmpL = hL * aL
+        tmpR = hR * aR
+        mL = jnp.where(tmpL != 0.0, qnL / tmpL, 0.0)
+        mR = jnp.where(tmpR != 0.0, qnR / tmpR, 0.0)
+        big_m = 0.25 * ((mL + 1.0) ** 2 - (mR - 1.0) ** 2)
+        adv_l = jnp.maximum(0.0, big_m) * aL
+        adv_r = jnp.minimum(0.0, big_m) * aR
+        f = [sg * (adv_l * l + adv_r * r) for l, r in zip(L, R)]
+        pres_l = (1.0 + mL) * (sg * half_g) * (hL * hL)
+        pres_r = (1.0 - mR) * (sg * half_g) * (hR * hR)
+        pres_diag = 0.5 * (hd * pres_l + hd * pres_r)
+        pres_off = 0.5 * (ho * pres_l + ho * pres_r)
+        f[1] = f[1] + jnp.where(is_x, pres_diag, pres_off)
+        f[2] = f[2] + jnp.where(is_x, pres_off, pres_diag)
+
+        # Per-element faces: h1 slots already hold the west/south flux; the
+        # east/north flux is the next element's west/south one (or, at panel
+        # edges, the boundary flux computed in this element's h2 slot).
+        def faces(fl):
+            fnext = pltpu.roll(fl, _i32(prows - 1), 0)
+            shx = jnp.where(
+                jax.lax.rem(lane, jnp.int32(64)) >= 60, pltpu.roll(fnext, _i32(60), 1), pltpu.roll(fl, _i32(LANES - 4), 1)
+            )
+            shy = pltpu.roll(pltpu.roll(fl, _i32(prows - rpr), 0), _i32(4), 1)
+            fc = jnp.where(h1, fl, jnp.where(is_x, shx, shy))
+            return jnp.where(edge_h2, fl, fc)
+
+        wmat = wmat_ref[...]
+        invsg = invsg_ref[...]
+        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
+        o_ref[0] = df_ref[0] - invsg * mm(faces(f[0]), wmat)
+        o_ref[1] = df_ref[1] - invsg * mm(faces(f[1]), wmat)
+        o_ref[2] = df_ref[2] - invsg * mm(faces(f[2]), wmat)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rpr", "interpret"))
+def k2_interface(tr, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread, rpr: int, interpret: bool = False):
+    """tr/df: (3, R, 128); hwe: (3, 6*nel, 128) west+east halo values placed
+    at lanes 0..3 / 60..63 per element-grid row; hs/hn: (3, 6, 8, npl) with
+    the flat lane-padded south/north halo edge of each panel in row [.,.,0,:]
+    (npl = ceil(nel*s/128)*128); metric/invsg: (R, 128). Returns the final
+    RHS in the packed layout (3, R, 128)."""
+    rows = tr.shape[1]
+    prows = rows // 6
+    nel = hwe.shape[1] // 6
+    npl = hs.shape[-1]
+    zero = np.int32(0)
+    pan3 = lambda: pl.BlockSpec((3, prows, LANES), lambda i: (zero, i, zero))
+    pan = lambda: pl.BlockSpec((prows, LANES), lambda i: (i, zero))
+    small3 = lambda r: pl.BlockSpec((3, r, LANES), lambda i: (zero, i, zero))
+    edge = lambda: pl.BlockSpec((3, 1, 8, npl), lambda i: (zero, i, zero, zero))
+    const = lambda: pl.BlockSpec((LANES, LANES), lambda i: (zero, zero))
+    outs = pl.pallas_call(
+        _make_k2(rpr, prows),
+        grid=(6,),
+        in_specs=[pan3(), small3(nel), edge(), edge(), pan(), pan(), pan(), pan3(), pan(), const(), const()],
+        out_specs=[pan3()],
+        out_shape=[jax.ShapeDtypeStruct((3, rows, LANES), tr.dtype)],
+        interpret=interpret,
+    )(tr, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread)
+    return outs[0]

@@ -176,20 +176,45 @@ class CubedSphereTopology:
         east = itf_i[..., :, :, -1, s:].reshape(shp)
         return jnp.stack([south, north, west, east], axis=-3)
 
-    def _gather_halo(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray) -> jnp.ndarray:
-        """(..., 4, 6, npts): for each (side, panel), the neighbor's facing
-        trace in local edge ordering (flips applied).
+    def exchange_pool(self, pool: jnp.ndarray) -> jnp.ndarray:
+        """Exchange a prebuilt outgoing-trace pool (..., 4, 6, npts) in
+        (S, N, W, E) side order: returns, for each (side, panel), the
+        neighbor's facing trace in local edge ordering (flips applied).
 
         Row-level take of 24 contiguous traces (never a lane-axis gather —
-        those hit the TPU scalar core) + a vectorized flip select.
+        those hit the TPU scalar core) + a vectorized flip select. Callers
+        that already hold the boundary traces in a custom layout (e.g. the
+        fused Pallas pipeline) build the pool themselves; `_gather_halo`
+        builds it from interface arrays.
         """
-        pool = self._trace_pool(itf_i, itf_j)
         flat = pool.reshape(pool.shape[:-3] + (24, self.num_points))
-        sel = jnp.take(flat, jnp.asarray(self._edge_src), axis=-2)
-        out = jnp.where(
-            jnp.asarray(self._flip_mask)[:, None], jnp.flip(sel, axis=-1), sel
-        )
+        # Both the 24-row neighbor permutation and the edge reversal run as
+        # one-hot matmuls: row gathers and lane-axis flips lower to
+        # scalar-core loops on TPU (tens of us even for these KB-sized
+        # arrays), while the MXU does either exactly (each output sums a
+        # single 1.0*x term).
+        perm = np.zeros((24, 24))
+        perm[np.arange(24), self._edge_src] = 1.0
+        sel = jnp.asarray(perm, dtype=flat.dtype) @ flat
+        rev = jnp.asarray(np.eye(self.num_points)[::-1], dtype=sel.dtype)
+        out = jnp.where(jnp.asarray(self._flip_mask)[:, None], sel @ rev, sel)
         return out.reshape(pool.shape)
+
+    def exchange_pool_vectors(self, pool1: jnp.ndarray, pool2: jnp.ndarray, covariant: bool = False):
+        """Exchange two vector-component pools and rotate the received
+        components into the local panel basis (cf. halo_vectors)."""
+        a1 = self.exchange_pool(pool1)
+        a2 = self.exchange_pool(pool2)
+        conv = self._conv_cov_all if covariant else self._conv_contra_all
+        conv = jnp.asarray(conv, dtype=a1.dtype)
+        b1 = conv[..., 0, 0] * a1 + conv[..., 0, 1] * a2
+        b2 = conv[..., 1, 0] * a1 + conv[..., 1, 1] * a2
+        return b1, b2
+
+    def _gather_halo(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray) -> jnp.ndarray:
+        """(..., 4, 6, npts): for each (side, panel), the neighbor's facing
+        trace in local edge ordering (flips applied)."""
+        return self.exchange_pool(self._trace_pool(itf_i, itf_j))
 
     # ------------------------------------------------------------------
     # Trace extraction (jittable; static slicing only).
