@@ -171,3 +171,74 @@ class TestExode:
         exact = _phi_exact(a, 1.0, u.copy())
         err = np.linalg.norm(w[0] - exact) / np.linalg.norm(exact)
         assert err < 1e-7, (method, err)
+
+
+class TestErkEngine:
+    """The embedded-RK engine behind EXODE (solvers/erk.py): real tableaus
+    + the reference's controller family (explicit_runge_kutta.py:246-434)."""
+
+    ALL_METHODS = [
+        "BS3(2)", "DP5(4)", "M4(3)", "KC3(2)",
+        "EXLRK3(2)", "EXLRK4(3)", "DP8(7)", "F10(8)", "F14(12)",
+    ]
+
+    @pytest.mark.parametrize("method", ALL_METHODS)
+    def test_tableau_order_conditions(self, method):
+        from wxfactory_tpu.solvers.erk import get_tableau
+
+        tab = get_tableau(method)
+        # First three order conditions of the main method.
+        assert abs(tab.B.sum() - 1.0) < 1e-12
+        if tab.order >= 2:
+            assert abs(tab.B @ tab.C - 0.5) < 1e-12
+        if tab.order >= 3:
+            assert abs(tab.B @ tab.C**2 - 1 / 3) < 1e-12
+
+    @pytest.mark.parametrize("method", ALL_METHODS)
+    def test_nonlinear_ode_accuracy(self, method):
+        # Scalar logistic ODE y' = y(1-y), exact y(t) = 1/(1+(1/y0-1)e^-t).
+        from wxfactory_tpu.solvers.erk import erk_integrate
+
+        y0 = np.array([0.1])
+        res = erk_integrate(
+            lambda t, y: y * (1 - y), 0.0, y0, 4.0,
+            method=method, rtol=1e-9, atol=1e-11, first_step=0.1,
+        )
+        assert res.status == "finished"
+        exact = 1.0 / (1.0 + (1 / 0.1 - 1) * np.exp(-4.0))
+        assert abs(res.y[0] - exact) < 1e-7, (method, res.y[0], exact)
+        assert res.nfev > res.num_steps  # >1 eval per attempted step
+        assert res.failed_steps < res.num_steps
+
+    @pytest.mark.parametrize("controller", ["deadbeat", "PI3040", "PI4020", "H211PI", "H110", "H211D", "H211B"])
+    def test_controllers(self, controller):
+        from wxfactory_tpu.solvers.erk import erk_integrate
+
+        # Mildly stiff linear system; every controller must converge.
+        a = -np.diag(np.linspace(0.5, 30.0, 40))
+        y0 = np.ones(40)
+        res = erk_integrate(
+            lambda t, y: a @ y, 0.0, y0, 1.0,
+            method="DP5(4)", controller=controller, rtol=1e-8, atol=1e-10, first_step=0.05,
+        )
+        assert res.status == "finished"
+        exact = np.exp(np.diag(a))
+        assert np.abs(res.y - exact).max() < 1e-6, controller
+
+    def test_step_rejection_path(self):
+        from wxfactory_tpu.solvers.erk import erk_integrate
+
+        # A deliberately huge first step must be rejected and recovered from.
+        res = erk_integrate(
+            lambda t, y: -50.0 * y, 0.0, np.ones(4), 1.0,
+            method="BS3(2)", rtol=1e-8, atol=1e-10, first_step=1.0,
+        )
+        assert res.status == "finished"
+        assert res.failed_steps > 0
+        assert np.abs(res.y - np.exp(-50.0)).max() < 1e-6
+
+    def test_unknown_method_raises(self):
+        from wxfactory_tpu.solvers.erk import erk_integrate
+
+        with pytest.raises(ValueError):
+            erk_integrate(lambda t, y: -y, 0.0, np.ones(2), 1.0, method="RK99")

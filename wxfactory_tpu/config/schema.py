@@ -147,7 +147,8 @@ SCHEMA: List[Field] = [
     _f("Time_integration", "tolerance", "float", 1e-7, doc="Iterative solver tolerance"),
     _f("Time_integration", "starting_step", "int", 0, doc="Resume from this step's saved state"),
     _f("Time_integration", "exponential_solver", "str", "pmex", choices=EXP_SOLVERS),
-    _f("Time_integration", "exode_method", "str", "BS3(2)", choices=EXODE_METHODS),
+    _f("Time_integration", "exode_method", "case-str", "BS3(2)",
+       choices=EXODE_METHODS + [m.lower() for m in EXODE_METHODS]),
     _f("Time_integration", "exode_controller", "case-str", ""),
     _f("Time_integration", "krylov_size", "int", 1, min=0),
     _f("Time_integration", "jacobian_method", "str", "jvp", choices=["jvp", "complex", "fd"],
