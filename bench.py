@@ -5,9 +5,10 @@ North-star metric (BASELINE.md): grid-points/s per chip on the canonical
 shallow-water RHS (Williamson case 6 configuration). Measured at the
 TPU-native operating point — float32 fields (validated against float64 to
 ~5e-6 relative over 6 model hours; float64 is emulated ~40x slower on this
-chip and remains the default for parity work) — with 20 TVD-RK3 steps fused
+chip and remains the default for parity work) — with 100 TVD-RK3 steps fused
 into one XLA program via lax.scan so the number reflects device compute,
-not per-call dispatch latency over the job tunnel. Uses the persistent XLA
+not per-call dispatch latency over the job tunnel (which is multiple ms
+per call on the axon relay and would otherwise dominate). Uses the persistent XLA
 compilation cache (.jax_cache), the TPU-native replacement for the
 reference's compiled-kernel cache.
 """
@@ -23,7 +24,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=20, reps=5):
+def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=100, reps=3):
     from wxfactory_tpu.geometry import make_cubed_sphere_2d, make_metric_2d
     from wxfactory_tpu.models import make_rhs_shallow_water
     from wxfactory_tpu.ops.dfr import make_dfr_operators
@@ -48,11 +49,18 @@ def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=20, reps=5):
     out = multi_step(q)
     out.block_until_ready()
 
+    # Marginal timing: the axon relay adds ~10-20 ms of dispatch latency per
+    # Python->device call; timing (1+reps) calls minus 1 call cancels that
+    # constant so the rate reflects device compute.
     t0 = time.perf_counter()
-    for _ in range(reps):
+    multi_step(q).block_until_ready()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(1 + reps):
         out = multi_step(q)
     out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    t2 = time.perf_counter() - t0
+    elapsed = max(t2 - t1, 1e-9)
 
     grid_points = 6 * nel * nel * num_solpts**2
     num_rhs = reps * nsteps * 3

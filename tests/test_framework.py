@@ -140,3 +140,75 @@ output_dir = {outdir}
     sim = Simulation(Configuration(ini))
     q = sim.run()
     assert np.all(np.isfinite(np.asarray(q)))
+
+
+def test_multigrid_sphere_sw_via_config(tmp_path):
+    """p-MG on the cubed-sphere shallow-water system (case 6 + ros2):
+    per-level geometry/metric/RHS rebuild like the reference
+    multigrid.py:38-165, validated end to end through the config path."""
+    ini = """
+[General]
+equations = shallow_water
+[Grid]
+grid_type = cubed_sphere
+[Test_case]
+case_number = 6
+[Time_integration]
+dt = 1800
+t_end = 3600
+time_integrator = ros2
+tolerance = 1e-7
+[Preconditioning]
+preconditioner = p-mg
+num_mg_levels = 2
+pseudo_cfl = 3.0
+[Spatial_discretization]
+num_solpts = 3
+num_elements_horizontal = 4
+[Output_options]
+output_dir = {outdir}
+""".format(outdir=tmp_path)
+    sim = Simulation(Configuration(ini))
+    q = sim.run()
+    assert np.all(np.isfinite(np.asarray(q)))
+
+
+def test_multigrid_sphere_preconditions_fgmres():
+    """The SW p-MG V-cycle must be a valid FGMRES preconditioner: the
+    preconditioned solve of the stiff rational system reaches the same
+    tolerance in no more iterations than the plain solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from wxfactory_tpu.geometry import make_cubed_sphere_2d, make_metric_2d
+    from wxfactory_tpu.models import make_rhs_shallow_water
+    from wxfactory_tpu.ops.dfr import make_dfr_operators
+    from wxfactory_tpu.precondition import Multigrid
+    from wxfactory_tpu.solvers import fgmres
+    from wxfactory_tpu.testcases import williamson_case6
+
+    geom = make_cubed_sphere_2d(4, 3)
+    ops = make_dfr_operators(3)
+    metric = make_metric_2d(geom)
+    rhs = make_rhs_shallow_water(geom, ops, metric)
+    q = jnp.asarray(williamson_case6(geom))
+    dt = 7200.0  # strongly implicit step: the Krylov solve needs many iters
+
+    shape = q.shape
+
+    def apply_A(v):
+        vq = jnp.asarray(v.reshape(shape))
+        out = vq - 0.5 * dt * jax.jvp(rhs, (q,), (vq,))[1]
+        return np.asarray(out).ravel()
+
+    b = np.asarray(rhs(q)).ravel() * dt
+
+    _, r_plain, nb, it_plain, _, _ = fgmres(apply_A, b, tol=1e-7, restart=40, maxiter=3)
+    mg = Multigrid.for_geometry(geom, num_levels=2, num_pre_smoothe=2, num_post_smoothe=2, pseudo_cfl=3.0)
+    mg.prepare(dt, q)
+    _, r_mg, _, it_mg, _, _ = fgmres(apply_A, b, tol=1e-7, restart=40, maxiter=3, preconditioner=mg)
+
+    # Same-or-better convergence per iteration, and a genuinely useful
+    # residual drop with the preconditioner.
+    assert r_mg <= r_plain * 1.05, (r_mg, r_plain)
+    assert it_mg <= it_plain, (it_mg, it_plain)

@@ -2,61 +2,105 @@
 
 Capability parity with the reference's precondition/multigrid.py +
 smoother.py + common/interpolation.py: a V-cycle over polynomial orders
-p -> p-1 -> ... -> 1, each level with its own DFR operators and RHS,
+p -> p-1 -> ... -> 1, each level with its own geometry/operators/RHS,
 modal-projection transfers (ops.dfr.remesh_operator), and pseudo-time
-Runge-Kutta smoothers (erk1 / erk3). The reference keeps this component
-gated off at run time (simulation.py:274-275 there raises); here it is
-functional for the 2D Cartesian Euler system and exposed through the same
-config fields (num_mg_levels, num_pre/post_smoothe, pseudo_cfl,
-mg_smoother, mg_solve_coarsest).
+Runge-Kutta / Chebyshev / exponential smoothers. The reference keeps this
+component gated off at run time (simulation.py:274-275 there raises); here
+it is functional for the 2D Cartesian Euler system, the cubed-sphere
+shallow-water system, and the cubed-sphere 3D Euler system, exposed
+through the same config fields (num_mg_levels, num_pre/post_smoothe,
+pseudo_cfl, mg_smoother, mg_solve_coarsest).
 
-The preconditioned operator is the rational system A = I - dt/2 J with
-J the exact jvp of each level's RHS around the restricted state.
+Each level's RHS comes from a model-specific factory (reference
+multigrid.py:38-165 builds per-level geometry/metric/RHS the same way);
+the preconditioned operator is the rational system A = I - dt/2 J with
+J the exact jvp of the level RHS around the restricted state.
 """
 
-from typing import Callable, List
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry.cartesian import Cartesian2D, make_cartesian_2d
-from ..models.euler_cartesian import make_rhs_euler_cartesian
-from ..models.euler_cartesian_fv import make_rhs_euler_cartesian_fv
 from ..ops.dfr import make_dfr_operators, remesh_operator
 from ..ops.quadrature import gauss_legendre
 
 
-def _remesh_2d(src_pts, dst_pts) -> np.ndarray:
-    """2D tensor-product modal transfer acting on the trailing s^2 axis."""
+def _remesh_nd(src_pts, dst_pts, dim: int) -> np.ndarray:
+    """Tensor-product modal transfer acting on the trailing s^dim axis."""
     r1 = remesh_operator(src_pts, dst_pts)
-    return np.kron(r1, r1).T  # applied as q @ op
+    out = r1
+    for _ in range(dim - 1):
+        out = np.kron(out, r1)
+    return out.T  # applied as q @ op
+
+
+def cartesian_euler_levels(geom) -> tuple:
+    """(factory, transfer_dim, min_order) for the 2D Cartesian Euler model;
+    order 1 runs the finite-volume RHS (the reference's FV-MG bottom)."""
+    from ..geometry.cartesian import make_cartesian_2d
+    from ..models.euler_cartesian import make_rhs_euler_cartesian
+    from ..models.euler_cartesian_fv import make_rhs_euler_cartesian_fv
+
+    def make(p: int):
+        g = make_cartesian_2d(
+            geom.domain_x, geom.domain_z, geom.num_elements_x, geom.num_elements_z, max(p, 1)
+        )
+        if p >= 2:
+            return make_rhs_euler_cartesian(g, make_dfr_operators(p))
+        base = make_rhs_euler_cartesian_fv(g)
+        return lambda q: base(q[..., 0])[..., None]
+
+    return make, 2, 1
+
+
+def cubed_sphere_sw_levels(geom) -> tuple:
+    """(factory, transfer_dim, min_order) for cubed-sphere shallow water.
+    Coarse levels rebuild geometry + metric + RHS at lower order over the
+    same element grid (topography is not carried to coarse levels — the
+    preconditioner only needs an approximate inverse)."""
+    from ..geometry import make_cubed_sphere_2d, make_metric_2d
+    from ..models import make_rhs_shallow_water
+
+    def make(p: int):
+        g = make_cubed_sphere_2d(geom.num_elements, p, geom.lambda0, geom.phi0, geom.alpha0)
+        ops = make_dfr_operators(p)
+        metric = make_metric_2d(g)
+        return make_rhs_shallow_water(g, ops, metric, interior="xla")
+
+    return make, 2, 2
+
+
+def cubed_sphere_euler3d_levels(geom) -> tuple:
+    """(factory, transfer_dim, min_order) for cubed-sphere 3D Euler."""
+    from ..geometry import make_cubed_sphere_3d, make_metric_3d
+    from ..models import make_rhs_euler_cubesphere
+    from ..parallel.topology import CubedSphereTopology
+
+    def make(p: int):
+        g = make_cubed_sphere_3d(
+            geom.nel_h, geom.nel_v, p, geom.ztop, geom.lambda0, geom.phi0, geom.alpha0,
+            deep=geom.deep,
+        )
+        ops = make_dfr_operators(p, three_d=True)
+        topo = CubedSphereTopology(g)
+        metric = make_metric_3d(g, ops, topo)
+        return make_rhs_euler_cubesphere(g, ops, metric, topo)
+
+    return make, 3, 2
 
 
 class MultigridLevel:
-    def __init__(self, geom: Cartesian2D, num_solpts: int):
+    def __init__(self, rhs: Callable, num_solpts: int):
         self.num_solpts = num_solpts
-        self.geom = make_cartesian_2d(
-            geom.domain_x, geom.domain_z, geom.num_elements_x, geom.num_elements_z, max(num_solpts, 1)
-        )
-        if num_solpts >= 2:
-            self.ops = make_dfr_operators(num_solpts)
-            self.rhs = make_rhs_euler_cartesian(self.geom, self.ops)
-        else:
-            self.ops = None
-            base = make_rhs_euler_cartesian_fv(self.geom)
-            s = self.geom.num_solpts  # == 1
-
-            def rhs(q):
-                return base(q[..., 0])[..., None]
-
-            self.rhs = rhs
+        self.rhs = rhs
 
         @jax.jit
-        def jvp(q, v, half_dt):
+        def rat(q, v, half_dt):
             return v - half_dt * jax.jvp(self.rhs, (q,), (v,))[1]
 
-        self._rat = jvp
+        self._rat = rat
         self.state = None
         self.half_dt = 0.0
 
@@ -65,11 +109,16 @@ class MultigridLevel:
 
 
 class Multigrid:
-    """V-cycle preconditioner; callable on flat vectors (FGMRES contract)."""
+    """V-cycle preconditioner; callable on flat vectors (FGMRES contract).
+
+    `level_spec` is (factory, transfer_dim, min_order) — see the
+    *_levels builders above; `Multigrid.for_geometry` picks one by type.
+    """
 
     def __init__(
         self,
-        geom: Cartesian2D,
+        level_spec,
+        num_solpts: int,
         num_levels: int = 2,
         num_pre_smoothe: int = 1,
         num_post_smoothe: int = 1,
@@ -77,27 +126,56 @@ class Multigrid:
         smoother: str = "erk3",
         solve_coarsest: bool = False,
         spectral_radii=None,
+        num_elements_pseudo: Optional[int] = None,
     ):
-        p0 = geom.num_solpts
-        orders = [max(p0 - i, 1) for i in range(num_levels)]
-        self.levels: List[MultigridLevel] = [MultigridLevel(geom, p) for p in orders]
+        factory, dim, min_order = level_spec
+        p0 = num_solpts
+        orders = []
+        for i in range(num_levels):
+            p = p0 - i
+            if p < min_order:
+                break
+            orders.append(p)
+        self.levels: List[MultigridLevel] = [MultigridLevel(factory(p), p) for p in orders]
         self.num_pre = num_pre_smoothe
         self.num_post = num_post_smoothe
         self.pseudo_cfl = pseudo_cfl
         self.smoother = smoother
         self.solve_coarsest = solve_coarsest
         self.spectral_radii = list(spectral_radii or [2.0])
+        # Element count entering the pseudo-time-step CFL estimate.
+        self.num_elements_pseudo = num_elements_pseudo or 16
 
-        # Transfer operators between consecutive levels (trailing s^2 axis).
+        # Transfer operators between consecutive levels (trailing s^dim axis).
         self.restrict_ops = []
         self.prolong_ops = []
         for fine, coarse in zip(self.levels[:-1], self.levels[1:]):
-            _, fine_pts, _ = gauss_legendre(fine.geom.num_solpts)
-            _, coarse_pts, _ = gauss_legendre(coarse.geom.num_solpts)
-            self.restrict_ops.append(jnp.asarray(_remesh_2d(fine_pts, coarse_pts)))
-            self.prolong_ops.append(jnp.asarray(_remesh_2d(coarse_pts, fine_pts)))
+            _, fine_pts, _ = gauss_legendre(fine.num_solpts)
+            _, coarse_pts, _ = gauss_legendre(coarse.num_solpts)
+            self.restrict_ops.append(jnp.asarray(_remesh_nd(fine_pts, coarse_pts, dim)))
+            self.prolong_ops.append(jnp.asarray(_remesh_nd(coarse_pts, fine_pts, dim)))
 
         self.shape = None
+
+    @classmethod
+    def for_geometry(cls, geom, **kwargs):
+        """Pick the level family from the geometry type."""
+        from ..geometry.cartesian import Cartesian2D
+        from ..geometry.cubed_sphere import CubedSphere2D
+        from ..geometry.cubed_sphere_3d import CubedSphere3D
+
+        if isinstance(geom, Cartesian2D):
+            spec = cartesian_euler_levels(geom)
+            nel = max(geom.num_elements_x, geom.num_elements_z)
+        elif isinstance(geom, CubedSphere2D):
+            spec = cubed_sphere_sw_levels(geom)
+            nel = geom.num_elements
+        elif isinstance(geom, CubedSphere3D):
+            spec = cubed_sphere_euler3d_levels(geom)
+            nel = max(geom.nel_h, geom.nel_v)
+        else:
+            raise ValueError(f"No multigrid level family for geometry {type(geom).__name__}")
+        return cls(spec, geom.num_solpts, num_elements_pseudo=nel, **kwargs)
 
     # ------------------------------------------------------------------
     def prepare(self, dt: float, q) -> None:
@@ -117,7 +195,7 @@ class Multigrid:
         iteration over an estimated spectral interval, 'kiops' exponential
         pseudo-time step; 'ark3' runs as erk3 (the additive splitting the
         reference uses there has no separate stiff part in this operator)."""
-        tau = self.pseudo_cfl / (4.0 * level.geom.num_elements_x * max(level.num_solpts, 1) ** 2)
+        tau = self.pseudo_cfl / (4.0 * self.num_elements_pseudo * max(level.num_solpts, 1) ** 2)
 
         if self.smoother == "exp":
             # Chebyshev smoothing on [lmin, lmax] of A (A = I - dt/2 J is

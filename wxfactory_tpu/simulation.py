@@ -202,10 +202,10 @@ class Simulation:
             from .precondition import Factorization
 
             return Factorization(self.rhs, c.preconditioner)
-        if c.preconditioner in ("p-mg", "fv-mg") and c.grid_type == "cartesian2d":
+        if c.preconditioner in ("p-mg", "fv-mg"):
             from .precondition import Multigrid
 
-            return Multigrid(
+            return Multigrid.for_geometry(
                 self.geom,
                 num_levels=c.num_mg_levels,
                 num_pre_smoothe=c.num_pre_smoothe,
@@ -218,7 +218,7 @@ class Simulation:
         raise ValueError(
             f"Preconditioner '{c.preconditioner}' is not available for this configuration "
             "(the reference gates all preconditioning off; here none/lu/ilu work everywhere "
-            "and p-mg/fv-mg on cartesian2d)"
+            "and p-mg/fv-mg on every model family)"
         )
 
     def _create_integrator(self):
