@@ -24,7 +24,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=100, reps=3):
+def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=100, reps=5):
     from wxfactory_tpu.geometry import make_cubed_sphere_2d, make_metric_2d
     from wxfactory_tpu.models import make_rhs_shallow_water
     from wxfactory_tpu.ops.dfr import make_dfr_operators
@@ -35,14 +35,19 @@ def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=100, reps=3):
     metric = make_metric_2d(geom)
     rhs = make_rhs_shallow_water(geom, ops, metric, dtype=dtype)
     q = jnp.asarray(williamson_case6(geom), dtype=dtype)
+    # On TPU the builder returns the fused Pallas pipeline; step on its
+    # packed layout so the RK combination glue stays relayout-free.
+    step_rhs = getattr(rhs, "packed", rhs)
+    if hasattr(rhs, "pack"):
+        q = rhs.pack(q)
     dt = jnp.asarray(30.0, dtype=dtype)
 
     @jax.jit
     def multi_step(q):
         def body(q, _):
-            q1 = q + rhs(q) * dt
-            q2 = 0.75 * q + 0.25 * (q1 + rhs(q1) * dt)
-            return q / 3.0 + 2.0 / 3.0 * (q2 + rhs(q2) * dt), None
+            q1 = q + step_rhs(q) * dt
+            q2 = 0.75 * q + 0.25 * (q1 + step_rhs(q1) * dt)
+            return q / 3.0 + 2.0 / 3.0 * (q2 + step_rhs(q2) * dt), None
 
         return jax.lax.scan(body, q, None, length=nsteps)[0]
 

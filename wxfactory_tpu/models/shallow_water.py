@@ -68,7 +68,13 @@ def make_rhs_shallow_water(
     nel = geom.num_elements
     topology = CubedSphereTopology(geom)
     if interior is None:
-        interior = "pallas" if os.environ.get("WXF_USE_PALLAS", "0") == "1" else "xla"
+        if os.environ.get("WXF_USE_PALLAS", "") == "0":
+            interior = "xla"
+        else:
+            # The fused pipeline is the production fast path on TPU (it beats
+            # the XLA schedule by ~12% in stepping context); off-TPU it would
+            # run in slow interpret mode, so default to XLA there.
+            interior = "pallas" if jax.default_backend() == "tpu" else "xla"
     use_pallas = interior == "pallas"
 
     extrap_x = jnp.asarray(ops.extrap_x, dtype=dtype)
@@ -264,9 +270,16 @@ def make_rhs_shallow_water(
         north = v[:, :, nel - 1, :, 64:128].reshape(3, 6, rpr, 8, 2, s)[..., 1, :].reshape(3, 6, npts)
         pool = jnp.stack([south, north, west, east], axis=1)  # (3, 4, 6, npts)
 
-        bh = topology.exchange_pool(pool[IDX_H])
-        b1, b2 = topology.exchange_pool_vectors(pool[IDX_HU1], pool[IDX_HU2])
-        halo = jnp.stack([bh, b1, b2])  # (3, 4, 6, npts)
+        # One batched exchange for all three variables (a single 24-row
+        # permutation matmul + reversal + select), then the 2x2 panel-basis
+        # rotation applied to the momentum components — every small op here
+        # costs ~1-5 us of fixed TPU overhead, so op count matters more than
+        # bytes.
+        ex = topology.exchange_pool(pool)  # (3, 4, 6, npts)
+        conv = jnp.asarray(topology._conv_contra_all, dtype=ex.dtype)
+        b1 = conv[..., 0, 0] * ex[IDX_HU1] + conv[..., 0, 1] * ex[IDX_HU2]
+        b2 = conv[..., 1, 0] * ex[IDX_HU1] + conv[..., 1, 1] * ex[IDX_HU2]
+        halo = jnp.stack([ex[IDX_H], b1, b2])  # (3, 4, 6, npts)
 
         # Pack the received traces into the small arrays K2 expands in VMEM.
         hw = halo[:, WEST].reshape(3, 6, nel, 1, s)
