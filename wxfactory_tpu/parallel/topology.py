@@ -274,19 +274,49 @@ class CubedSphereTopology:
             t = itf_i[..., panel, :, :, -1, ss:]
         return t.reshape(t.shape[:-1] + (s, s))
 
+    def _trace_pool_3d(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray) -> jnp.ndarray:
+        """All 24 outgoing boundary traces, 3D: (..., 4, 6, nk, nh, s^2) in
+        (side, panel) order with sides (S, N, W, E)."""
+        ss = self.geom.num_solpts ** 2
+        south = itf_j[..., :, :, 0, :, :ss]
+        north = itf_j[..., :, :, -1, :, ss:]
+        west = itf_i[..., :, :, :, 0, :ss]
+        east = itf_i[..., :, :, :, -1, ss:]
+        return jnp.stack([south, north, west, east], axis=-5)
+
+    def exchange_pool_3d(self, pool: jnp.ndarray) -> jnp.ndarray:
+        """Exchange a 3D trace pool (..., 4, 6, nk, nh, s^2): returns, per
+        (side, panel), the neighbor's facing trace in local ordering with
+        the edge flip (horizontal element + k_horizontal reversal,
+        reference's flip_dim=(-3, -1)) applied.
+
+        Like `exchange_pool`, both the 24-row neighbor permutation and the
+        flip run as one-hot matmuls so nothing touches the TPU scalar core;
+        the batched leading dims let callers exchange all variables at once.
+        """
+        s = self.geom.num_solpts
+        ss = s * s
+        nh = self.nel_h
+        m = nh * ss
+        lead = pool.shape[:-5]
+        nk = pool.shape[-3]
+        flat = pool.reshape(lead + (24, nk, m))
+        perm = np.zeros((24, 24))
+        perm[np.arange(24), self._edge_src] = 1.0
+        sel = jnp.einsum("ab,...bkm->...akm", jnp.asarray(perm, dtype=flat.dtype), flat)
+        # Flip permutation on the flattened (nh, kz, kh) axis: reverse the
+        # horizontal element and k_horizontal, keep kz.
+        idx = np.arange(m).reshape(nh, s, s)[::-1, :, ::-1].reshape(m)
+        fmat = np.zeros((m, m))
+        fmat[idx, np.arange(m)] = 1.0
+        flipped = sel @ jnp.asarray(fmat, dtype=sel.dtype)
+        out = jnp.where(jnp.asarray(self._flip_mask)[:, None, None], flipped, sel)
+        return out.reshape(pool.shape)
+
     def halo_scalars_3d(self, itf_i: jnp.ndarray, itf_j: jnp.ndarray) -> Dict[int, jnp.ndarray]:
         """{side: (..., 6, nk, nh, s^2)} halo traces of a scalar field."""
-        out = {}
-        for d in range(4):
-            per_panel = []
-            for p in range(6):
-                edge = self.edges[p][d]
-                t = self._outgoing_trace_3d(itf_i, itf_j, edge.neighbor, edge.neighbor_side)
-                if edge.flip:
-                    t = t[..., ::-1, :, ::-1]  # horizontal element + k_horizontal
-                per_panel.append(t.reshape(t.shape[:-2] + (self.geom.num_solpts**2,)))
-            out[d] = jnp.stack(per_panel, axis=-4)
-        return out
+        g = self.exchange_pool_3d(self._trace_pool_3d(itf_i, itf_j))
+        return {d: g[..., d, :, :, :, :] for d in range(4)}
 
     def halo_vectors_3d(
         self,
@@ -300,34 +330,35 @@ class CubedSphereTopology:
     ) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
         """3-vector halo: components 1/2 rotate with the 2x2 edge matrices
         (broadcast over the vertical), component 3 (vertical) passes through
-        unchanged (reference process_topology.py:377)."""
+        unchanged (reference process_topology.py:377). One batched pooled
+        exchange for all three components."""
         s = self.geom.num_solpts
-        nel = self.nel_h
-        out = {}
-        for d in range(4):
-            c1_list, c2_list, c3_list = [], [], []
-            for p in range(6):
-                edge = self.edges[p][d]
-                a1 = self._outgoing_trace_3d(itf_i_1, itf_j_1, edge.neighbor, edge.neighbor_side)
-                a2 = self._outgoing_trace_3d(itf_i_2, itf_j_2, edge.neighbor, edge.neighbor_side)
-                a3 = self._outgoing_trace_3d(itf_i_3, itf_j_3, edge.neighbor, edge.neighbor_side)
-                if edge.flip:
-                    a1, a2, a3 = (a[..., ::-1, :, ::-1] for a in (a1, a2, a3))
-                conv = edge.conv_cov if covariant else edge.conv_contra
-                # (npts, 2, 2) -> (nh, 1, s, 2, 2): broadcast over kz.
-                conv = jnp.asarray(conv.reshape(nel, 1, s, 2, 2), dtype=a1.dtype)
-                b1 = conv[..., 0, 0] * a1 + conv[..., 0, 1] * a2
-                b2 = conv[..., 1, 0] * a1 + conv[..., 1, 1] * a2
-                ss = s * s
-                c1_list.append(b1.reshape(b1.shape[:-2] + (ss,)))
-                c2_list.append(b2.reshape(b2.shape[:-2] + (ss,)))
-                c3_list.append(a3.reshape(a3.shape[:-2] + (ss,)))
-            out[d] = (
-                jnp.stack(c1_list, axis=-4),
-                jnp.stack(c2_list, axis=-4),
-                jnp.stack(c3_list, axis=-4),
-            )
-        return out
+        nh = self.nel_h
+        pool = jnp.stack(
+            [
+                self._trace_pool_3d(itf_i_1, itf_j_1),
+                self._trace_pool_3d(itf_i_2, itf_j_2),
+                self._trace_pool_3d(itf_i_3, itf_j_3),
+            ]
+        )
+        a = self.exchange_pool_3d(pool)  # (3, ..., 4, 6, nk, nh, ss)
+        conv = self._conv_cov_all if covariant else self._conv_contra_all
+        # Coefficients (4, 6, nh*s, 2, 2) indexed by horizontal edge point
+        # -> (4, 6, 1, nh, 1, s), broadcast over nk and kz in the split view.
+        cc = np.asarray(conv).reshape(4, 6, nh, s, 2, 2)
+
+        def coef(i, j):
+            return jnp.asarray(cc[..., i, j][:, :, None, :, None, :], dtype=a.dtype)
+
+        split = a.shape[1:-1] + (s, s)  # trailing ss split into (kz, kh)
+        v1 = a[0].reshape(split)
+        v2 = a[1].reshape(split)
+        b1 = (coef(0, 0) * v1 + coef(0, 1) * v2).reshape(a.shape[1:])
+        b2 = (coef(1, 0) * v1 + coef(1, 1) * v2).reshape(a.shape[1:])
+        return {
+            d: (b1[..., d, :, :, :, :], b2[..., d, :, :, :, :], a[2][..., d, :, :, :, :])
+            for d in range(4)
+        }
 
     def halo_vectors(
         self, itf_i_1, itf_j_1, itf_i_2, itf_j_2, covariant: bool = False
