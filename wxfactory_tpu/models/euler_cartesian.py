@@ -124,27 +124,31 @@ def make_rhs_euler_cartesian(
     """
     s = ops.num_solpts
 
-    extrap_x = jnp.asarray(ops.extrap_x, dtype=dtype)
-    extrap_z = jnp.asarray(ops.extrap_z, dtype=dtype)
-    derivative_x = jnp.asarray(ops.derivative_x, dtype=dtype)
-    derivative_z = jnp.asarray(ops.derivative_z, dtype=dtype)
-    correction_we = jnp.asarray(ops.correction_WE, dtype=dtype)
-    correction_du = jnp.asarray(ops.correction_DU, dtype=dtype)
-
     scale_x = -2.0 / geom.delta_x1
     scale_z = -2.0 / geom.delta_x3
 
+    # Fused operator blocks (one GEMM per stage instead of one per
+    # direction); the reference-element scales -2/dx fold into the stacked
+    # derivative/correction operators so the x+z divergence comes out of the
+    # contraction already summed.
+    EE = jnp.asarray(np.concatenate([ops.extrap_x, ops.extrap_z], axis=1), dtype=dtype)
+    DD = jnp.asarray(
+        np.concatenate([scale_x * ops.derivative_x, scale_z * ops.derivative_z], axis=0), dtype=dtype
+    )
+    CC = jnp.asarray(
+        np.concatenate([scale_x * ops.correction_WE, scale_z * ops.correction_DU], axis=0), dtype=dtype
+    )
+
     def rhs(q: jnp.ndarray) -> jnp.ndarray:
-        # 1. Extrapolate the solution to element faces (batched GEMMs).
-        q_itf_x = q @ extrap_x  # (4, nz, nx, 2s)
-        q_itf_z = q @ extrap_z
+        # 1. Extrapolate the solution to all four element faces (one GEMM).
+        itf = q @ EE  # (4, nz, nx, 4s)
+        q_itf_x = itf[..., : 2 * s]
+        q_itf_z = itf[..., 2 * s :]
 
-        # 2. Pointwise fluxes at the interior solution points.
+        # 2+3. Pointwise fluxes, then the scaled x+z interior divergence in
+        # one direction-concatenated GEMM.
         f_x, f_z = pointwise_fluxes(q)
-
-        # 3. Interior flux derivatives.
-        df_x = f_x @ derivative_x
-        df_z = f_z @ derivative_z
+        df = jnp.concatenate([f_x, f_z], axis=-1) @ DD
 
         # 4. Riemann solve at the element interfaces + rigid-wall boundaries.
         # x-direction: left state = east face of element j, right state = west
@@ -172,11 +176,9 @@ def make_rhs_euler_cartesian(
             axis=-1,
         )
 
-        # 5. Boundary correction completes the flux divergence.
-        df_x = (df_x + f_itf_x @ correction_we) * scale_x
-        df_z = (df_z + f_itf_z @ correction_du) * scale_z
-
-        out = df_x + df_z
+        # 5. Boundary correction completes the flux divergence (one GEMM for
+        # both directions, scales already folded in).
+        out = df + jnp.concatenate([f_itf_x, f_itf_z], axis=-1) @ CC
 
         # 6. Gravity source on vertical momentum.
         return out.at[IDX_2D_RHO_W].add(-q[IDX_2D_RHO] * GRAVITY)

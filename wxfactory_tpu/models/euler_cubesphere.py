@@ -63,6 +63,23 @@ def make_rhs_euler_cubesphere(
     Cx, Cy, Cz = c(ops.correction_WE3), c(ops.correction_SN3), c(ops.correction_DU3)
     highfilter_k = c(ops.highfilter_k)
 
+    # Fused operator blocks: the three directional GEMMs of each stage
+    # collapse into ONE batched GEMM (XLA cannot reassociate across separate
+    # dots itself). EE extrapolates to all 6 faces at once; DD/CC contract a
+    # direction-concatenated input straight into the x+y+z SUM; DD3/CCb keep
+    # the three directional outputs separate (needed for the w pressure
+    # split, whose per-direction factor sqrtG*h^{d3} differs).
+    npE = lambda a: np.asarray(a, dtype=np.float64)
+    EE = c(np.concatenate([npE(ops.extrap_x3), npE(ops.extrap_y3), npE(ops.extrap_z3)], axis=1))
+    DD = c(np.concatenate([npE(ops.derivative_x3), npE(ops.derivative_y3), npE(ops.derivative_z3)], axis=0))
+    DD3 = c(np.concatenate([npE(ops.derivative_x3), npE(ops.derivative_y3), npE(ops.derivative_z3)], axis=1))
+    CC = c(np.concatenate([npE(ops.correction_WE3), npE(ops.correction_SN3), npE(ops.correction_DU3)], axis=0))
+    s3 = s * s * s
+    ccb = np.zeros((6 * ss, 3 * s3))
+    for k, cm in enumerate((ops.correction_WE3, ops.correction_SN3, ops.correction_DU3)):
+        ccb[2 * ss * k : 2 * ss * (k + 1), s3 * k : s3 * (k + 1)] = npE(cm)
+    CCb = c(ccb)
+
     sqrtG = c(metric.sqrtG)
     inv_sqrtG = c(metric.inv_sqrtG)
     inv_dzdeta = c(metric.inv_dzdeta)
@@ -75,6 +92,16 @@ def make_rhs_euler_cubesphere(
     h_ix = {(a, b): c(metric.h_contra_itf_i[a, b]) for a in range(3) for b in range(3)}
     h_jx = {(a, b): c(metric.h_contra_itf_j[a, b]) for a in range(3) for b in range(3)}
     h_kx = {(a, b): c(metric.h_contra_itf_k[a, b]) for a in range(3) for b in range(3)}
+
+    # The interior derivative of the w pressure-split weight
+    # sum_d (sqrtG*h^{d3}) @ D_d is state-independent: precompute it host-side
+    # (the reference recomputes it every RHS call, rhs_dfr.py:89-104).
+    _np_wpres = (
+        np.asarray(metric.sqrtG, np.float64) * np.asarray(metric.h_contra[0, 2], np.float64) @ npE(ops.derivative_x3)
+        + np.asarray(metric.sqrtG, np.float64) * np.asarray(metric.h_contra[1, 2], np.float64) @ npE(ops.derivative_y3)
+        + np.asarray(metric.sqrtG, np.float64) * np.asarray(metric.h_contra[2, 2], np.float64) @ npE(ops.derivative_z3)
+    )
+    w_presa_interior = c(_np_wpres)
 
     def pressure_of(rho_theta):
         return P0 * jnp.exp(HEAT_CAPACITY_RATIO * jnp.log((RD / P0) * rho_theta))
@@ -134,17 +161,21 @@ def make_rhs_euler_cubesphere(
         u2 = q[IDX_RHO_U2] / rho
         w = q[IDX_RHO_W] / rho
 
-        # --- 1. Extrapolation to faces; rho and rho*theta in log space
-        # (rhs_dfr.py:62-71) so the interface states stay positive.
-        q_itf_i = q @ Ex  # (nv, 6, nk, ny, nx, 2s^2)
-        q_itf_j = q @ Ey
-        q_itf_k = q @ Ez
+        # --- 1. Extrapolation to all six faces in ONE GEMM; rho and
+        # rho*theta travel in log space (rhs_dfr.py:62-71) so the interface
+        # states stay positive — the log rows are built into the GEMM input
+        # instead of re-running the extrapolation on them afterwards.
         log_rho = jnp.log(rho)
         log_rt = jnp.log(q[IDX_RHO_THETA])
-        for rows, logf in ((IDX_RHO, log_rho), (IDX_RHO_THETA, log_rt)):
-            q_itf_i = q_itf_i.at[rows].set(jnp.exp(logf @ Ex))
-            q_itf_j = q_itf_j.at[rows].set(jnp.exp(logf @ Ey))
-            q_itf_k = q_itf_k.at[rows].set(jnp.exp(logf @ Ez))
+        q_ext = jnp.concatenate(
+            [log_rho[None], q[IDX_RHO_U1:IDX_RHO_THETA], log_rt[None], q[IDX_RHO_THETA + 1 :]]
+        )
+        itf = q_ext @ EE  # (nv, 6, nk, ny, nx, 6s^2)
+        lg = jnp.array([IDX_RHO, IDX_RHO_THETA])
+        itf = itf.at[lg].set(jnp.exp(itf[lg]))
+        q_itf_i = itf[..., : 2 * ss]
+        q_itf_j = itf[..., 2 * ss : 4 * ss]
+        q_itf_k = itf[..., 4 * ss :]
 
         # --- 2. Panel-edge halos: momentum as a 3-vector, the rest scalars.
         scal_rows = [IDX_RHO, IDX_RHO_THETA] + list(range(5, nv))
@@ -170,38 +201,33 @@ def make_rhs_euler_cubesphere(
         halo_s_ = halo_q(SOUTH)
         halo_n_ = halo_q(NORTH)
 
-        # --- 3. Pointwise fluxes (pde_euler_cubesphere.py:72-124).
+        # --- 3+4. Pointwise fluxes (pde_euler_cubesphere.py:72-124) and
+        # interior derivatives. The three directional flux families are
+        # concatenated on the solution-point axis and contracted by the
+        # stacked [Dx; Dy; Dz] operator, producing the x+y+z divergence SUM
+        # in one GEMM; the w advective flux rides along as an extra row.
+        # The w pressure-split interior term sum_d (sqrtG*h^{d3}) @ D_d is a
+        # constant (precomputed above); the d(log p) interior gradients come
+        # from one [Dx|Dy|Dz] GEMM since each direction keeps its own factor.
         pressure = pressure_of(q[IDX_RHO_THETA])
         logp = jnp.log(pressure)
-
-        flux_x1 = sqrtG * u1 * q
-        flux_x2 = sqrtG * u2 * q
-        flux_x3 = sqrtG * w * q
-        wflux_adv_x1 = flux_x1[IDX_RHO_W]
-        wflux_adv_x2 = flux_x2[IDX_RHO_W]
-        wflux_adv_x3 = flux_x3[IDX_RHO_W]
-
+        sgp = sqrtG * pressure
         mom = slice(IDX_RHO_U1, IDX_RHO_W + 1)
-        flux_x1 = flux_x1.at[mom].add(
-            jnp.stack([sqrtG * h[(0, 0)] * pressure, sqrtG * h[(0, 1)] * pressure, sqrtG * h[(0, 2)] * pressure])
-        )
-        flux_x2 = flux_x2.at[mom].add(
-            jnp.stack([sqrtG * h[(1, 0)] * pressure, sqrtG * h[(1, 1)] * pressure, sqrtG * h[(1, 2)] * pressure])
-        )
-        flux_x3 = flux_x3.at[mom].add(
-            jnp.stack([sqrtG * h[(2, 0)] * pressure, sqrtG * h[(2, 1)] * pressure, sqrtG * h[(2, 2)] * pressure])
-        )
+
+        bund = []
+        for un, d in ((u1, 0), (u2, 1), (w, 2)):
+            flux = sqrtG * un * q
+            wadv = flux[IDX_RHO_W]
+            flux = flux.at[mom].add(jnp.stack([sgp * h[(d, 0)], sgp * h[(d, 1)], sgp * h[(d, 2)]]))
+            bund.append(jnp.concatenate([flux, wadv[None]], axis=0))
+        interior = jnp.concatenate(bund, axis=-1) @ DD  # (nv+1, ..., s^3)
+        df_sum = interior[:nv]
+        w_adv_sum = interior[nv]
+        dlogp = logp @ DD3  # (..., 3s^3): interior d(logp)/dx^d per direction
+
         wflux_pres_x1 = sqrtG * h[(0, 2)]
         wflux_pres_x2 = sqrtG * h[(1, 2)]
         wflux_pres_x3 = sqrtG * h[(2, 2)]
-
-        # --- 4. Interior derivatives.
-        df1 = flux_x1 @ Dx
-        df2 = flux_x2 @ Dy
-        df3 = flux_x3 @ Dz
-        w_adv1, w_presa1, w_presb1 = wflux_adv_x1 @ Dx, wflux_pres_x1 @ Dx, logp @ Dx
-        w_adv2, w_presa2, w_presb2 = wflux_adv_x2 @ Dy, wflux_pres_x2 @ Dy, logp @ Dy
-        w_adv3, w_presa3, w_presb3 = wflux_adv_x3 @ Dz, wflux_pres_x3 @ Dz, logp @ Dz
 
         # --- 5. Per-interface left/right states.
         east = q_itf_i[..., ss:]
@@ -240,45 +266,51 @@ def make_rhs_euler_cubesphere(
             qL_z, qR_z, vL_z, vR_z, sqrtG_kx, (h_kx[(2, 0)], h_kx[(2, 1)], h_kx[(2, 2)]), h_kx[(2, 2)], advection_only
         )
 
-        # --- 6. Boundary corrections. The w pressure-split terms divide the
-        # common w-pressure flux by the local face pressure (fluxes.py:215-217)
-        # and use the face log-pressure (rhs_dfr.py:113-136).
-        def w_terms(wadv, wpres, p_face_w, p_face_e, faces, Cmat, interior_adv, interior_presa,
-                    interior_presb, wflux_pres_int):
-            wadv_faces = faces(wadv)
-            # Face-located division: west face of an element is the R side of
-            # its interface; east face is the L side of the next interface.
-            if faces is faces_x:
-                pres_w = wpres[..., :-1, :] / p_face_w
-                pres_e = wpres[..., 1:, :] / p_face_e
-            elif faces is faces_y:
-                pres_w = wpres[..., :-1, :, :] / p_face_w
-                pres_e = wpres[..., 1:, :, :] / p_face_e
-            else:
-                pres_w = wpres[..., :-1, :, :, :] / p_face_w
-                pres_e = wpres[..., 1:, :, :, :] / p_face_e
-            wpres_faces = jnp.concatenate([pres_w, pres_e], axis=-1)
-            logp_faces = jnp.concatenate([jnp.log(p_face_w), jnp.log(p_face_e)], axis=-1)
+        # --- 6. Boundary corrections, all three directions in two GEMMs.
+        # Per direction the face bundle stacks the nv interface-flux rows,
+        # the w advective flux and the w pressure-split flux (divided by the
+        # local face pressure, fluxes.py:215-217); the direction-concatenated
+        # bundle contracts against [Cx; Cy; Cz] into the x+y+z correction
+        # SUM. The face log-pressures (rhs_dfr.py:113-136) go through the
+        # block-diagonal [Cx, Cy, Cz] since each direction keeps its own
+        # sqrtG*h^{d3} factor.
+        def face_parts(f_itf, wadv, wpres, p_w, p_e, sl_w, sl_e, faces):
+            # Face-located division: the west face of an element is the R
+            # side of its interface; the east face is the L side of the next.
+            wpres_faces = jnp.concatenate([sl_w(wpres) / p_w, sl_e(wpres) / p_e], axis=-1)
+            logp_faces = jnp.concatenate([jnp.log(p_w), jnp.log(p_e)], axis=-1)
+            bundle = jnp.concatenate([faces(f_itf), faces(wadv[None]), wpres_faces[None]], axis=0)
+            return bundle, logp_faces
 
-            t_adv = interior_adv + wadv_faces @ Cmat
-            t_presa = (interior_presa + wpres_faces @ Cmat) * pressure
-            t_presb = (interior_presb + logp_faces @ Cmat) * pressure * wflux_pres_int
-            return t_adv + t_presa + t_presb
+        sxw = lambda a: a[..., :-1, :]
+        sxe = lambda a: a[..., 1:, :]
+        syw = lambda a: a[..., :-1, :, :]
+        sye = lambda a: a[..., 1:, :, :]
+        szw = lambda a: a[..., :-1, :, :, :]
+        sze = lambda a: a[..., 1:, :, :, :]
+        fb_x, lpf_x = face_parts(f_x, wadv_x, wpres_x, sxw(pRx), sxe(pLx), sxw, sxe, faces_x)
+        fb_y, lpf_y = face_parts(f_y, wadv_y, wpres_y, syw(pRy), sye(pLy), syw, sye, faces_y)
+        fb_z, lpf_z = face_parts(f_z, wadv_z, wpres_z, szw(pRz), sze(pLz), szw, sze, faces_z)
 
-        # Face pressures: R side of interface m is the west face of element m.
-        w_df1 = w_terms(wadv_x, wpres_x, pRx[..., :-1, :], pLx[..., 1:, :], faces_x, Cx,
-                        w_adv1, w_presa1, w_presb1, wflux_pres_x1)
-        w_df2 = w_terms(wadv_y, wpres_y, pRy[..., :-1, :, :], pLy[..., 1:, :, :], faces_y, Cy,
-                        w_adv2, w_presa2, w_presb2, wflux_pres_x2)
-        w_df3 = w_terms(wadv_z, wpres_z, pRz[..., :-1, :, :, :], pLz[..., 1:, :, :, :], faces_z, Cz,
-                        w_adv3, w_presa3, w_presb3, wflux_pres_x3)
+        corr = jnp.concatenate([fb_x, fb_y, fb_z], axis=-1) @ CC  # (nv+2, ..., s^3)
+        dlp = dlogp + jnp.concatenate([lpf_x, lpf_y, lpf_z], axis=-1) @ CCb  # (..., 3s^3)
 
-        df1 = df1 + faces_x(f_x) @ Cx
-        df2 = df2 + faces_y(f_y) @ Cy
-        df3 = df3 + faces_z(f_z) @ Cz
+        df = df_sum + corr[:nv]
+        s3_ = dlp.shape[-1] // 3
+        w_df = (
+            w_adv_sum
+            + corr[nv]
+            + (w_presa_interior + corr[nv + 1]) * pressure
+            + pressure
+            * (
+                wflux_pres_x1 * dlp[..., :s3_]
+                + wflux_pres_x2 * dlp[..., s3_ : 2 * s3_]
+                + wflux_pres_x3 * dlp[..., 2 * s3_ :]
+            )
+        )
 
-        out = -inv_sqrtG * (df1 + df2 + df3)
-        out = out.at[IDX_RHO_W].set(-inv_sqrtG * (w_df1 + w_df2 + w_df3))
+        out = -inv_sqrtG * df
+        out = out.at[IDX_RHO_W].set(-inv_sqrtG * w_df)
 
         # --- 7. Forcing: Christoffel/Coriolis contraction
         # (pde_euler_cubesphere.py:12-53) + filtered gravity (:279-281).

@@ -77,12 +77,14 @@ def make_rhs_shallow_water(
             interior = "pallas" if jax.default_backend() == "tpu" else "xla"
     use_pallas = interior == "pallas"
 
-    extrap_x = jnp.asarray(ops.extrap_x, dtype=dtype)
-    extrap_y = jnp.asarray(ops.extrap_z, dtype=dtype)  # x2 is the slow element axis
-    derivative_x = jnp.asarray(ops.derivative_x, dtype=dtype)
-    derivative_y = jnp.asarray(ops.derivative_z, dtype=dtype)
-    correction_we = jnp.asarray(ops.correction_WE, dtype=dtype)
-    correction_sn = jnp.asarray(ops.correction_DU, dtype=dtype)
+    # Fused operator blocks: both directions of each stage in ONE batched
+    # GEMM (x2 is the slow element axis, so the reference's "z" 1D lifts are
+    # this model's y operators). DD contracts the direction-concatenated
+    # fluxes straight into the x+y divergence sum; CC does the same for the
+    # boundary corrections.
+    EE = jnp.asarray(np.concatenate([ops.extrap_x, ops.extrap_z], axis=1), dtype=dtype)
+    DD = jnp.asarray(np.concatenate([ops.derivative_x, ops.derivative_z], axis=0), dtype=dtype)
+    CC = jnp.asarray(np.concatenate([ops.correction_WE, ops.correction_DU], axis=0), dtype=dtype)
 
     c = lambda a: jnp.asarray(a, dtype=dtype)
 
@@ -158,8 +160,9 @@ def make_rhs_shallow_water(
         # that the exchanged/jump quantity is continuous over topography.
         h_total = h + hsurf if topo is not None else h
         q_ext = jnp.stack([h_total, hu1, hu2])
-        itf_x = q_ext @ extrap_x  # (3, 6, ny, nx, 2s)
-        itf_y = q_ext @ extrap_y
+        itf = q_ext @ EE  # (3, 6, ny, nx, 4s)
+        itf_x = itf[..., : 2 * s]
+        itf_y = itf[..., 2 * s :]
 
         # 2. Halo exchange of the boundary traces (scalar h, vector momentum).
         h_halo = topology.halo_scalars(itf_x[IDX_H], itf_y[IDX_H])
@@ -190,8 +193,7 @@ def make_rhs_shallow_water(
                 sqrtG * (hu2 * u2 + 0.5 * GRAVITY * h22 * hsq),
             ]
         )
-        df1 = fx @ derivative_x
-        df2 = fy @ derivative_y
+        df = jnp.concatenate([fx, fy], axis=-1) @ DD  # x+y divergence sum
 
         # 4. Left/right states at every x1 interface (nx+1 per element row).
         qL_x = jnp.concatenate([halo_w, itf_x[..., s:].reshape(3, 6, ny, nx, s)], axis=-2)
@@ -213,8 +215,7 @@ def make_rhs_shallow_water(
         faces_x = jnp.concatenate([f_itf_x[..., :-1, :], f_itf_x[..., 1:, :]], axis=-1)  # (3,6,ny,nx,2s)
         faces_y = jnp.concatenate([f_itf_y[..., :-1, :, :], f_itf_y[..., 1:, :, :]], axis=-1)
 
-        df1 = df1 + faces_x @ correction_we
-        df2 = df2 + faces_y @ correction_sn
+        df = df + jnp.concatenate([faces_x, faces_y], axis=-1) @ CC
 
         # 6. Coriolis / Christoffel / topography-gradient forcing
         # (christoffel_1_22 and christoffel_2_11 vanish identically).
@@ -234,7 +235,7 @@ def make_rhs_shallow_water(
         )
         forcing = jnp.stack([jnp.zeros_like(forcing_1), forcing_1, forcing_2])
 
-        return inv_sqrtG * (-df1 - df2) - forcing
+        return inv_sqrtG * (-df) - forcing
 
     if not use_pallas or topo is not None:
         return rhs
