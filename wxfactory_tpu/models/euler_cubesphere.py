@@ -86,12 +86,32 @@ def make_rhs_euler_cubesphere(
     h = {(a, b): c(metric.h_contra[a, b]) for a in range(3) for b in range(3)}
     chr_ = c(metric.christoffel)  # (3, 9, ...)
 
-    sqrtG_ix = c(metric.sqrtG_itf_i)  # (6, nk, ny, nx+1, s^2)
-    sqrtG_jx = c(metric.sqrtG_itf_j)
-    sqrtG_kx = c(metric.sqrtG_itf_k)
-    h_ix = {(a, b): c(metric.h_contra_itf_i[a, b]) for a in range(3) for b in range(3)}
-    h_jx = {(a, b): c(metric.h_contra_itf_j[a, b]) for a in range(3) for b in range(3)}
-    h_kx = {(a, b): c(metric.h_contra_itf_k[a, b]) for a in range(3) for b in range(3)}
+    # Interface metric, concatenated over the three interface families so the
+    # Riemann stage runs as ONE vectorized pass over every interface of the
+    # grid (x: normal row h^{1*}, y: h^{2*}, z: h^{3*}).
+    _flat = lambda a: np.asarray(a, np.float64).reshape(-1, ss)
+    sg_cat = c(np.concatenate([_flat(metric.sqrtG_itf_i), _flat(metric.sqrtG_itf_j), _flat(metric.sqrtG_itf_k)]))
+    h_row_cat = tuple(
+        c(
+            np.concatenate(
+                [
+                    _flat(metric.h_contra_itf_i[0, k]),
+                    _flat(metric.h_contra_itf_j[1, k]),
+                    _flat(metric.h_contra_itf_k[2, k]),
+                ]
+            )
+        )
+        for k in range(3)
+    )
+    h_diag_cat = c(
+        np.concatenate(
+            [
+                _flat(metric.h_contra_itf_i[0, 0]),
+                _flat(metric.h_contra_itf_j[1, 1]),
+                _flat(metric.h_contra_itf_k[2, 2]),
+            ]
+        )
+    )
 
     # The interior derivative of the w pressure-split weight
     # sum_d (sqrtG*h^{d3}) @ D_d is state-independent: precompute it host-side
@@ -171,35 +191,26 @@ def make_rhs_euler_cubesphere(
             [log_rho[None], q[IDX_RHO_U1:IDX_RHO_THETA], log_rt[None], q[IDX_RHO_THETA + 1 :]]
         )
         itf = q_ext @ EE  # (nv, 6, nk, ny, nx, 6s^2)
-        lg = jnp.array([IDX_RHO, IDX_RHO_THETA])
-        itf = itf.at[lg].set(jnp.exp(itf[lg]))
+        itf = jnp.concatenate(
+            [
+                jnp.exp(itf[IDX_RHO : IDX_RHO + 1]),
+                itf[IDX_RHO_U1:IDX_RHO_THETA],
+                jnp.exp(itf[IDX_RHO_THETA : IDX_RHO_THETA + 1]),
+                itf[IDX_RHO_THETA + 1 :],
+            ]
+        )
         q_itf_i = itf[..., : 2 * ss]
         q_itf_j = itf[..., 2 * ss : 4 * ss]
         q_itf_k = itf[..., 4 * ss :]
 
-        # --- 2. Panel-edge halos: momentum as a 3-vector, the rest scalars.
-        scal_rows = [IDX_RHO, IDX_RHO_THETA] + list(range(5, nv))
-        scal_i = q_itf_i[jnp.array(scal_rows)]
-        scal_j = q_itf_j[jnp.array(scal_rows)]
-        h_scal = topology.halo_scalars_3d(scal_i, scal_j)
-        h_mom = topology.halo_vectors_3d(
-            q_itf_i[IDX_RHO_U1], q_itf_j[IDX_RHO_U1],
-            q_itf_i[IDX_RHO_U2], q_itf_j[IDX_RHO_U2],
-            q_itf_i[IDX_RHO_W], q_itf_j[IDX_RHO_W],
-        )
-
-        def halo_q(side):
-            """Assemble the full (nv, 6, nk, nh, s^2) halo state for a side."""
-            parts = [None] * nv
-            for k, row in enumerate(scal_rows):
-                parts[row] = h_scal[side][k]
-            parts[IDX_RHO_U1], parts[IDX_RHO_U2], parts[IDX_RHO_W] = h_mom[side]
-            return jnp.stack(parts)
-
-        halo_w_ = halo_q(WEST)
-        halo_e_ = halo_q(EAST)
-        halo_s_ = halo_q(SOUTH)
-        halo_n_ = halo_q(NORTH)
+        # --- 2. Panel-edge halos: one pooled exchange for the whole state;
+        # the horizontal momentum pair gets the 2x2 panel-basis rotation,
+        # everything else (rho, rho*w, rho*theta, tracers) passes through.
+        halo = topology.halo_state_3d(q_itf_i, q_itf_j, (IDX_RHO_U1, IDX_RHO_U2))
+        halo_s_ = halo[:, SOUTH]
+        halo_n_ = halo[:, NORTH]
+        halo_w_ = halo[:, WEST]
+        halo_e_ = halo[:, EAST]
 
         # --- 3+4. Pointwise fluxes (pde_euler_cubesphere.py:72-124) and
         # interior derivatives. The three directional flux families are
@@ -256,15 +267,29 @@ def make_rhs_euler_cubesphere(
         vL_z = jnp.concatenate([-w_bot[..., 0:1, :, :, :], w_top], axis=-4)
         vR_z = jnp.concatenate([w_bot, -w_top[..., -1:, :, :, :]], axis=-4)
 
-        f_x, wadv_x, wpres_x, pLx, pRx = rusanov(
-            qL_x, qR_x, vL_x, vR_x, sqrtG_ix, (h_ix[(0, 0)], h_ix[(0, 1)], h_ix[(0, 2)]), h_ix[(0, 0)], advection_only
+        # One merged Rusanov pass over all three interface families: flatten
+        # each family's grid dims, concatenate, solve, split back. Cuts the
+        # elementwise-op dispatch count of the Riemann stage by 3x; the
+        # concatenated interface metric is precomputed above.
+        xsh, ysh, zsh = qL_x.shape[1:], qL_y.shape[1:], qL_z.shape[1:]
+        NX = int(np.prod(xsh[:-1]))
+        NY = int(np.prod(ysh[:-1]))
+        fl = lambda a: a.reshape(a.shape[: a.ndim - 5] + (-1, ss))
+        qL = jnp.concatenate([fl(qL_x), fl(qL_y), fl(qL_z)], axis=-2)
+        qR = jnp.concatenate([fl(qR_x), fl(qR_y), fl(qR_z)], axis=-2)
+        vL = jnp.concatenate([fl(vL_x), fl(vL_y), fl(vL_z)], axis=-2)
+        vR = jnp.concatenate([fl(vR_x), fl(vR_y), fl(vR_z)], axis=-2)
+        f_c, wadv_c, wpres_c, pL_c, pR_c = rusanov(
+            qL, qR, vL, vR, sg_cat, h_row_cat, h_diag_cat, advection_only
         )
-        f_y, wadv_y, wpres_y, pLy, pRy = rusanov(
-            qL_y, qR_y, vL_y, vR_y, sqrtG_jx, (h_jx[(1, 0)], h_jx[(1, 1)], h_jx[(1, 2)]), h_jx[(1, 1)], advection_only
-        )
-        f_z, wadv_z, wpres_z, pLz, pRz = rusanov(
-            qL_z, qR_z, vL_z, vR_z, sqrtG_kx, (h_kx[(2, 0)], h_kx[(2, 1)], h_kx[(2, 2)]), h_kx[(2, 2)], advection_only
-        )
+        sx = lambda a: a[..., :NX, :].reshape(a.shape[: a.ndim - 2] + xsh)
+        sy = lambda a: a[..., NX : NX + NY, :].reshape(a.shape[: a.ndim - 2] + ysh)
+        sz = lambda a: a[..., NX + NY :, :].reshape(a.shape[: a.ndim - 2] + zsh)
+        f_x, f_y, f_z = sx(f_c), sy(f_c), sz(f_c)
+        wadv_x, wadv_y, wadv_z = sx(wadv_c), sy(wadv_c), sz(wadv_c)
+        wpres_x, wpres_y, wpres_z = sx(wpres_c), sy(wpres_c), sz(wpres_c)
+        pLx, pLy, pLz = sx(pL_c), sy(pL_c), sz(pL_c)
+        pRx, pRy, pRz = sx(pR_c), sy(pR_c), sz(pR_c)
 
         # --- 6. Boundary corrections, all three directions in two GEMMs.
         # Per direction the face bundle stacks the nv interface-flux rows,

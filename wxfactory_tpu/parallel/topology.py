@@ -318,6 +318,37 @@ class CubedSphereTopology:
         g = self.exchange_pool_3d(self._trace_pool_3d(itf_i, itf_j))
         return {d: g[..., d, :, :, :, :] for d in range(4)}
 
+    def halo_state_3d(
+        self, itf_i: jnp.ndarray, itf_j: jnp.ndarray, vec_rows: Tuple[int, int], covariant: bool = False
+    ) -> jnp.ndarray:
+        """Exchange ALL state rows in one pooled pass: itf_i/itf_j are
+        (nv, 6, nk, ny, nx, 2s^2) full interface arrays; rows `vec_rows`
+        form the horizontal vector pair and get the 2x2 panel-basis rotation,
+        every other row (scalars, vertical momentum, tracers) passes through
+        like a scalar. Returns (nv, 4, 6, nk, nh, s^2) in (S, N, W, E) side
+        order — one trace-pool extraction and one exchange for the whole
+        state instead of one per variable group."""
+        s = self.geom.num_solpts
+        nh = self.nel_h
+        a = self.exchange_pool_3d(self._trace_pool_3d(itf_i, itf_j))
+        conv = self._conv_cov_all if covariant else self._conv_contra_all
+        cc = np.asarray(conv).reshape(4, 6, nh, s, 2, 2)
+
+        def coef(i, j):
+            return jnp.asarray(cc[..., i, j][:, :, None, :, None, :], dtype=a.dtype)
+
+        r1, r2 = vec_rows
+        split = a.shape[1:-1] + (s, s)  # trailing s^2 split into (kz, kh)
+        v1 = a[r1].reshape(split)
+        v2 = a[r2].reshape(split)
+        b1 = (coef(0, 0) * v1 + coef(0, 1) * v2).reshape(a.shape[1:])
+        b2 = (coef(1, 0) * v1 + coef(1, 1) * v2).reshape(a.shape[1:])
+        lo, hi = min(r1, r2), max(r1, r2)
+        first, second = (b1, b2) if r1 < r2 else (b2, b1)
+        return jnp.concatenate(
+            [a[:lo], first[None], a[lo + 1 : hi], second[None], a[hi + 1 :]], axis=0
+        )
+
     def halo_vectors_3d(
         self,
         itf_i_1,
