@@ -69,3 +69,54 @@ def test_unsupported_shapes_fall_back_to_xla():
     q = jnp.asarray(williamson_case6(geom))
     rhs = make_rhs_shallow_water(geom, ops, metric, interior="pallas")
     assert np.isfinite(np.asarray(rhs(q))).all()
+
+
+def test_sw_fused_pipeline_kh_exchange_f64():
+    # nel=32 -> npts=128: the fused halo-exchange kernel (kh_exchange) is
+    # active; must still match the XLA reference exactly in f64.
+    _compare(32, 4, jnp.float64, 1e-12)
+
+
+def test_kh_exchange_matches_xla_exchange():
+    from wxfactory_tpu.ops import pallas_sw
+    from wxfactory_tpu.parallel.topology import CubedSphereTopology
+
+    nel, s = 32, 4
+    geom = make_cubed_sphere_2d(nel, s)
+    topo = CubedSphereTopology(geom)
+    npts = nel * s
+    rng = np.random.default_rng(7)
+    pool = jnp.asarray(rng.standard_normal((3, 4, 6, npts)))
+
+    ex = topo.exchange_pool(pool)
+    conv = jnp.asarray(topo._conv_contra_all, dtype=ex.dtype)
+    b1 = conv[..., 0, 0] * ex[1] + conv[..., 0, 1] * ex[2]
+    b2 = conv[..., 1, 0] * ex[1] + conv[..., 1, 1] * ex[2]
+    ref = np.asarray(jnp.stack([ex[0], b1, b2]))
+
+    hc = pallas_sw.build_halo_constants(topo, dtype=pool.dtype)
+    halo_we, hs, hn = pallas_sw.kh_exchange(pool, hc, interpret=True)
+    np.testing.assert_allclose(np.asarray(hs)[:, :, 0, :npts], ref[:, 0], atol=1e-13)
+    np.testing.assert_allclose(np.asarray(hn)[:, :, 0, :npts], ref[:, 1], atol=1e-13)
+    np.testing.assert_allclose(np.asarray(halo_we)[:, 0], ref[:, 2], atol=1e-13)
+    np.testing.assert_allclose(np.asarray(halo_we)[:, 1], ref[:, 3], atol=1e-13)
+
+
+def test_packed_stage_matches_explicit_axpy():
+    # The fused TVD-RK stage (a*x + b*y + cdt*RHS(y) inside K2) must equal
+    # the explicit XLA combination of the same pieces.
+    nel, s = 16, 4
+    geom = make_cubed_sphere_2d(nel, s)
+    ops = make_dfr_operators(s)
+    metric = make_metric_2d(geom)
+    rhs = make_rhs_shallow_water(geom, ops, metric, interior="pallas")
+    q = rhs.pack(jnp.asarray(williamson_case6(geom)))
+    dt = jnp.asarray(30.0, q.dtype)
+
+    q1 = rhs.packed_stage(q, q, 0.0, 1.0, dt)
+    ref1 = q + dt * rhs.packed(q)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(ref1), rtol=1e-13)
+
+    q2 = rhs.packed_stage(q, q1, 0.75, 0.25, 0.25 * dt)
+    ref2 = 0.75 * q + 0.25 * q1 + 0.25 * dt * rhs.packed(q1)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(ref2), rtol=1e-13)

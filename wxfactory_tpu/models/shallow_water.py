@@ -256,57 +256,86 @@ def make_rhs_shallow_water(
     rpr = nel // pallas_sw.G8
     npts = nel * s
     interp = jax.default_backend() != "tpu"
+    # Fused halo-exchange kernel needs lane-tiled edges; other sizes keep
+    # the XLA exchange (one-hot matmuls, ~20 us/RHS of fixed op overhead).
+    halo_consts = pallas_sw.build_halo_constants(topology, dtype=dtype) if npts % 128 == 0 else None
 
-    def rhs_packed(qp: jnp.ndarray) -> jnp.ndarray:
-        """RHS on the packed (3, R, 128) layout — the fast path. All XLA ops
-        between the two kernels touch only KB-sized edge arrays."""
-        df, tr = pallas_sw.k1_element_local(qp, consts.fields, consts.eexy, consts.dd, interpret=interp)
+    npl = -(-npts // 128) * 128
 
-        # Outgoing boundary traces (S, N, W, E), sliced straight out of the
-        # packed trace layout.
-        v = tr.reshape(3, 6, nel, rpr, 128)
-        west = v[:, :, :, 0, 0:s].reshape(3, 6, npts)
-        east = v[:, :, :, rpr - 1, 64 - s : 64].reshape(3, 6, npts)
-        south = v[:, :, 0, :, 64:128].reshape(3, 6, rpr, 8, 2, s)[..., 0, :].reshape(3, 6, npts)
-        north = v[:, :, nel - 1, :, 64:128].reshape(3, 6, rpr, 8, 2, s)[..., 1, :].reshape(3, 6, npts)
+    def _halo_arrays(qp):
+        """K1 + the panel-edge halo stage: returns (df, hwe, hs, hn)."""
+        df, we, ssl, nsl = pallas_sw.k1_element_local(
+            qp, consts.fields, consts.eexy, consts.dd, rpr=rpr, interpret=interp
+        )
+
+        # Outgoing boundary traces (S, N, W, E) from K1's small edge slabs —
+        # every slice below touches a <=100 KB array (slicing the big trace
+        # array instead costs ~43 us/RHS in relayout copies).
+        west = we[:, :, 0:s].reshape(3, 6, npts)
+        east = we[:, :, 64 - s : 64].reshape(3, 6, npts)
+        block = 256 if rows % 256 == 0 else rows  # mirrors k1's block choice
+        bpp = max(1, (rows // 6) // block)  # K1 blocks per panel
+        sv = ssl.reshape(3, -1, rpr, 128)[:, ::bpp, :, 64:]
+        nv = nsl.reshape(3, -1, rpr, 128)[:, bpp - 1 :: bpp, :, 64:]
+        south = sv.reshape(3, 6, rpr, 8, 2, s)[..., 0, :].reshape(3, 6, npts)
+        north = nv.reshape(3, 6, rpr, 8, 2, s)[..., 1, :].reshape(3, 6, npts)
         pool = jnp.stack([south, north, west, east], axis=1)  # (3, 4, 6, npts)
 
-        # One batched exchange for all three variables (a single 24-row
-        # permutation matmul + reversal + select), then the 2x2 panel-basis
-        # rotation applied to the momentum components — every small op here
-        # costs ~1-5 us of fixed TPU overhead, so op count matters more than
-        # bytes.
-        ex = topology.exchange_pool(pool)  # (3, 4, 6, npts)
-        conv = jnp.asarray(topology._conv_contra_all, dtype=ex.dtype)
-        b1 = conv[..., 0, 0] * ex[IDX_HU1] + conv[..., 0, 1] * ex[IDX_HU2]
-        b2 = conv[..., 1, 0] * ex[IDX_HU1] + conv[..., 1, 1] * ex[IDX_HU2]
-        halo = jnp.stack([ex[IDX_H], b1, b2])  # (3, 4, 6, npts)
+        # One batched exchange for all three variables, plus the 2x2
+        # panel-basis rotation of the momenta — as a single tiny Pallas
+        # kernel when the edge length is lane-tiled, else as XLA one-hot
+        # matmuls (every small XLA op costs ~2 us of fixed TPU overhead).
+        if halo_consts is not None:
+            halo_we, hs, hn = pallas_sw.kh_exchange(pool, halo_consts, interpret=interp)
+            hw = halo_we[:, 0].reshape(3, 6, nel, 1, s)
+            he = halo_we[:, 1].reshape(3, 6, nel, 1, s)
+        else:
+            ex = topology.exchange_pool(pool)  # (3, 4, 6, npts)
+            conv = jnp.asarray(topology._conv_contra_all, dtype=ex.dtype)
+            b1 = conv[..., 0, 0] * ex[IDX_HU1] + conv[..., 0, 1] * ex[IDX_HU2]
+            b2 = conv[..., 1, 0] * ex[IDX_HU1] + conv[..., 1, 1] * ex[IDX_HU2]
+            halo = jnp.stack([ex[IDX_H], b1, b2])  # (3, 4, 6, npts)
+            hw = halo[:, WEST].reshape(3, 6, nel, 1, s)
+            he = halo[:, EAST].reshape(3, 6, nel, 1, s)
+            edge_pad = ((0, 0), (0, 0), (0, 0), (0, npl - npts))
+            hs = jnp.pad(halo[:, SOUTH].reshape(3, 6, 1, npts), edge_pad)
+            hn = jnp.pad(halo[:, NORTH].reshape(3, 6, 1, npts), edge_pad)
 
-        # Pack the received traces into the small arrays K2 expands in VMEM.
-        hw = halo[:, WEST].reshape(3, 6, nel, 1, s)
-        he = halo[:, EAST].reshape(3, 6, nel, 1, s)
+        # West/east halo rows for K2 (minor-dim pads only).
         hwe = (
             jnp.pad(hw, ((0, 0), (0, 0), (0, 0), (0, 31), (0, 0)))
             + jnp.pad(he, ((0, 0), (0, 0), (0, 0), (15, 16), (0, 0)))
         ).reshape(3, 6 * nel, 128)
-        # South/north edges go in as one flat lane-padded row per panel
-        # ((3, 6, 8, npl) with data in row 0); K2 windows and spreads them
-        # onto the trace-layout slots in VMEM. Strictly minor-dim pads only —
-        # no lane/sublane restructuring on the host side.
-        npl = -(-npts // 128) * 128
-        edge_pad = ((0, 0), (0, 0), (0, 7), (0, npl - npts))
-        hs = jnp.pad(halo[:, SOUTH].reshape(3, 6, 1, npts), edge_pad)
-        hn = jnp.pad(halo[:, NORTH].reshape(3, 6, 1, npts), edge_pad)
+        return df, hwe, hs, hn
 
+    def rhs_packed(qp: jnp.ndarray) -> jnp.ndarray:
+        """RHS on the packed (3, R, 128) layout — the fast path. All XLA ops
+        between the kernels touch only KB-sized edge arrays."""
+        df, hwe, hs, hn = _halo_arrays(qp)
         return pallas_sw.k2_interface(
-            tr, hwe, hs, hn, consts.m_sg, consts.m_hd, consts.m_ho,
-            df, consts.fields[13], consts.wmat, consts.spread, rpr=rpr, interpret=interp,
+            qp, hwe, hs, hn, consts.m_sg, consts.m_hd, consts.m_ho,
+            df, consts.fields[12], consts.wmat, consts.spread, consts.eexy,
+            rpr=rpr, interpret=interp,
+        )
+
+    def packed_stage(x, y, a: float, b: float, cdt) -> jnp.ndarray:
+        """One fused TVD-RK stage on packed states: a*x + b*y + cdt*RHS(y).
+        The stage combination runs inside K2's VMEM, so a full RK step has
+        zero XLA-level state axpys (reference integrators/tvdrk.py
+        semantics)."""
+        df, hwe, hs, hn = _halo_arrays(y)
+        return pallas_sw.k2_interface(
+            y, hwe, hs, hn, consts.m_sg, consts.m_hd, consts.m_ho,
+            df, consts.fields[12], consts.wmat, consts.spread, consts.eexy,
+            rpr=rpr, x=x, cdt=cdt, stage_a=float(a), stage_b=float(b),
+            interpret=interp,
         )
 
     def rhs_pallas(q: jnp.ndarray) -> jnp.ndarray:
         return rhs_packed(q.reshape(3, rows, 128)).reshape(q.shape)
 
     rhs_pallas.packed = rhs_packed
+    rhs_pallas.packed_stage = packed_stage
     rhs_pallas.pack = lambda q: q.reshape(3, rows, 128)
     rhs_pallas.unpack = lambda qp: qp.reshape(3, 6, nel, nel, s * s)
     return rhs_pallas

@@ -65,7 +65,7 @@ def supported(num_solpts: int, nel: int, dtype) -> bool:
 class SWConstants(NamedTuple):
     """Trace-time constants for the fused kernels (all device arrays)."""
 
-    fields: tuple  # 14 packed metric fields (R, 128) for K1
+    fields: tuple  # 13 packed metric fields (R, 128) for K1 (H21 == H12 shared)
     eexy: jnp.ndarray  # (128, 128) fused [extrap_x | extrap_y] block-diag
     dd: jnp.ndarray  # (256, 128) stacked block-diag [Dx ; Dy]
     m_sg: jnp.ndarray  # (R, 128) interface sqrt(g) in trace layout
@@ -98,12 +98,14 @@ def build_constants(ops, metric, nel: int, dtype=jnp.float32) -> SWConstants:
         axis=0,
     )  # (256, 128)
 
+    # H^21 == H^12 (symmetric metric tensor): read it once — K1 is
+    # HBM-bound on these constants, so every dropped field is ~2 us/RHS.
     packed = lambda a: np.asarray(a, np.float64).reshape(rows, LANES)
     fields = tuple(
         jnp.asarray(packed(a), dtype=dtype)
         for a in (
             metric.sqrtG, metric.H_contra_11, metric.H_contra_12,
-            metric.H_contra_21, metric.H_contra_22,
+            metric.H_contra_22,
             metric.christoffel_1_01, metric.christoffel_1_02,
             metric.christoffel_2_01, metric.christoffel_2_02,
             metric.christoffel_1_11, metric.christoffel_1_12,
@@ -169,111 +171,268 @@ def build_constants(ops, metric, nel: int, dtype=jnp.float32) -> SWConstants:
 # divergence, forcing). One block of packed rows per program.
 
 
-def _k1_kernel(
-    q_ref,
-    sqrtg_ref, h11_ref, h12_ref, h21_ref, h22_ref,
-    c101_ref, c102_ref, c201_ref, c202_ref,
-    c111_ref, c112_ref, c212_ref, c222_ref,
-    invsg_ref, eexy_ref, dd_ref,
-    df_ref, tr_ref,
-):
-    h = q_ref[0]
-    hu1 = q_ref[1]
-    hu2 = q_ref[2]
-    sqrtg = sqrtg_ref[...]
-    u1 = hu1 / h
-    u2 = hu2 / h
-    hsq = h * h
-    half_g = 0.5 * GRAVITY
+def _make_k1(block: int, rpr: int, prows: int):
+    """K1 kernel body for blocks of `block` packed rows (`rpr` position-rows
+    per element-grid row, `prows` rows per panel).
 
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=df_ref.dtype)
-    eexy = eexy_ref[...]
-    dd = dd_ref[...]
+    Besides df/tr it emits the tiny edge slabs the halo glue needs, so the
+    XLA stage never slices (and relayouts) the big trace array — profiled at
+    ~43 us/RHS, nearly the cost of both kernels combined:
+      * ``we``: one row per element-grid row with the west boundary-face
+        trace at lanes 0..s-1 and the east one at lanes 64-s..63 (their
+        native trace lanes). Row compaction is an exact one-hot GEMM.
+      * ``s``/``n``: the block's first/last `rpr` trace rows (the panel
+        south/north edge rows when the block borders a panel) in native
+        layout; mid-panel blocks emit junk rows the glue never reads.
+    """
+    gy = block // rpr  # element-grid rows per block
+    ppb = max(1, block // prows)  # panels per block (>=1 only for tiny grids)
 
-    # Both directions' face traces in one GEMM per variable.
-    tr_ref[0] = mm(h, eexy)
-    tr_ref[1] = mm(hu1, eexy)
-    tr_ref[2] = mm(hu2, eexy)
+    def kernel(
+        q_ref,
+        sqrtg_ref, h11_ref, h12_ref, h22_ref,
+        c101_ref, c102_ref, c201_ref, c202_ref,
+        c111_ref, c112_ref, c212_ref, c222_ref,
+        invsg_ref, eexy_ref, dd_ref, lw_ref, le_ref,
+        df_ref, we_ref, s_ref, n_ref,
+    ):
+        h = q_ref[0]
+        hu1 = q_ref[1]
+        hu2 = q_ref[2]
+        sqrtg = sqrtg_ref[...]
+        u1 = hu1 / h
+        u2 = hu2 / h
+        hsq = h * h
+        half_g = 0.5 * GRAVITY
 
-    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
-    div0 = mm(cat(sqrtg * hu1, sqrtg * hu2), dd)
-    div1 = mm(
-        cat(
-            sqrtg * (hu1 * u1 + half_g * h11_ref[...] * hsq),
-            sqrtg * (hu1 * u2 + half_g * h12_ref[...] * hsq),
-        ),
-        dd,
-    )
-    div2 = mm(
-        cat(
-            sqrtg * (hu2 * u1 + half_g * h21_ref[...] * hsq),
-            sqrtg * (hu2 * u2 + half_g * h22_ref[...] * hsq),
-        ),
-        dd,
-    )
+        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=df_ref.dtype)
+        eexy = eexy_ref[...]
+        dd = dd_ref[...]
 
-    forcing_1 = (
-        2.0 * (c101_ref[...] * hu1 + c102_ref[...] * hu2)
-        + c111_ref[...] * hu1 * u1
-        + 2.0 * c112_ref[...] * hu1 * u2
-    )
-    forcing_2 = (
-        2.0 * (c201_ref[...] * hu1 + c202_ref[...] * hu2)
-        + 2.0 * c212_ref[...] * hu1 * u2
-        + c222_ref[...] * hu2 * u2
-    )
-    invsg = invsg_ref[...]
-    df_ref[0] = -invsg * div0
-    df_ref[1] = -invsg * div1 - forcing_1
-    df_ref[2] = -invsg * div2 - forcing_2
+        # Both directions' face traces in one GEMM per variable. Only the
+        # edge slabs leave the kernel — K2 recomputes the interior traces
+        # from q in VMEM (the GEMM is free next to the saved HBM round-trip
+        # of the full (3, R, 128) trace array).
+        traces = (mm(h, eexy), mm(hu1, eexy), mm(hu2, eexy))
+
+        # West/east edge rows: compact rows rmod==0 / rmod==rpr-1 with the
+        # one-hot matrices, keep each face's values at its native lanes.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (gy, LANES), 1)
+        wmask = lane < S
+        emask = (lane >= 64 - S) & (lane < 64)
+        lw = lw_ref[...]
+        le = le_ref[...]
+        for v in range(3):
+            we_ref[v] = jnp.where(wmask, mm(lw, traces[v]), 0.0) + jnp.where(
+                emask, mm(le, traces[v]), 0.0
+            )
+
+        # South/north edge slabs (static slices of the VMEM trace block).
+        for v in range(3):
+            if ppb == 1:
+                s_ref[v] = traces[v][0:rpr]
+                n_ref[v] = traces[v][block - rpr : block]
+            else:
+                s_ref[v] = jnp.concatenate(
+                    [traces[v][j * prows : j * prows + rpr] for j in range(ppb)], axis=0
+                )
+                n_ref[v] = jnp.concatenate(
+                    [traces[v][(j + 1) * prows - rpr : (j + 1) * prows] for j in range(ppb)], axis=0
+                )
+
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+        div0 = mm(cat(sqrtg * hu1, sqrtg * hu2), dd)
+        div1 = mm(
+            cat(
+                sqrtg * (hu1 * u1 + half_g * h11_ref[...] * hsq),
+                sqrtg * (hu1 * u2 + half_g * h12_ref[...] * hsq),
+            ),
+            dd,
+        )
+        div2 = mm(
+            cat(
+                sqrtg * (hu2 * u1 + half_g * h12_ref[...] * hsq),
+                sqrtg * (hu2 * u2 + half_g * h22_ref[...] * hsq),
+            ),
+            dd,
+        )
+
+        forcing_1 = (
+            2.0 * (c101_ref[...] * hu1 + c102_ref[...] * hu2)
+            + c111_ref[...] * hu1 * u1
+            + 2.0 * c112_ref[...] * hu1 * u2
+        )
+        forcing_2 = (
+            2.0 * (c201_ref[...] * hu1 + c202_ref[...] * hu2)
+            + 2.0 * c212_ref[...] * hu1 * u2
+            + c222_ref[...] * hu2 * u2
+        )
+        invsg = invsg_ref[...]
+        df_ref[0] = -invsg * div0
+        df_ref[1] = -invsg * div1 - forcing_1
+        df_ref[2] = -invsg * div2 - forcing_2
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def k1_element_local(q, fields, eexy, dd, block: int = 256, interpret: bool = False):
-    """q: (3, R, 128) packed f32 state. Returns (df, tr): each (3, R, 128);
-    tr is the fused [x|y] face-trace array feeding the halo + K2 stages."""
+@functools.partial(jax.jit, static_argnames=("rpr", "block", "interpret"))
+def k1_element_local(q, fields, eexy, dd, rpr: int, block: int = 256, interpret: bool = False):
+    """q: (3, R, 128) packed f32 state. Returns (df, we, s, n):
+    df (3, R, 128) interior divergence + forcing; we (3, R/rpr, 128)
+    west/east boundary traces per element-grid row (native lanes 0..s-1 /
+    64-s..63); s/n (3, nblocks*ppb*rpr, 128) first/last-`rpr`-row slabs per
+    block (panel south/north edges live at slab index
+    p*max(1, prows//block) and p*bpp + bpp - 1 respectively)."""
     rows = q.shape[1]
     nblocks = (rows + block - 1) // block
     if rows % block:
         block = rows  # small grids: single block
         nblocks = 1
+    prows = rows // 6
+    assert block % rpr == 0 and (block % prows == 0 or prows % block == 0)
+    gy = block // rpr
+    ppb = max(1, block // prows)
+
+    lw = np.zeros((gy, block), np.float64)
+    le = np.zeros((gy, block), np.float64)
+    for y in range(gy):
+        lw[y, y * rpr] = 1.0
+        le[y, y * rpr + rpr - 1] = 1.0
+    lw = jnp.asarray(lw, dtype=q.dtype)
+    le = jnp.asarray(le, dtype=q.dtype)
 
     zero = np.int32(0)
     fld = lambda: pl.BlockSpec((block, LANES), lambda i: (i, zero))
     st3 = lambda: pl.BlockSpec((3, block, LANES), lambda i: (zero, i, zero))
+    sm3 = lambda r: pl.BlockSpec((3, r, LANES), lambda i: (zero, i, zero))
     outs = pl.pallas_call(
-        _k1_kernel,
+        _make_k1(block, rpr, prows),
         grid=(nblocks,),
         in_specs=[st3()]
-        + [fld() for _ in range(14)]
+        + [fld() for _ in range(13)]
         + [
             pl.BlockSpec((LANES, LANES), lambda i: (zero, zero)),
             pl.BlockSpec((2 * LANES, LANES), lambda i: (zero, zero)),
+            pl.BlockSpec((gy, block), lambda i: (zero, zero)),
+            pl.BlockSpec((gy, block), lambda i: (zero, zero)),
         ],
-        out_specs=[st3()] * 2,
-        out_shape=[jax.ShapeDtypeStruct((3, rows, LANES), q.dtype)] * 2,
+        out_specs=[st3(), sm3(gy), sm3(ppb * rpr), sm3(ppb * rpr)],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, rows, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, nblocks * gy, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, nblocks * ppb * rpr, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, nblocks * ppb * rpr, LANES), q.dtype),
+        ],
         interpret=interpret,
-    )(q, *fields, eexy, dd)
-    return outs[0], outs[1]
+    )(q, *fields, eexy, dd, lw, le)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# KH: the panel-edge halo exchange as one tiny kernel. The XLA version
+# (topology.exchange_pool + the 2x2 rotation) is ~11 small HLO ops at ~2 us
+# fixed cost each (~20 us/RHS); in VMEM the same one-hot matmuls and
+# elementwise combines cost ~2 us total.
+
+
+class HaloConstants(NamedTuple):
+    """Constant tables for the fused halo-exchange kernel."""
+
+    perm72: jnp.ndarray  # (72, 72) block-diag neighbor permutation x 3 vars
+    rev: jnp.ndarray  # (npts, npts) edge-reversal one-hot
+    flip: jnp.ndarray  # (72, 1) 1.0 where the received edge is flipped
+    conv: jnp.ndarray  # (4, 24, npts) stacked 2x2 contravariant rotation
+
+
+def build_halo_constants(topology, dtype=jnp.float32) -> HaloConstants:
+    """Precompute the KH tables from a CubedSphereTopology (host-side)."""
+    npts = topology.num_points
+    perm = np.zeros((24, 24))
+    perm[np.arange(24), topology._edge_src] = 1.0
+    perm72 = np.kron(np.eye(3), perm)
+    rev = np.eye(npts)[::-1].copy()
+    flip = np.tile(topology._flip_mask.astype(np.float64), 3)[:, None]
+    cc = topology._conv_contra_all  # (4, 6, npts, 2, 2)
+    conv = np.stack(
+        [cc[..., 0, 0], cc[..., 0, 1], cc[..., 1, 0], cc[..., 1, 1]]
+    ).reshape(4, 24, npts)
+    c = lambda a: jnp.asarray(a, dtype=dtype)
+    return HaloConstants(c(perm72), c(rev), c(flip), c(conv))
+
+
+def _make_kh(npts: int, npl: int):
+    def kernel(pool_ref, perm_ref, rev_ref, flip_ref, conv_ref, we_ref, hs_ref, hn_ref):
+        flat = pool_ref[...].reshape(72, npts)
+        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=flat.dtype)
+        ex = mm(perm_ref[...], flat)
+        flipped = mm(ex, rev_ref[...])
+        m = flip_ref[...]
+        ex = m * flipped + (1.0 - m) * ex
+        conv = conv_ref[...]
+        a1 = ex[24:48]
+        a2 = ex[48:72]
+        b1 = conv[0] * a1 + conv[1] * a2
+        b2 = conv[2] * a1 + conv[3] * a2
+        halo = jnp.concatenate([ex[0:24], b1, b2], axis=0)  # (72, npts) v-major
+
+        cat = lambda slabs: jnp.concatenate(slabs, axis=0)
+        pad = lambda a: (
+            a if npl == npts else jnp.concatenate([a, jnp.zeros((a.shape[0], npl - npts), a.dtype)], axis=-1)
+        )
+        hs_ref[...] = pad(cat([halo[v * 24 : v * 24 + 6] for v in range(3)])).reshape(3, 6, 1, npl)
+        hn_ref[...] = pad(cat([halo[v * 24 + 6 : v * 24 + 12] for v in range(3)])).reshape(3, 6, 1, npl)
+        we_ref[...] = cat([halo[v * 24 + 12 : v * 24 + 24] for v in range(3)]).reshape(3, 2, 6, npts)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kh_exchange(pool, hc: HaloConstants, interpret: bool = False):
+    """pool: (3, 4, 6, npts) outgoing traces in (S, N, W, E) side order.
+    Applies the neighbor permutation, edge flips and the momentum 2x2
+    panel-basis rotation (= topology.exchange_pool + rotation; reference
+    process_topology.py start_exchange_* semantics) and emits K2-ready
+    arrays: halo_we (3, 2, 6, npts) [west, east], hs/hn (3, 6, 1, npl)
+    flat lane-padded south/north rows."""
+    npts = pool.shape[-1]
+    npl = -(-npts // 128) * 128
+    return pl.pallas_call(
+        _make_kh(npts, npl),
+        out_shape=[
+            jax.ShapeDtypeStruct((3, 2, 6, npts), pool.dtype),
+            jax.ShapeDtypeStruct((3, 6, 1, npl), pool.dtype),
+            jax.ShapeDtypeStruct((3, 6, 1, npl), pool.dtype),
+        ],
+        interpret=interpret,
+    )(pool.reshape(3, 24, npts), hc.perm72, hc.rev, hc.flip, hc.conv)
 
 
 # ---------------------------------------------------------------------------
 # K2: the whole interface stage, one panel per program.
 
 
-def _make_k2(rpr: int, prows: int):
+def _make_k2(rpr: int, prows: int, stage_a: float = None, stage_b: float = None):
     """Build the K2 kernel body for a panel of `prows` packed rows with
-    `rpr` position-rows per element-grid row."""
+    `rpr` position-rows per element-grid row. With stage coefficients the
+    kernel also applies one TVD-RK stage combination in VMEM
+    (o = a*x + b*y + cdt*RHS), so no XLA-level state axpys remain in a
+    time step."""
 
     half_g = 0.5 * GRAVITY
     _i32 = lambda v: np.int32(v)
+    with_stage = stage_a is not None
 
-    def kernel(
-        tr_ref, hwe_ref, hs_ref, hn_ref,
-        msg_ref, mhd_ref, mho_ref,
-        df_ref, invsg_ref, wmat_ref, spread_ref,
-        o_ref,
-    ):
+    def kernel(*refs):
+        if with_stage:
+            (q_ref, hwe_ref, hs_ref, hn_ref,
+             msg_ref, mhd_ref, mho_ref,
+             df_ref, invsg_ref, wmat_ref, spread_ref, eexy_ref,
+             x_ref, cdt_ref, o_ref) = refs
+        else:
+            (q_ref, hwe_ref, hs_ref, hn_ref,
+             msg_ref, mhd_ref, mho_ref,
+             df_ref, invsg_ref, wmat_ref, spread_ref, eexy_ref,
+             o_ref) = refs
         shape = (prows, LANES)
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -287,7 +446,11 @@ def _make_k2(rpr: int, prows: int):
         north_slot = (~is_x) & (~h1) & (row >= prows - rpr)
         edge_h2 = east_slot | north_slot
 
-        A = (tr_ref[0], tr_ref[1], tr_ref[2])
+        # Recompute both directions' face traces from q in VMEM (K1 no
+        # longer round-trips the full trace array through HBM).
+        eexy = eexy_ref[...]
+        mmt = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
+        A = (mmt(q_ref[0], eexy), mmt(q_ref[1], eexy), mmt(q_ref[2], eexy))
 
         # Expand the small halo arrays to full panel shape in VMEM. hwe
         # (nel, 128) carries west (lanes 0..3) and east (60..63) values of one
@@ -314,8 +477,8 @@ def _make_k2(rpr: int, prows: int):
 
         E = tuple(
             jnp.repeat(hwe_ref[i], rpr, axis=0)
-            + expand_sn(hs_ref[i, 0, 0:1, :], False)
-            + expand_sn(hn_ref[i, 0, 0:1, :], True)
+            + expand_sn(hs_ref[i, 0], False)
+            + expand_sn(hn_ref[i, 0], True)
             for i in range(3)
         )
 
@@ -375,21 +538,32 @@ def _make_k2(rpr: int, prows: int):
         wmat = wmat_ref[...]
         invsg = invsg_ref[...]
         mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
-        o_ref[0] = df_ref[0] - invsg * mm(faces(f[0]), wmat)
-        o_ref[1] = df_ref[1] - invsg * mm(faces(f[1]), wmat)
-        o_ref[2] = df_ref[2] - invsg * mm(faces(f[2]), wmat)
+        if with_stage:
+            cdt = cdt_ref[0, 0]
+            for v in range(3):
+                rhs_v = df_ref[v] - invsg * mm(faces(f[v]), wmat)
+                o_ref[v] = stage_a * x_ref[v] + stage_b * q_ref[v] + cdt * rhs_v
+        else:
+            for v in range(3):
+                o_ref[v] = df_ref[v] - invsg * mm(faces(f[v]), wmat)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rpr", "interpret"))
-def k2_interface(tr, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread, rpr: int, interpret: bool = False):
-    """tr/df: (3, R, 128); hwe: (3, 6*nel, 128) west+east halo values placed
-    at lanes 0..3 / 60..63 per element-grid row; hs/hn: (3, 6, 8, npl) with
-    the flat lane-padded south/north halo edge of each panel in row [.,.,0,:]
-    (npl = ceil(nel*s/128)*128); metric/invsg: (R, 128). Returns the final
-    RHS in the packed layout (3, R, 128)."""
-    rows = tr.shape[1]
+@functools.partial(jax.jit, static_argnames=("rpr", "stage_a", "stage_b", "interpret"))
+def k2_interface(
+    qp, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread, eexy,
+    rpr: int, x=None, cdt=None, stage_a: float = None, stage_b: float = None,
+    interpret: bool = False,
+):
+    """qp/df: (3, R, 128) packed state / K1 interior update; hwe:
+    (3, 6*nel, 128) west+east halo values placed at lanes 0..3 / 60..63 per
+    element-grid row; hs/hn: (3, 6, 1, npl) flat lane-padded south/north
+    halo edge per panel (npl = ceil(nel*s/128)*128); metric/invsg: (R, 128).
+    Returns the RHS in the packed layout (3, R, 128), or — when the stage
+    coefficients are given — one fused TVD-RK stage combination
+    ``stage_a*x + stage_b*qp + cdt*RHS(qp)``."""
+    rows = qp.shape[1]
     prows = rows // 6
     nel = hwe.shape[1] // 6
     npl = hs.shape[-1]
@@ -397,14 +571,23 @@ def k2_interface(tr, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread, rpr
     pan3 = lambda: pl.BlockSpec((3, prows, LANES), lambda i: (zero, i, zero))
     pan = lambda: pl.BlockSpec((prows, LANES), lambda i: (i, zero))
     small3 = lambda r: pl.BlockSpec((3, r, LANES), lambda i: (zero, i, zero))
-    edge = lambda: pl.BlockSpec((3, 1, 8, npl), lambda i: (zero, i, zero, zero))
+    edge = lambda: pl.BlockSpec((3, 1, 1, npl), lambda i: (zero, i, zero, zero))
     const = lambda: pl.BlockSpec((LANES, LANES), lambda i: (zero, zero))
+    with_stage = stage_a is not None
+    in_specs = [pan3(), small3(nel), edge(), edge(), pan(), pan(), pan(), pan3(), pan(), const(), const(), const()]
+    args = [qp, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread, eexy]
+    if with_stage:
+        in_specs += [
+            pan3(),
+            pl.BlockSpec((1, 1), lambda i: (zero, zero), memory_space=pltpu.SMEM),
+        ]
+        args += [x, jnp.asarray(cdt, dtype=qp.dtype).reshape(1, 1)]
     outs = pl.pallas_call(
-        _make_k2(rpr, prows),
+        _make_k2(rpr, prows, stage_a, stage_b),
         grid=(6,),
-        in_specs=[pan3(), small3(nel), edge(), edge(), pan(), pan(), pan(), pan3(), pan(), const(), const()],
+        in_specs=in_specs,
         out_specs=[pan3()],
-        out_shape=[jax.ShapeDtypeStruct((3, rows, LANES), tr.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((3, rows, LANES), qp.dtype)],
         interpret=interpret,
-    )(tr, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread)
+    )(*args)
     return outs[0]
