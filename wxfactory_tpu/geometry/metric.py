@@ -55,6 +55,18 @@ class Metric2D:
 
     coriolis_f: np.ndarray
 
+    # Factored form of the time Christoffels: christoffel_a_0b ==
+    # coriolis_factor_a_0b * gridrot, where the factor is identical on all
+    # six panels (pure geometry) and ``gridrot`` carries the entire
+    # panel/rotation dependence (metric.py:93-99). The fused TPU kernels
+    # exploit this to read 13 single-panel constants + one full field
+    # instead of 13 full fields.
+    gridrot: np.ndarray
+    coriolis_factor_1_01: np.ndarray
+    coriolis_factor_1_02: np.ndarray
+    coriolis_factor_2_01: np.ndarray
+    coriolis_factor_2_02: np.ndarray
+
 
 def make_metric_2d(geom: CubedSphere2D) -> Metric2D:
     """All metric quantities in closed form from the gnomonic coordinates
@@ -93,10 +105,14 @@ def make_metric_2d(geom: CubedSphere2D) -> Metric2D:
     gridrot = np.sin(lat_p) - X * np.cos(lat_p) * np.sin(angle_p) + Y * np.cos(lat_p) * np.cos(angle_p)
     omega = geom.rotation_speed
 
-    chr_1_01 = omega * X * Y / d2 * gridrot
-    chr_1_02 = -omega * (1.0 + Y**2) / d2 * gridrot
-    chr_2_01 = omega * (1.0 + X**2) / d2 * gridrot
-    chr_2_02 = -omega * X * Y / d2 * gridrot
+    cf_1_01 = omega * X * Y / d2
+    cf_1_02 = -omega * (1.0 + Y**2) / d2
+    cf_2_01 = omega * (1.0 + X**2) / d2
+    cf_2_02 = -omega * X * Y / d2
+    chr_1_01 = cf_1_01 * gridrot
+    chr_1_02 = cf_1_02 * gridrot
+    chr_2_01 = cf_2_01 * gridrot
+    chr_2_02 = cf_2_02 * gridrot
 
     chr_1_11 = 2.0 * X * Y**2 / d2 * (0.5 * dx1)
     chr_1_12 = -(Y + Y**3) / d2 * (0.5 * dx1)
@@ -135,4 +151,9 @@ def make_metric_2d(geom: CubedSphere2D) -> Metric2D:
         christoffel_2_12=chr_2_12,
         christoffel_2_22=chr_2_22,
         coriolis_f=coriolis_f,
+        gridrot=gridrot,
+        coriolis_factor_1_01=cf_1_01,
+        coriolis_factor_1_02=cf_1_02,
+        coriolis_factor_2_01=cf_2_01,
+        coriolis_factor_2_02=cf_2_02,
     )

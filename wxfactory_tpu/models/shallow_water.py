@@ -265,7 +265,7 @@ def make_rhs_shallow_water(
     def _halo_arrays(qp):
         """K1 + the panel-edge halo stage: returns (df, hwe, hs, hn)."""
         df, we, ssl, nsl = pallas_sw.k1_element_local(
-            qp, consts.fields, consts.eexy, consts.dd, rpr=rpr, interpret=interp
+            qp, consts.fields, consts.gridrot, consts.eexy, consts.dd, rpr=rpr, interpret=interp
         )
 
         # Outgoing boundary traces (S, N, W, E) from K1's small edge slabs —
@@ -273,10 +273,11 @@ def make_rhs_shallow_water(
         # array instead costs ~43 us/RHS in relayout copies).
         west = we[:, :, 0:s].reshape(3, 6, npts)
         east = we[:, :, 64 - s : 64].reshape(3, 6, npts)
-        block = 256 if rows % 256 == 0 else rows  # mirrors k1's block choice
-        bpp = max(1, (rows // 6) // block)  # K1 blocks per panel
-        sv = ssl.reshape(3, -1, rpr, 128)[:, ::bpp, :, 64:]
-        nv = nsl.reshape(3, -1, rpr, 128)[:, bpp - 1 :: bpp, :, 64:]
+        prows = rows // 6
+        bpp = prows // (256 if prows % 256 == 0 else prows)  # K1 blocks/panel
+        rpad = -(-rpr // 8) * 8  # slab rows (8-row sublane padding)
+        sv = ssl.reshape(3, 6, bpp, rpad, 128)[:, :, 0, :rpr, 64:]
+        nv = nsl.reshape(3, 6, bpp, rpad, 128)[:, :, bpp - 1, rpad - rpr :, 64:]
         south = sv.reshape(3, 6, rpr, 8, 2, s)[..., 0, :].reshape(3, 6, npts)
         north = nv.reshape(3, 6, rpr, 8, 2, s)[..., 1, :].reshape(3, 6, npts)
         pool = jnp.stack([south, north, west, east], axis=1)  # (3, 4, 6, npts)

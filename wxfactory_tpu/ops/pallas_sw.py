@@ -63,14 +63,24 @@ def supported(num_solpts: int, nel: int, dtype) -> bool:
 
 
 class SWConstants(NamedTuple):
-    """Trace-time constants for the fused kernels (all device arrays)."""
+    """Trace-time constants for the fused kernels (all device arrays).
 
-    fields: tuple  # 13 packed metric fields (R, 128) for K1 (H21 == H12 shared)
+    Every *geometric* metric field is identical on all six panels of the
+    equiangular cubed sphere (a rigid rotation of the sphere leaves the
+    panel-local metric unchanged), so those are stored for ONE panel only
+    (R/6 rows) and the kernels' panel-major grid order re-reads them from
+    VMEM instead of HBM. Only the rotation factor ``gridrot`` (the
+    panel-dependent part of the Coriolis Christoffels, metric.py:93) is
+    kept full-size: K1's constant traffic drops from 13 full fields to
+    one full field + 13 single-panel fields (~4x less HBM)."""
+
+    fields: tuple  # 13 single-panel metric fields (R/6, 128) for K1
+    gridrot: jnp.ndarray  # (R, 128) panel-dependent Coriolis rotation factor
     eexy: jnp.ndarray  # (128, 128) fused [extrap_x | extrap_y] block-diag
     dd: jnp.ndarray  # (256, 128) stacked block-diag [Dx ; Dy]
-    m_sg: jnp.ndarray  # (R, 128) interface sqrt(g) in trace layout
-    m_hd: jnp.ndarray  # (R, 128) interface H^11 (x half) / H^22 (y half)
-    m_ho: jnp.ndarray  # (R, 128) interface H^21 (x half) / H^12 (y half)
+    m_sg: jnp.ndarray  # (R/6, 128) interface sqrt(g) in trace layout
+    m_hd: jnp.ndarray  # (R/6, 128) interface H^11 (x half) / H^22 (y half)
+    m_ho: jnp.ndarray  # (R/6, 128) interface H^21 (x half) / H^12 (y half)
     wmat: jnp.ndarray  # (128, 128) faces -> correction block-diag GEMM
     spread: jnp.ndarray  # (128, 128) flat edge lanes -> y-h1 trace slots
 
@@ -100,19 +110,33 @@ def build_constants(ops, metric, nel: int, dtype=jnp.float32) -> SWConstants:
 
     # H^21 == H^12 (symmetric metric tensor): read it once — K1 is
     # HBM-bound on these constants, so every dropped field is ~2 us/RHS.
+    # All geometric fields are panel-identical (the equiangular metric
+    # does not see the sphere rotation), so store one panel only; the
+    # Coriolis Christoffels factor as gridrot * (single-panel factor).
+    prows_full = rows // 6
     packed = lambda a: np.asarray(a, np.float64).reshape(rows, LANES)
+
+    def panel0(a):
+        full = packed(a)
+        one = full[:prows_full]
+        assert np.array_equal(full.reshape(6, prows_full, LANES), np.broadcast_to(one, (6, prows_full, LANES))), (
+            "metric field unexpectedly differs across panels"
+        )
+        return one
+
     fields = tuple(
-        jnp.asarray(packed(a), dtype=dtype)
+        jnp.asarray(panel0(a), dtype=dtype)
         for a in (
             metric.sqrtG, metric.H_contra_11, metric.H_contra_12,
             metric.H_contra_22,
-            metric.christoffel_1_01, metric.christoffel_1_02,
-            metric.christoffel_2_01, metric.christoffel_2_02,
+            metric.coriolis_factor_1_01, metric.coriolis_factor_1_02,
+            metric.coriolis_factor_2_01, metric.coriolis_factor_2_02,
             metric.christoffel_1_11, metric.christoffel_1_12,
             metric.christoffel_2_12, metric.christoffel_2_22,
             metric.inv_sqrtG,
         )
     )
+    gridrot = jnp.asarray(packed(np.broadcast_to(metric.gridrot, metric.sqrtG.shape)), dtype=dtype)
 
     # Interface-metric arrays in the trace layout. h1 slots carry the metric
     # at the element's west/south interface; h2 slots default to 1.0 (their
@@ -127,19 +151,22 @@ def build_constants(ops, metric, nel: int, dtype=jnp.float32) -> SWConstants:
     h12_jx = np.asarray(metric.H_contra_12_itf_j, np.float64)[:, 1:, :, :s]
 
     def itf_layout(mx, my):
-        """mx: (6, nel, nel+1, s), my: (6, nel+1, nel, s) -> (rows, 128)."""
-        out = np.ones((6, nel, rpr, 2, G8, 2, s))  # (p, ey, rpos, dir, grp, half, k)
-        for p in range(6):
-            for ey in range(nel):
-                for ex in range(nel):
-                    r, grp = ex // G8, ex % G8
-                    out[p, ey, r, 0, grp, 0] = mx[p, ey, ex]  # west interface
-                    out[p, ey, r, 1, grp, 0] = my[p, ey, ex]  # south interface
-                out[p, ey, rpr - 1, 0, G8 - 1, 1] = mx[p, ey, nel]  # east edge
+        """mx: (6, nel, nel+1, s), my: (6, nel+1, nel, s) -> single-panel
+        (rows/6, 128) — the interface metric is panel-identical too."""
+        for a in (mx, my):
+            assert np.array_equal(a, np.broadcast_to(a[:1], a.shape)), "itf metric differs across panels"
+        out = np.ones((nel, rpr, 2, G8, 2, s))  # (ey, rpos, dir, grp, half, k)
+        p = 0
+        for ey in range(nel):
             for ex in range(nel):
                 r, grp = ex // G8, ex % G8
-                out[p, nel - 1, r, 1, grp, 1] = my[p, nel, ex]  # north edge
-        return out.reshape(rows, LANES)
+                out[ey, r, 0, grp, 0] = mx[p, ey, ex]  # west interface
+                out[ey, r, 1, grp, 0] = my[p, ey, ex]  # south interface
+            out[ey, rpr - 1, 0, G8 - 1, 1] = mx[p, ey, nel]  # east edge
+        for ex in range(nel):
+            r, grp = ex // G8, ex % G8
+            out[nel - 1, r, 1, grp, 1] = my[p, nel, ex]  # north edge
+        return out.reshape(prows_full, LANES)
 
     m_sg = itf_layout(sg_ix, sg_jx)
     m_hd = itf_layout(h11_ix, h22_jx)
@@ -163,7 +190,7 @@ def build_constants(ops, metric, nel: int, dtype=jnp.float32) -> SWConstants:
         spread[j, 64 + 8 * (j // 4) + (j % 4)] = 1.0
 
     c = lambda a: jnp.asarray(a, dtype=dtype)
-    return SWConstants(fields, c(eexy), c(dd), c(m_sg), c(m_hd), c(m_ho), c(wmat), c(spread))
+    return SWConstants(fields, gridrot, c(eexy), c(dd), c(m_sg), c(m_hd), c(m_ho), c(wmat), c(spread))
 
 
 # ---------------------------------------------------------------------------
@@ -173,9 +200,14 @@ def build_constants(ops, metric, nel: int, dtype=jnp.float32) -> SWConstants:
 
 def _make_k1(block: int, rpr: int, prows: int):
     """K1 kernel body for blocks of `block` packed rows (`rpr` position-rows
-    per element-grid row, `prows` rows per panel).
+    per element-grid row, `prows` rows per panel). The grid is
+    ``(blocks-per-panel, 6)`` with the PANEL axis innermost: the 13
+    single-panel metric fields keep a constant block index across the six
+    inner steps, so Pallas fetches them from HBM once per block position
+    instead of once per program (~4x less constant traffic; K1 is
+    HBM-bound).
 
-    Besides df/tr it emits the tiny edge slabs the halo glue needs, so the
+    Besides df it emits the tiny edge slabs the halo glue needs, so the
     XLA stage never slices (and relayouts) the big trace array — profiled at
     ~43 us/RHS, nearly the cost of both kernels combined:
       * ``we``: one row per element-grid row with the west boundary-face
@@ -186,14 +218,13 @@ def _make_k1(block: int, rpr: int, prows: int):
         layout; mid-panel blocks emit junk rows the glue never reads.
     """
     gy = block // rpr  # element-grid rows per block
-    ppb = max(1, block // prows)  # panels per block (>=1 only for tiny grids)
 
     def kernel(
         q_ref,
         sqrtg_ref, h11_ref, h12_ref, h22_ref,
-        c101_ref, c102_ref, c201_ref, c202_ref,
+        g101_ref, g102_ref, g201_ref, g202_ref,
         c111_ref, c112_ref, c212_ref, c222_ref,
-        invsg_ref, eexy_ref, dd_ref, lw_ref, le_ref,
+        invsg_ref, gridrot_ref, eexy_ref, dd_ref, lw_ref, le_ref,
         df_ref, we_ref, s_ref, n_ref,
     ):
         h = q_ref[0]
@@ -227,18 +258,15 @@ def _make_k1(block: int, rpr: int, prows: int):
                 emask, mm(le, traces[v]), 0.0
             )
 
-        # South/north edge slabs (static slices of the VMEM trace block).
+        # South/north edge slabs (static slices of the VMEM trace block;
+        # blocks never span panels, so first/last rows are the edges).
+        # Slabs are padded to a multiple of 8 rows (Mosaic sublane tiling);
+        # the south edge is the first rpr rows of its slab, the north edge
+        # the last rpr rows.
+        rpad = -(-rpr // 8) * 8
         for v in range(3):
-            if ppb == 1:
-                s_ref[v] = traces[v][0:rpr]
-                n_ref[v] = traces[v][block - rpr : block]
-            else:
-                s_ref[v] = jnp.concatenate(
-                    [traces[v][j * prows : j * prows + rpr] for j in range(ppb)], axis=0
-                )
-                n_ref[v] = jnp.concatenate(
-                    [traces[v][(j + 1) * prows - rpr : (j + 1) * prows] for j in range(ppb)], axis=0
-                )
+            s_ref[v] = traces[v][0:rpad]
+            n_ref[v] = traces[v][block - rpad : block]
 
         cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
         div0 = mm(cat(sqrtg * hu1, sqrtg * hu2), dd)
@@ -257,13 +285,16 @@ def _make_k1(block: int, rpr: int, prows: int):
             dd,
         )
 
+        # Time Christoffels factored as gridrot * single-panel factor
+        # (reference metric2d.py rotation terms; see SWConstants).
+        rot2 = 2.0 * gridrot_ref[...]
         forcing_1 = (
-            2.0 * (c101_ref[...] * hu1 + c102_ref[...] * hu2)
+            rot2 * (g101_ref[...] * hu1 + g102_ref[...] * hu2)
             + c111_ref[...] * hu1 * u1
             + 2.0 * c112_ref[...] * hu1 * u2
         )
         forcing_2 = (
-            2.0 * (c201_ref[...] * hu1 + c202_ref[...] * hu2)
+            rot2 * (g201_ref[...] * hu1 + g202_ref[...] * hu2)
             + 2.0 * c212_ref[...] * hu1 * u2
             + c222_ref[...] * hu2 * u2
         )
@@ -275,23 +306,23 @@ def _make_k1(block: int, rpr: int, prows: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rpr", "block", "interpret"))
-def k1_element_local(q, fields, eexy, dd, rpr: int, block: int = 256, interpret: bool = False):
-    """q: (3, R, 128) packed f32 state. Returns (df, we, s, n):
+@functools.partial(jax.jit, static_argnames=("rpr", "interpret"))
+def k1_element_local(q, fields, gridrot, eexy, dd, rpr: int, interpret: bool = False):
+    """q: (3, R, 128) packed f32 state; fields: 13 single-panel (R/6, 128)
+    metric constants; gridrot: (R, 128). Returns (df, we, s, n):
     df (3, R, 128) interior divergence + forcing; we (3, R/rpr, 128)
     west/east boundary traces per element-grid row (native lanes 0..s-1 /
-    64-s..63); s/n (3, nblocks*ppb*rpr, 128) first/last-`rpr`-row slabs per
-    block (panel south/north edges live at slab index
-    p*max(1, prows//block) and p*bpp + bpp - 1 respectively)."""
+    64-s..63); s/n (3, 6*bpp*rpad, 128) first/last-row slabs per block
+    (rpad = rpr rounded up to 8 for Mosaic sublane tiling), panel-major:
+    the panel south edge is rows [0:rpr] of slab p*bpp, the north edge
+    rows [rpad-rpr:rpad] of slab p*bpp + bpp - 1."""
     rows = q.shape[1]
-    nblocks = (rows + block - 1) // block
-    if rows % block:
-        block = rows  # small grids: single block
-        nblocks = 1
     prows = rows // 6
-    assert block % rpr == 0 and (block % prows == 0 or prows % block == 0)
+    block = 256 if prows % 256 == 0 else prows
+    bpp = prows // block
+    assert block % rpr == 0
     gy = block // rpr
-    ppb = max(1, block // prows)
+    rpad = -(-rpr // 8) * 8
 
     lw = np.zeros((gy, block), np.float64)
     le = np.zeros((gy, block), np.float64)
@@ -302,29 +333,34 @@ def k1_element_local(q, fields, eexy, dd, rpr: int, block: int = 256, interpret:
     le = jnp.asarray(le, dtype=q.dtype)
 
     zero = np.int32(0)
-    fld = lambda: pl.BlockSpec((block, LANES), lambda i: (i, zero))
-    st3 = lambda: pl.BlockSpec((3, block, LANES), lambda i: (zero, i, zero))
-    sm3 = lambda r: pl.BlockSpec((3, r, LANES), lambda i: (zero, i, zero))
+    # Grid (j, p): p innermost so the single-panel constants (index j,
+    # independent of p) keep an unchanged block index for 6 consecutive
+    # programs — Pallas skips the HBM re-fetch.
+    sym = lambda: pl.BlockSpec((block, LANES), lambda j, p: (j, zero))
+    fld = lambda: pl.BlockSpec((block, LANES), lambda j, p: (p * bpp + j, zero))
+    st3 = lambda: pl.BlockSpec((3, block, LANES), lambda j, p: (zero, p * bpp + j, zero))
+    sm3 = lambda r: pl.BlockSpec((3, r, LANES), lambda j, p: (zero, p * bpp + j, zero))
     outs = pl.pallas_call(
         _make_k1(block, rpr, prows),
-        grid=(nblocks,),
+        grid=(bpp, 6),
         in_specs=[st3()]
-        + [fld() for _ in range(13)]
+        + [sym() for _ in range(13)]
         + [
-            pl.BlockSpec((LANES, LANES), lambda i: (zero, zero)),
-            pl.BlockSpec((2 * LANES, LANES), lambda i: (zero, zero)),
-            pl.BlockSpec((gy, block), lambda i: (zero, zero)),
-            pl.BlockSpec((gy, block), lambda i: (zero, zero)),
+            fld(),  # gridrot (panel-dependent)
+            pl.BlockSpec((LANES, LANES), lambda j, p: (zero, zero)),
+            pl.BlockSpec((2 * LANES, LANES), lambda j, p: (zero, zero)),
+            pl.BlockSpec((gy, block), lambda j, p: (zero, zero)),
+            pl.BlockSpec((gy, block), lambda j, p: (zero, zero)),
         ],
-        out_specs=[st3(), sm3(gy), sm3(ppb * rpr), sm3(ppb * rpr)],
+        out_specs=[st3(), sm3(gy), sm3(rpad), sm3(rpad)],
         out_shape=[
             jax.ShapeDtypeStruct((3, rows, LANES), q.dtype),
-            jax.ShapeDtypeStruct((3, nblocks * gy, LANES), q.dtype),
-            jax.ShapeDtypeStruct((3, nblocks * ppb * rpr, LANES), q.dtype),
-            jax.ShapeDtypeStruct((3, nblocks * ppb * rpr, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, 6 * bpp * gy, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, 6 * bpp * rpad, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, 6 * bpp * rpad, LANES), q.dtype),
         ],
         interpret=interpret,
-    )(q, *fields, eexy, dd, lw, le)
+    )(q, *fields, gridrot, eexy, dd, lw, le)
     return outs
 
 
@@ -559,7 +595,9 @@ def k2_interface(
     """qp/df: (3, R, 128) packed state / K1 interior update; hwe:
     (3, 6*nel, 128) west+east halo values placed at lanes 0..3 / 60..63 per
     element-grid row; hs/hn: (3, 6, 1, npl) flat lane-padded south/north
-    halo edge per panel (npl = ceil(nel*s/128)*128); metric/invsg: (R, 128).
+    halo edge per panel (npl = ceil(nel*s/128)*128); metric/invsg:
+    single-panel (R/6, 128) — the interface metric is panel-identical, and
+    the constant block index means one HBM fetch for all six programs.
     Returns the RHS in the packed layout (3, R, 128), or — when the stage
     coefficients are given — one fused TVD-RK stage combination
     ``stage_a*x + stage_b*qp + cdt*RHS(qp)``."""
@@ -569,12 +607,12 @@ def k2_interface(
     npl = hs.shape[-1]
     zero = np.int32(0)
     pan3 = lambda: pl.BlockSpec((3, prows, LANES), lambda i: (zero, i, zero))
-    pan = lambda: pl.BlockSpec((prows, LANES), lambda i: (i, zero))
+    pan0 = lambda: pl.BlockSpec((prows, LANES), lambda i: (zero, zero))
     small3 = lambda r: pl.BlockSpec((3, r, LANES), lambda i: (zero, i, zero))
     edge = lambda: pl.BlockSpec((3, 1, 1, npl), lambda i: (zero, i, zero, zero))
     const = lambda: pl.BlockSpec((LANES, LANES), lambda i: (zero, zero))
     with_stage = stage_a is not None
-    in_specs = [pan3(), small3(nel), edge(), edge(), pan(), pan(), pan(), pan3(), pan(), const(), const(), const()]
+    in_specs = [pan3(), small3(nel), edge(), edge(), pan0(), pan0(), pan0(), pan3(), pan0(), const(), const(), const()]
     args = [qp, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread, eexy]
     if with_stage:
         in_specs += [
