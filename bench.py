@@ -38,20 +38,27 @@ def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=100, reps=5):
     # On TPU the builder returns the fused Pallas pipeline; step on its
     # packed layout so the RK combination glue stays relayout-free.
     step_rhs = getattr(rhs, "packed", rhs)
-    stage = getattr(rhs, "packed_stage", None)
+    chained = getattr(rhs, "packed_stage_chained", None)
     if hasattr(rhs, "pack"):
         q = rhs.pack(q)
     dt = jnp.asarray(30.0, dtype=dtype)
 
     @jax.jit
     def multi_step(q):
+        if chained is not None:
+            # Chained fused stages: each mega kernel also emits the edge
+            # slabs of its output state, so the steady-state loop is exactly
+            # one mega kernel + the tiny halo stage per RK stage — the whole
+            # spatial operator AND the RK combination stay in VMEM.
+            def body(carry, _):
+                q, slabs = carry
+                q1, sl1 = chained(q, q, slabs, 0.0, 1.0, dt)
+                q2, sl2 = chained(q, q1, sl1, 0.75, 0.25, 0.25 * dt)
+                return chained(q, q2, sl2, 1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt), None
+
+            return jax.lax.scan(body, (q, rhs.packed_slabs(q)), None, length=nsteps)[0][0]
+
         def body(q, _):
-            if stage is not None:
-                # Fused stages: the RK combination runs inside K2's VMEM, so
-                # a step is exactly 3x(K1 -> KH -> K2) with no XLA axpys.
-                q1 = stage(q, q, 0.0, 1.0, dt)
-                q2 = stage(q, q1, 0.75, 0.25, 0.25 * dt)
-                return stage(q, q2, 1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt), None
             q1 = q + step_rhs(q) * dt
             q2 = 0.75 * q + 0.25 * (q1 + step_rhs(q1) * dt)
             return q / 3.0 + 2.0 / 3.0 * (q2 + step_rhs(q2) * dt), None

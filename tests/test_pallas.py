@@ -120,3 +120,35 @@ def test_packed_stage_matches_explicit_axpy():
     q2 = rhs.packed_stage(q, q1, 0.75, 0.25, 0.25 * dt)
     ref2 = 0.75 * q + 0.25 * q1 + 0.25 * dt * rhs.packed(q1)
     np.testing.assert_allclose(np.asarray(q2), np.asarray(ref2), rtol=1e-13)
+
+
+def test_packed_stage_chained_matches_unchained():
+    # The chained stage (edge slabs of the output state emitted by the
+    # previous mega kernel instead of a separate KE pass) must reproduce the
+    # unchained states and slabs over a full TVD-RK3 step. Tolerance is a few
+    # ulp: emit_slabs changes the compiled program, so XLA may fuse the
+    # (identical) arithmetic differently.
+    nel, s = 16, 4
+    geom = make_cubed_sphere_2d(nel, s)
+    ops = make_dfr_operators(s)
+    metric = make_metric_2d(geom)
+    rhs = make_rhs_shallow_water(geom, ops, metric, interior="pallas")
+    q = rhs.pack(jnp.asarray(williamson_case6(geom)))
+    dt = jnp.asarray(30.0, q.dtype)
+
+    coeffs = [(0.0, 1.0, dt), (0.75, 0.25, 0.25 * dt), (1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt)]
+
+    y_ref = q
+    ys = []
+    for a, b, cdt in coeffs:
+        y_ref = rhs.packed_stage(q, y_ref, a, b, cdt)
+        ys.append(y_ref)
+
+    y, slabs = q, rhs.packed_slabs(q)
+    for (a, b, cdt), expect in zip(coeffs, ys):
+        y, slabs = rhs.packed_stage_chained(q, y, slabs, a, b, cdt)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(expect), rtol=1e-13)
+    # The final emitted slabs must match a fresh KE pass on the final state.
+    fresh = rhs.packed_slabs(y)
+    for got, want in zip(slabs, fresh):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-13, atol=1e-9)

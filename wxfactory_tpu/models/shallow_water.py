@@ -254,6 +254,7 @@ def make_rhs_shallow_water(
     consts = pallas_sw.build_constants(ops, metric, nel, dtype=dtype)
     rows = 6 * nel * nel // pallas_sw.G8
     rpr = nel // pallas_sw.G8
+    rpad = -(-rpr // 8) * 8
     npts = nel * s
     interp = jax.default_backend() != "tpu"
     # Fused halo-exchange kernel needs lane-tiled edges; other sizes keep
@@ -262,22 +263,16 @@ def make_rhs_shallow_water(
 
     npl = -(-npts // 128) * 128
 
-    def _halo_arrays(qp):
-        """K1 + the panel-edge halo stage: returns (df, hwe, hs, hn)."""
-        df, we, ssl, nsl = pallas_sw.k1_element_local(
-            qp, consts.fields, consts.gridrot, consts.eexy, consts.dd, rpr=rpr, interpret=interp
-        )
-
-        # Outgoing boundary traces (S, N, W, E) from K1's small edge slabs —
-        # every slice below touches a <=100 KB array (slicing the big trace
-        # array instead costs ~43 us/RHS in relayout copies).
+    def _halo_from_slabs(we, ssl, nsl):
+        """Panel-edge halo stage on the edge-trace slabs (``ke_edges``
+        layout): builds the (hwe, hs, hn) arrays KM expands in VMEM."""
+        # Outgoing boundary traces (S, N, W, E) — every slice below touches
+        # a <=100 KB array (slicing the big trace array instead costs
+        # ~43 us/RHS in relayout copies).
         west = we[:, :, 0:s].reshape(3, 6, npts)
         east = we[:, :, 64 - s : 64].reshape(3, 6, npts)
-        prows = rows // 6
-        bpp = prows // (256 if prows % 256 == 0 else prows)  # K1 blocks/panel
-        rpad = -(-rpr // 8) * 8  # slab rows (8-row sublane padding)
-        sv = ssl.reshape(3, 6, bpp, rpad, 128)[:, :, 0, :rpr, 64:]
-        nv = nsl.reshape(3, 6, bpp, rpad, 128)[:, :, bpp - 1, rpad - rpr :, 64:]
+        sv = ssl.reshape(3, 6, rpad, 128)[:, :, :rpr, 64:]
+        nv = nsl.reshape(3, 6, rpad, 128)[:, :, rpad - rpr :, 64:]
         south = sv.reshape(3, 6, rpr, 8, 2, s)[..., 0, :].reshape(3, 6, npts)
         north = nv.reshape(3, 6, rpr, 8, 2, s)[..., 1, :].reshape(3, 6, npts)
         pool = jnp.stack([south, north, west, east], axis=1)  # (3, 4, 6, npts)
@@ -302,41 +297,57 @@ def make_rhs_shallow_water(
             hs = jnp.pad(halo[:, SOUTH].reshape(3, 6, 1, npts), edge_pad)
             hn = jnp.pad(halo[:, NORTH].reshape(3, 6, 1, npts), edge_pad)
 
-        # West/east halo rows for K2 (minor-dim pads only).
+        # West/east halo rows for KM (minor-dim pads only).
         hwe = (
             jnp.pad(hw, ((0, 0), (0, 0), (0, 0), (0, 31), (0, 0)))
             + jnp.pad(he, ((0, 0), (0, 0), (0, 0), (15, 16), (0, 0)))
         ).reshape(3, 6 * nel, 128)
-        return df, hwe, hs, hn
+        return hwe, hs, hn
+
+    def _km(qp, hwe, hs, hn, **kw):
+        return pallas_sw.km_fused(
+            qp, hwe, hs, hn, consts.fields, consts.gridrot, consts.eexy,
+            consts.dd, consts.m_sg, consts.m_hd, consts.m_ho, consts.wmat,
+            consts.spread, rpr=rpr, interpret=interp, **kw,
+        )
+
+    def packed_slabs(qp):
+        """Edge-trace slabs of a packed state (chained-pipeline bootstrap)."""
+        return pallas_sw.ke_edges(qp, consts.eexy, rpr=rpr, interpret=interp)
 
     def rhs_packed(qp: jnp.ndarray) -> jnp.ndarray:
         """RHS on the packed (3, R, 128) layout — the fast path. All XLA ops
         between the kernels touch only KB-sized edge arrays."""
-        df, hwe, hs, hn = _halo_arrays(qp)
-        return pallas_sw.k2_interface(
-            qp, hwe, hs, hn, consts.m_sg, consts.m_hd, consts.m_ho,
-            df, consts.fields[12], consts.wmat, consts.spread, consts.eexy,
-            rpr=rpr, interpret=interp,
-        )
+        hwe, hs, hn = _halo_from_slabs(*packed_slabs(qp))
+        return _km(qp, hwe, hs, hn)
 
     def packed_stage(x, y, a: float, b: float, cdt) -> jnp.ndarray:
         """One fused TVD-RK stage on packed states: a*x + b*y + cdt*RHS(y).
-        The stage combination runs inside K2's VMEM, so a full RK step has
-        zero XLA-level state axpys (reference integrators/tvdrk.py
-        semantics)."""
-        df, hwe, hs, hn = _halo_arrays(y)
-        return pallas_sw.k2_interface(
-            y, hwe, hs, hn, consts.m_sg, consts.m_hd, consts.m_ho,
-            df, consts.fields[12], consts.wmat, consts.spread, consts.eexy,
-            rpr=rpr, x=x, cdt=cdt, stage_a=float(a), stage_b=float(b),
-            interpret=interp,
+        The whole spatial operator AND the stage combination run inside the
+        mega kernel's VMEM (reference rhs_sw.py + explicit-RK semantics)."""
+        hwe, hs, hn = _halo_from_slabs(*packed_slabs(y))
+        return _km(y, hwe, hs, hn, x=x, cdt=cdt, stage_a=float(a), stage_b=float(b))
+
+    def packed_stage_chained(x, y, slabs, a: float, b: float, cdt):
+        """Chained TVD-RK stage: consumes y's edge slabs from the PREVIOUS
+        stage's mega kernel and emits the output state's slabs, so the
+        steady-state time loop runs exactly one mega kernel + the tiny halo
+        stage per RK stage (no separate edge kernel). Returns (o, o_slabs).
+        Bootstrap the chain with ``packed_slabs``."""
+        hwe, hs, hn = _halo_from_slabs(*slabs)
+        o, *oslabs = _km(
+            y, hwe, hs, hn, x=x, cdt=cdt, stage_a=float(a), stage_b=float(b),
+            emit_slabs=True,
         )
+        return o, tuple(oslabs)
 
     def rhs_pallas(q: jnp.ndarray) -> jnp.ndarray:
         return rhs_packed(q.reshape(3, rows, 128)).reshape(q.shape)
 
     rhs_pallas.packed = rhs_packed
     rhs_pallas.packed_stage = packed_stage
+    rhs_pallas.packed_stage_chained = packed_stage_chained
+    rhs_pallas.packed_slabs = packed_slabs
     rhs_pallas.pack = lambda q: q.reshape(3, rows, 128)
     rhs_pallas.unpack = lambda qp: qp.reshape(3, 6, nel, nel, s * s)
     return rhs_pallas

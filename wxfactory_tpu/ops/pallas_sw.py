@@ -194,173 +194,79 @@ def build_constants(ops, metric, nel: int, dtype=jnp.float32) -> SWConstants:
 
 
 # ---------------------------------------------------------------------------
-# K1: element-local pipeline (extrapolation, pointwise flux, interior
-# divergence, forcing). One block of packed rows per program.
+# KE: edge-trace kernel (bootstrap of the chained pipeline, and the first
+# kernel of the plain RHS path). Extrapolates the state to both direction
+# traces and emits ONLY the panel-edge slabs the halo stage needs; the mega
+# kernel KM recomputes interior traces in VMEM.
 
 
-def _make_k1(block: int, rpr: int, prows: int):
-    """K1 kernel body for blocks of `block` packed rows (`rpr` position-rows
-    per element-grid row, `prows` rows per panel). The grid is
-    ``(blocks-per-panel, 6)`` with the PANEL axis innermost: the 13
-    single-panel metric fields keep a constant block index across the six
-    inner steps, so Pallas fetches them from HBM once per block position
-    instead of once per program (~4x less constant traffic; K1 is
-    HBM-bound).
-
-    Besides df it emits the tiny edge slabs the halo glue needs, so the
-    XLA stage never slices (and relayouts) the big trace array — profiled at
-    ~43 us/RHS, nearly the cost of both kernels combined:
-      * ``we``: one row per element-grid row with the west boundary-face
-        trace at lanes 0..s-1 and the east one at lanes 64-s..63 (their
-        native trace lanes). Row compaction is an exact one-hot GEMM.
-      * ``s``/``n``: the block's first/last `rpr` trace rows (the panel
-        south/north edge rows when the block borders a panel) in native
-        layout; mid-panel blocks emit junk rows the glue never reads.
+def _make_ke(rpr: int, prows: int, nel: int):
+    """KE kernel body: one panel per program. Emits
+      * ``we``: one row per element-grid row, west boundary-face trace at
+        lanes 0..s-1 and east at 64-s..63 (native trace lanes); compaction
+        of rows rmod==0 / rmod==rpr-1 is an exact one-hot GEMM.
+      * ``s``/``n``: the panel's first/last `rpad` trace rows in native
+        layout (rpad = rpr rounded up to 8 for Mosaic sublane tiling; the
+        south edge is the first rpr rows, the north edge the last rpr).
     """
-    gy = block // rpr  # element-grid rows per block
+    rpad = -(-rpr // 8) * 8
 
-    def kernel(
-        q_ref,
-        sqrtg_ref, h11_ref, h12_ref, h22_ref,
-        g101_ref, g102_ref, g201_ref, g202_ref,
-        c111_ref, c112_ref, c212_ref, c222_ref,
-        invsg_ref, gridrot_ref, eexy_ref, dd_ref, lw_ref, le_ref,
-        df_ref, we_ref, s_ref, n_ref,
-    ):
-        h = q_ref[0]
-        hu1 = q_ref[1]
-        hu2 = q_ref[2]
-        sqrtg = sqrtg_ref[...]
-        u1 = hu1 / h
-        u2 = hu2 / h
-        hsq = h * h
-        half_g = 0.5 * GRAVITY
-
-        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=df_ref.dtype)
+    def kernel(q_ref, eexy_ref, lw_ref, le_ref, we_ref, s_ref, n_ref):
+        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=we_ref.dtype)
         eexy = eexy_ref[...]
-        dd = dd_ref[...]
-
-        # Both directions' face traces in one GEMM per variable. Only the
-        # edge slabs leave the kernel — K2 recomputes the interior traces
-        # from q in VMEM (the GEMM is free next to the saved HBM round-trip
-        # of the full (3, R, 128) trace array).
-        traces = (mm(h, eexy), mm(hu1, eexy), mm(hu2, eexy))
-
-        # West/east edge rows: compact rows rmod==0 / rmod==rpr-1 with the
-        # one-hot matrices, keep each face's values at its native lanes.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (gy, LANES), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
         wmask = lane < S
         emask = (lane >= 64 - S) & (lane < 64)
         lw = lw_ref[...]
         le = le_ref[...]
         for v in range(3):
-            we_ref[v] = jnp.where(wmask, mm(lw, traces[v]), 0.0) + jnp.where(
-                emask, mm(le, traces[v]), 0.0
-            )
-
-        # South/north edge slabs (static slices of the VMEM trace block;
-        # blocks never span panels, so first/last rows are the edges).
-        # Slabs are padded to a multiple of 8 rows (Mosaic sublane tiling);
-        # the south edge is the first rpr rows of its slab, the north edge
-        # the last rpr rows.
-        rpad = -(-rpr // 8) * 8
-        for v in range(3):
-            s_ref[v] = traces[v][0:rpad]
-            n_ref[v] = traces[v][block - rpad : block]
-
-        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
-        div0 = mm(cat(sqrtg * hu1, sqrtg * hu2), dd)
-        div1 = mm(
-            cat(
-                sqrtg * (hu1 * u1 + half_g * h11_ref[...] * hsq),
-                sqrtg * (hu1 * u2 + half_g * h12_ref[...] * hsq),
-            ),
-            dd,
-        )
-        div2 = mm(
-            cat(
-                sqrtg * (hu2 * u1 + half_g * h12_ref[...] * hsq),
-                sqrtg * (hu2 * u2 + half_g * h22_ref[...] * hsq),
-            ),
-            dd,
-        )
-
-        # Time Christoffels factored as gridrot * single-panel factor
-        # (reference metric2d.py rotation terms; see SWConstants).
-        rot2 = 2.0 * gridrot_ref[...]
-        forcing_1 = (
-            rot2 * (g101_ref[...] * hu1 + g102_ref[...] * hu2)
-            + c111_ref[...] * hu1 * u1
-            + 2.0 * c112_ref[...] * hu1 * u2
-        )
-        forcing_2 = (
-            rot2 * (g201_ref[...] * hu1 + g202_ref[...] * hu2)
-            + 2.0 * c212_ref[...] * hu1 * u2
-            + c222_ref[...] * hu2 * u2
-        )
-        invsg = invsg_ref[...]
-        df_ref[0] = -invsg * div0
-        df_ref[1] = -invsg * div1 - forcing_1
-        df_ref[2] = -invsg * div2 - forcing_2
+            tr = mm(q_ref[v], eexy)
+            we_ref[v] = jnp.where(wmask, mm(lw, tr), 0.0) + jnp.where(emask, mm(le, tr), 0.0)
+            s_ref[v] = tr[0:rpad]
+            n_ref[v] = tr[prows - rpad : prows]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("rpr", "interpret"))
-def k1_element_local(q, fields, gridrot, eexy, dd, rpr: int, interpret: bool = False):
-    """q: (3, R, 128) packed f32 state; fields: 13 single-panel (R/6, 128)
-    metric constants; gridrot: (R, 128). Returns (df, we, s, n):
-    df (3, R, 128) interior divergence + forcing; we (3, R/rpr, 128)
-    west/east boundary traces per element-grid row (native lanes 0..s-1 /
-    64-s..63); s/n (3, 6*bpp*rpad, 128) first/last-row slabs per block
-    (rpad = rpr rounded up to 8 for Mosaic sublane tiling), panel-major:
-    the panel south edge is rows [0:rpr] of slab p*bpp, the north edge
-    rows [rpad-rpr:rpad] of slab p*bpp + bpp - 1."""
+def ke_edges(q, eexy, rpr: int, interpret: bool = False):
+    """q: (3, R, 128) packed state. Returns the panel-edge trace slabs
+    (we, s, n): we (3, 6*nel, 128); s/n (3, 6*rpad, 128), panel-major."""
     rows = q.shape[1]
     prows = rows // 6
-    block = 256 if prows % 256 == 0 else prows
-    bpp = prows // block
-    assert block % rpr == 0
-    gy = block // rpr
+    nel = prows // rpr
     rpad = -(-rpr // 8) * 8
 
-    lw = np.zeros((gy, block), np.float64)
-    le = np.zeros((gy, block), np.float64)
-    for y in range(gy):
+    lw = np.zeros((nel, prows), np.float64)
+    le = np.zeros((nel, prows), np.float64)
+    for y in range(nel):
         lw[y, y * rpr] = 1.0
         le[y, y * rpr + rpr - 1] = 1.0
     lw = jnp.asarray(lw, dtype=q.dtype)
     le = jnp.asarray(le, dtype=q.dtype)
 
     zero = np.int32(0)
-    # Grid (j, p): p innermost so the single-panel constants (index j,
-    # independent of p) keep an unchanged block index for 6 consecutive
-    # programs — Pallas skips the HBM re-fetch.
-    sym = lambda: pl.BlockSpec((block, LANES), lambda j, p: (j, zero))
-    fld = lambda: pl.BlockSpec((block, LANES), lambda j, p: (p * bpp + j, zero))
-    st3 = lambda: pl.BlockSpec((3, block, LANES), lambda j, p: (zero, p * bpp + j, zero))
-    sm3 = lambda r: pl.BlockSpec((3, r, LANES), lambda j, p: (zero, p * bpp + j, zero))
     outs = pl.pallas_call(
-        _make_k1(block, rpr, prows),
-        grid=(bpp, 6),
-        in_specs=[st3()]
-        + [sym() for _ in range(13)]
-        + [
-            fld(),  # gridrot (panel-dependent)
-            pl.BlockSpec((LANES, LANES), lambda j, p: (zero, zero)),
-            pl.BlockSpec((2 * LANES, LANES), lambda j, p: (zero, zero)),
-            pl.BlockSpec((gy, block), lambda j, p: (zero, zero)),
-            pl.BlockSpec((gy, block), lambda j, p: (zero, zero)),
+        _make_ke(rpr, prows, nel),
+        grid=(6,),
+        in_specs=[
+            pl.BlockSpec((3, prows, LANES), lambda p: (zero, p, zero)),
+            pl.BlockSpec((LANES, LANES), lambda p: (zero, zero)),
+            pl.BlockSpec((nel, prows), lambda p: (zero, zero)),
+            pl.BlockSpec((nel, prows), lambda p: (zero, zero)),
         ],
-        out_specs=[st3(), sm3(gy), sm3(rpad), sm3(rpad)],
+        out_specs=[
+            pl.BlockSpec((3, nel, LANES), lambda p: (zero, p, zero)),
+            pl.BlockSpec((3, rpad, LANES), lambda p: (zero, p, zero)),
+            pl.BlockSpec((3, rpad, LANES), lambda p: (zero, p, zero)),
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((3, rows, LANES), q.dtype),
-            jax.ShapeDtypeStruct((3, 6 * bpp * gy, LANES), q.dtype),
-            jax.ShapeDtypeStruct((3, 6 * bpp * rpad, LANES), q.dtype),
-            jax.ShapeDtypeStruct((3, 6 * bpp * rpad, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, 6 * nel, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, 6 * rpad, LANES), q.dtype),
+            jax.ShapeDtypeStruct((3, 6 * rpad, LANES), q.dtype),
         ],
         interpret=interpret,
-    )(q, *fields, gridrot, eexy, dd, lw, le)
+    )(q, eexy, lw, le)
     return outs
 
 
@@ -444,31 +350,81 @@ def kh_exchange(pool, hc: HaloConstants, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# K2: the whole interface stage, one panel per program.
+# KM: the mega kernel — the ENTIRE spatial operator per panel in one VMEM
+# pass: extrapolation, pointwise fluxes, interior divergence, forcing
+# (reference rhs_sw.py:81-131,223-238), interface assembly + AUSM + boundary
+# correction (:170-207), the TVD-RK stage combination, and (optionally) the
+# NEXT stage's panel-edge trace slabs. Nothing intermediate ever touches
+# HBM: per stage the only big transfers are q, x and the output state.
 
 
-def _make_k2(rpr: int, prows: int, stage_a: float = None, stage_b: float = None):
-    """Build the K2 kernel body for a panel of `prows` packed rows with
-    `rpr` position-rows per element-grid row. With stage coefficients the
-    kernel also applies one TVD-RK stage combination in VMEM
-    (o = a*x + b*y + cdt*RHS), so no XLA-level state axpys remain in a
-    time step."""
-
+def _make_km(rpr: int, prows: int, nel: int, stage_a, stage_b, emit_slabs: bool, with_x: bool):
     half_g = 0.5 * GRAVITY
     _i32 = lambda v: np.int32(v)
     with_stage = stage_a is not None
+    rpad = -(-rpr // 8) * 8
 
     def kernel(*refs):
-        if with_stage:
-            (q_ref, hwe_ref, hs_ref, hn_ref,
-             msg_ref, mhd_ref, mho_ref,
-             df_ref, invsg_ref, wmat_ref, spread_ref, eexy_ref,
-             x_ref, cdt_ref, o_ref) = refs
-        else:
-            (q_ref, hwe_ref, hs_ref, hn_ref,
-             msg_ref, mhd_ref, mho_ref,
-             df_ref, invsg_ref, wmat_ref, spread_ref, eexy_ref,
-             o_ref) = refs
+        it = iter(refs)
+        q_ref = next(it)
+        hwe_ref, hs_ref, hn_ref = next(it), next(it), next(it)
+        (sqrtg_ref, h11_ref, h12_ref, h22_ref,
+         g101_ref, g102_ref, g201_ref, g202_ref,
+         c111_ref, c112_ref, c212_ref, c222_ref, invsg_ref) = (next(it) for _ in range(13))
+        gridrot_ref = next(it)
+        eexy_ref, dd_ref = next(it), next(it)
+        msg_ref, mhd_ref, mho_ref = next(it), next(it), next(it)
+        wmat_ref, spread_ref, lw_ref, le_ref = next(it), next(it), next(it), next(it)
+        x_ref = next(it) if with_x else None
+        cdt_ref = next(it) if with_stage else None
+        o_ref = next(it)
+        if emit_slabs:
+            we_ref, s_ref, n_ref = next(it), next(it), next(it)
+
+        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
+        eexy = eexy_ref[...]
+
+        # --- element-local stage (the former K1, now in VMEM) ---
+        h = q_ref[0]
+        hu1 = q_ref[1]
+        hu2 = q_ref[2]
+        sqrtg = sqrtg_ref[...]
+        invsg = invsg_ref[...]
+        u1 = hu1 / h
+        u2 = hu2 / h
+        hsq = h * h
+        dd = dd_ref[...]
+        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+        div0 = mm(cat(sqrtg * hu1, sqrtg * hu2), dd)
+        div1 = mm(
+            cat(
+                sqrtg * (hu1 * u1 + half_g * h11_ref[...] * hsq),
+                sqrtg * (hu1 * u2 + half_g * h12_ref[...] * hsq),
+            ),
+            dd,
+        )
+        div2 = mm(
+            cat(
+                sqrtg * (hu2 * u1 + half_g * h12_ref[...] * hsq),
+                sqrtg * (hu2 * u2 + half_g * h22_ref[...] * hsq),
+            ),
+            dd,
+        )
+        # Time Christoffels factored as gridrot * single-panel factor.
+        rot2 = 2.0 * gridrot_ref[...]
+        forcing_1 = (
+            rot2 * (g101_ref[...] * hu1 + g102_ref[...] * hu2)
+            + c111_ref[...] * hu1 * u1
+            + 2.0 * c112_ref[...] * hu1 * u2
+        )
+        forcing_2 = (
+            rot2 * (g201_ref[...] * hu1 + g202_ref[...] * hu2)
+            + 2.0 * c212_ref[...] * hu1 * u2
+            + c222_ref[...] * hu2 * u2
+        )
+        df = (-invsg * div0, -invsg * div1 - forcing_1, -invsg * div2 - forcing_2)
+
+        # --- interface stage (the former K2) ---
         shape = (prows, LANES)
         lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -482,11 +438,7 @@ def _make_k2(rpr: int, prows: int, stage_a: float = None, stage_b: float = None)
         north_slot = (~is_x) & (~h1) & (row >= prows - rpr)
         edge_h2 = east_slot | north_slot
 
-        # Recompute both directions' face traces from q in VMEM (K1 no
-        # longer round-trips the full trace array through HBM).
-        eexy = eexy_ref[...]
-        mmt = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
-        A = (mmt(q_ref[0], eexy), mmt(q_ref[1], eexy), mmt(q_ref[2], eexy))
+        A = (mm(q_ref[0], eexy), mm(q_ref[1], eexy), mm(q_ref[2], eexy))
 
         # Expand the small halo arrays to full panel shape in VMEM. hwe
         # (nel, 128) carries west (lanes 0..3) and east (60..63) values of one
@@ -499,12 +451,12 @@ def _make_k2(rpr: int, prows: int, stage_a: float = None, stage_b: float = None)
 
         def expand_sn(src, north):
             npl = src.shape[-1]
-            rows = []
+            rows_ = []
             for r in range(rpr):
                 shift = (npl - 32 * r) % npl
                 rolled = pltpu.roll(src, _i32(shift), 1) if shift else src
-                rows.append(rolled[:, :LANES])
-            b = jnp.concatenate(rows, axis=0) if rpr > 1 else rows[0]
+                rows_.append(rolled[:, :LANES])
+            b = jnp.concatenate(rows_, axis=0) if rpr > 1 else rows_[0]
             e = jax.lax.dot(b, spread, preferred_element_type=src.dtype)
             if north:
                 e = pltpu.roll(e, _i32(4), 1)
@@ -572,60 +524,118 @@ def _make_k2(rpr: int, prows: int, stage_a: float = None, stage_b: float = None)
             return jnp.where(edge_h2, fl, fc)
 
         wmat = wmat_ref[...]
-        invsg = invsg_ref[...]
-        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
-        if with_stage:
-            cdt = cdt_ref[0, 0]
+        o = []
+        for v in range(3):
+            rhs_v = df[v] - invsg * mm(faces(f[v]), wmat)
+            if with_stage:
+                cdt = cdt_ref[0, 0]
+                val = stage_b * q_ref[v] + cdt * rhs_v
+                if with_x:
+                    val = stage_a * x_ref[v] + val
+            else:
+                val = rhs_v
+            o.append(val)
+            o_ref[v] = val
+
+        # --- next-stage edge slabs of the OUTPUT state (chained mode) ---
+        if emit_slabs:
+            lanes_ = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
+            wmask = lanes_ < S
+            emask = (lanes_ >= 64 - S) & (lanes_ < 64)
+            lw = lw_ref[...]
+            le = le_ref[...]
             for v in range(3):
-                rhs_v = df_ref[v] - invsg * mm(faces(f[v]), wmat)
-                o_ref[v] = stage_a * x_ref[v] + stage_b * q_ref[v] + cdt * rhs_v
-        else:
-            for v in range(3):
-                o_ref[v] = df_ref[v] - invsg * mm(faces(f[v]), wmat)
+                tr = mm(o[v], eexy)
+                we_ref[v] = jnp.where(wmask, mm(lw, tr), 0.0) + jnp.where(emask, mm(le, tr), 0.0)
+                s_ref[v] = tr[0:rpad]
+                n_ref[v] = tr[prows - rpad : prows]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rpr", "stage_a", "stage_b", "interpret"))
-def k2_interface(
-    qp, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread, eexy,
-    rpr: int, x=None, cdt=None, stage_a: float = None, stage_b: float = None,
-    interpret: bool = False,
+@functools.partial(
+    jax.jit,
+    static_argnames=("rpr", "stage_a", "stage_b", "emit_slabs", "interpret"),
+)
+def km_fused(
+    qp, hwe, hs, hn, fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat, spread,
+    rpr: int, x=None, cdt=None, stage_a=None, stage_b=None,
+    emit_slabs: bool = False, interpret: bool = False,
 ):
-    """qp/df: (3, R, 128) packed state / K1 interior update; hwe:
-    (3, 6*nel, 128) west+east halo values placed at lanes 0..3 / 60..63 per
-    element-grid row; hs/hn: (3, 6, 1, npl) flat lane-padded south/north
-    halo edge per panel (npl = ceil(nel*s/128)*128); metric/invsg:
-    single-panel (R/6, 128) — the interface metric is panel-identical, and
-    the constant block index means one HBM fetch for all six programs.
-    Returns the RHS in the packed layout (3, R, 128), or — when the stage
-    coefficients are given — one fused TVD-RK stage combination
-    ``stage_a*x + stage_b*qp + cdt*RHS(qp)``."""
+    """The whole SW spatial operator + optional TVD-RK stage combination in
+    one kernel per panel. qp: (3, R, 128) packed state; hwe: (3, 6*nel, 128)
+    west+east halo values at lanes 0..3 / 60..63 per element-grid row;
+    hs/hn: (3, 6, 1, npl) flat lane-padded south/north halo edges;
+    fields: the 13 single-panel K1 constants; m_*: single-panel interface
+    metrics. Returns the RHS (3, R, 128), or with stage coefficients
+    ``stage_a*x + stage_b*qp + cdt*RHS(qp)``; with ``emit_slabs`` also the
+    (we, s, n) edge-trace slabs of the OUTPUT state (``ke_edges`` layout)
+    so the next stage needs no separate edge kernel."""
     rows = qp.shape[1]
     prows = rows // 6
     nel = hwe.shape[1] // 6
     npl = hs.shape[-1]
+    rpad = -(-rpr // 8) * 8
     zero = np.int32(0)
+    with_stage = stage_a is not None
+    with_x = with_stage and (stage_a != 0.0)
+
+    lw = np.zeros((nel, prows), np.float64)
+    le = np.zeros((nel, prows), np.float64)
+    for y in range(nel):
+        lw[y, y * rpr] = 1.0
+        le[y, y * rpr + rpr - 1] = 1.0
+    lw = jnp.asarray(lw, dtype=qp.dtype)
+    le = jnp.asarray(le, dtype=qp.dtype)
+
     pan3 = lambda: pl.BlockSpec((3, prows, LANES), lambda i: (zero, i, zero))
+    pan = lambda: pl.BlockSpec((prows, LANES), lambda i: (i, zero))
     pan0 = lambda: pl.BlockSpec((prows, LANES), lambda i: (zero, zero))
     small3 = lambda r: pl.BlockSpec((3, r, LANES), lambda i: (zero, i, zero))
     edge = lambda: pl.BlockSpec((3, 1, 1, npl), lambda i: (zero, i, zero, zero))
     const = lambda: pl.BlockSpec((LANES, LANES), lambda i: (zero, zero))
-    with_stage = stage_a is not None
-    in_specs = [pan3(), small3(nel), edge(), edge(), pan0(), pan0(), pan0(), pan3(), pan0(), const(), const(), const()]
-    args = [qp, hwe, hs, hn, m_sg, m_hd, m_ho, df, invsg, wmat, spread, eexy]
-    if with_stage:
-        in_specs += [
-            pan3(),
-            pl.BlockSpec((1, 1), lambda i: (zero, zero), memory_space=pltpu.SMEM),
+
+    in_specs = (
+        [pan3(), small3(nel), edge(), edge()]
+        + [pan0() for _ in range(13)]
+        + [
+            pan(),  # gridrot (panel-dependent)
+            const(),
+            pl.BlockSpec((2 * LANES, LANES), lambda i: (zero, zero)),  # dd
+            pan0(), pan0(), pan0(),  # m_sg, m_hd, m_ho
+            const(), const(),  # wmat, spread
+            pl.BlockSpec((nel, prows), lambda i: (zero, zero)),  # lw
+            pl.BlockSpec((nel, prows), lambda i: (zero, zero)),  # le
         ]
-        args += [x, jnp.asarray(cdt, dtype=qp.dtype).reshape(1, 1)]
+    )
+    args = [qp, hwe, hs, hn, *fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat, spread, lw, le]
+    if with_x:
+        in_specs.append(pan3())
+        args.append(x)
+    if with_stage:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (zero, zero), memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(cdt, dtype=qp.dtype).reshape(1, 1))
+
+    out_specs = [pan3()]
+    out_shape = [jax.ShapeDtypeStruct((3, rows, LANES), qp.dtype)]
+    if emit_slabs:
+        out_specs += [
+            small3(nel),
+            pl.BlockSpec((3, rpad, LANES), lambda i: (zero, i, zero)),
+            pl.BlockSpec((3, rpad, LANES), lambda i: (zero, i, zero)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((3, 6 * nel, LANES), qp.dtype),
+            jax.ShapeDtypeStruct((3, 6 * rpad, LANES), qp.dtype),
+            jax.ShapeDtypeStruct((3, 6 * rpad, LANES), qp.dtype),
+        ]
+
     outs = pl.pallas_call(
-        _make_k2(rpr, prows, stage_a, stage_b),
+        _make_km(rpr, prows, nel, stage_a, stage_b, emit_slabs, with_x),
         grid=(6,),
         in_specs=in_specs,
-        out_specs=[pan3()],
-        out_shape=[jax.ShapeDtypeStruct((3, rows, LANES), qp.dtype)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    return outs[0]
+    return tuple(outs) if emit_slabs else outs[0]
