@@ -1,0 +1,760 @@
+"""Fused Pallas TPU pipeline for the 3D Euler DFR RHS on the cubed sphere.
+
+One mega kernel (KM3) computes the ENTIRE spatial operator per
+(y-slab, panel) block: log-space extrapolation to all six element faces,
+sqrt(g)-weighted pointwise fluxes, interior divergence, Rusanov interface
+fluxes with the rho*w advection/pressure split, boundary corrections,
+Christoffel/Coriolis forcing and the filtered gravity term (reference
+rhs/rhs_dfr.py + pde/pde_euler_cubesphere.py + pde/fluxes.py semantics,
+matching models/euler_cubesphere.py). Only the tiny panel-edge halo stage
+runs in XLA between kernel launches.
+
+Why: the XLA schedule of the 3D RHS moves ~9.3 GB of HBM per evaluation
+(padded interface layouts + materialized concatenations) for an 8.6-GFLOP
+computation — 50x over the bandwidth roofline. In the kernel everything
+intermediate lives in VMEM; per block the only HBM transfers are the
+packed state, the output and the (mostly single-panel) metric constants.
+
+Packed layout. State view is ``(5, R, 128)`` with ``R = 6*ny*nk*nxp`` rows
+of ``g = 2`` elements x ``s^3 = 64`` solution points (f32 lane width 128).
+Row ``r`` maps to ``(panel, ky, kz, x2)`` with x2 innermost and ky
+outermost; element x-index is ``ex = 2*x2 + g``; lane ``g*64 + pt`` holds
+solution point ``pt = (kz_s*s + ky_s)*s + kx_s`` (x fastest — the
+reference's new-layout ordering, cubed_sphere_3d.py:187).
+
+Face-trace slot layout (per row, two 128-lane arrays):
+  * ``tr_xy``: lane ``g*32 + [west:0..15 | east:16..31]`` for the x faces,
+    ``64 + g*32 + [south:16 | north:16]`` for the y faces; face index
+    ``kz_s*s + ky_s`` (x) / ``kz_s*s + kx_s`` (y).
+  * ``tr_z``: lane ``g*32 + [down:16 | up:16]``, upper 64 lanes unused.
+Each element's west/south/down slot hosts the Riemann flux of the
+interface on that side; panel-edge east/north slots and the rigid-lid /
+ground slots host the boundary interfaces ("h2" slots).
+
+Grid is ``(ny/ty, 6)`` with the PANEL axis innermost so the single-panel
+metric constants (every geometric field of the equiangular cubed sphere is
+panel-identical) keep a constant block index across the six inner steps.
+y-slab coupling uses two extra one-grid-row views of the state (the
+neighbouring slabs' boundary rows); their faces are recomputed in VMEM.
+
+f32 operating point on TPU; f64 via interpret mode off-TPU for the parity
+tests (the XLA path in models/euler_cubesphere.py stays the float64
+reference).
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..common.constants import CPD, CVD, GRAVITY, P0, RD
+
+G2 = 2  # elements per packed row
+S = 4  # num_solpts this pipeline is specialized for
+SS = S * S  # 16 face points
+S3 = S * S * S  # 64 volume points
+LANES = G2 * S3  # 128
+
+GAMMA = CPD / CVD
+
+IDX_RHO = 0
+IDX_RHO_U1 = 1
+IDX_RHO_U2 = 2
+IDX_RHO_W = 3
+IDX_RHO_THETA = 4
+
+
+def supported(num_solpts: int, nel_h: int, nel_v: int, nvar: int, dtype) -> bool:
+    """Shapes/dtypes the fused 3D pipeline handles; others fall back to XLA.
+
+    Requires s=4 (s^3=64 points, two elements per 128-lane row), an even
+    horizontal element count, and slab row counts that tile the f32 (8,128)
+    layout. float64 only off-TPU (interpret mode)."""
+    if num_solpts != S or nvar != 5:
+        return False
+    if nel_h % 2 != 0:
+        return False
+    nxp = nel_h // 2
+    if (nel_v * nxp) % 8 != 0:
+        return False
+    if dtype in (jnp.float32, np.float32):
+        return True
+    return dtype in (jnp.float64, np.float64) and jax.default_backend() != "tpu"
+
+
+def pick_ty(nel_h: int, nel_v: int, vmem_budget_rows: int = 256) -> int:
+    """Largest y-slab height that divides ny and keeps the block under a
+    row budget (VMEM: ~40 constant fields + state per row)."""
+    nxp = nel_h // 2
+    best = 1
+    for ty in range(1, nel_h + 1):
+        if nel_h % ty == 0 and ty * nel_v * nxp <= vmem_budget_rows:
+            best = ty
+        if ty * nel_v * nxp > vmem_budget_rows:
+            break
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing helpers
+
+
+def pack_rows(a: np.ndarray, nel_h: int, nel_v: int) -> np.ndarray:
+    """Model layout (..., 6, nk, ny, nx, s^3) -> packed (..., R, 128)."""
+    nxp = nel_h // 2
+    lead = a.shape[:-5]
+    b = np.moveaxis(a, -4, -3)  # (..., 6, ny, nk, nx, s3)
+    b = b.reshape(lead + (6, nel_h, nel_v, nxp, G2 * S3))
+    return b.reshape(lead + (6 * nel_h * nel_v * nxp, LANES))
+
+
+def unpack_rows(a: np.ndarray, nel_h: int, nel_v: int) -> np.ndarray:
+    """Packed (..., R, 128) -> model layout (..., 6, nk, ny, nx, s^3)."""
+    nxp = nel_h // 2
+    lead = a.shape[:-2]
+    b = a.reshape(lead + (6, nel_h, nel_v, nxp * G2, S3))
+    return np.moveaxis(b, -3, -4) if isinstance(a, np.ndarray) else jnp.moveaxis(b, -3, -4)
+
+
+def pack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int) -> jnp.ndarray:
+    nxp = nel_h // 2
+    lead = a.shape[:-5]
+    b = jnp.moveaxis(a, -4, -3)
+    return b.reshape(lead + (6 * nel_h * nel_v * nxp, LANES))
+
+
+def unpack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int) -> jnp.ndarray:
+    nxp = nel_h // 2
+    lead = a.shape[:-2]
+    b = a.reshape(lead + (6, nel_h, nel_v, nxp, G2, S3))
+    b = b.reshape(lead + (6, nel_h, nel_v, nel_h, S3))
+    return jnp.moveaxis(b, -3, -4).reshape(lead + (6, nel_v, nel_h, nel_h, S3))
+
+
+class E3Constants(NamedTuple):
+    """Trace-time constants of the fused 3D pipeline (device arrays).
+
+    ``fields`` are the single-panel interior metric fields in packed-row
+    layout (R/6, 128); ``itf_xy``/``itf_z`` the single-panel interface
+    metric in trace-slot layout; ``tch`` the 9 time-Christoffel fields —
+    ``None`` for a non-rotating planet (they vanish), else FULL-size
+    (R, 128) because the Coriolis terms differ per panel."""
+
+    # interior, single panel (R6, 128) each
+    sqrtg: jnp.ndarray
+    inv_sqrtg: jnp.ndarray
+    inv_dzdeta: jnp.ndarray
+    h: tuple  # 6 fields: h11, h12, h13, h22, h23, h33
+    chs: tuple  # 18 spatial Christoffels: [a][j] for a=0..2, j=0..5 (rows 3..8)
+    wpres_int: jnp.ndarray  # sum_d (sqrtG h^{d3}) @ D_d (constant interior term)
+    tch: tuple | None  # 9 full-size time Christoffels (rotating planets)
+    # interface metric in slot layout, single panel
+    itf_xy: tuple  # (sg, hd, h0, h1, h2) each (R6, 128)
+    itf_z: tuple  # (sg, hd, h0, h1, h2) each (R6, 128), lanes 0..63
+    # operator matrices
+    e_xy: jnp.ndarray  # (128, 128) state row -> x|y face traces
+    e_z: jnp.ndarray  # (128, 128) state row -> z face traces (lanes 0..63)
+    dd: jnp.ndarray  # (384, 128) [fx|fy|fz] -> x+y+z divergence sum
+    dlp: jnp.ndarray  # (128, 384) logp -> per-direction interior gradient
+    corr: jnp.ndarray  # (256, 128) [xy-slot|z-slot] face fluxes -> correction sum
+    lfc_xy: jnp.ndarray  # (128, 384) xy-slot face logp -> per-direction correction
+    lfc_z: jnp.ndarray  # (128, 384) z-slot face logp -> per-direction correction
+    hfk: jnp.ndarray  # (128, 128) block-diag highfilter_k (gravity)
+
+
+def _bd2(a: np.ndarray) -> np.ndarray:
+    """Block-diagonal over the two elements of a row."""
+    r, c = a.shape
+    out = np.zeros((G2 * r, G2 * c), a.dtype)
+    out[:r, :c] = a
+    out[r:, c:] = a
+    return out
+
+
+def build_constants(ops, metric, nel_h: int, nel_v: int, dtype=jnp.float32) -> E3Constants:
+    """Precompute every constant array of the fused 3D pipeline (host)."""
+    nxp = nel_h // 2
+    rows6 = nel_h * nel_v * nxp  # rows per panel
+    f64 = lambda a: np.asarray(a, np.float64)
+
+    # --- operator matrices -------------------------------------------------
+    ex3, ey3, ez3 = f64(ops.extrap_x3), f64(ops.extrap_y3), f64(ops.extrap_z3)
+    dx3, dy3, dz3 = f64(ops.derivative_x3), f64(ops.derivative_y3), f64(ops.derivative_z3)
+    cwe, csn, cdu = f64(ops.correction_WE3), f64(ops.correction_SN3), f64(ops.correction_DU3)
+
+    e_xy = np.zeros((LANES, LANES))
+    e_z = np.zeros((LANES, LANES))
+    for g in range(G2):
+        sl = slice(g * S3, (g + 1) * S3)
+        e_xy[sl, g * 32 : (g + 1) * 32] = ex3  # west|east
+        e_xy[sl, 64 + g * 32 : 64 + (g + 1) * 32] = ey3  # south|north
+        e_z[sl, g * 32 : (g + 1) * 32] = ez3  # down|up
+
+    dd = np.zeros((3 * LANES, LANES))
+    for g in range(G2):
+        for d, m in enumerate((dx3, dy3, dz3)):
+            dd[d * LANES + g * S3 : d * LANES + (g + 1) * S3, g * S3 : (g + 1) * S3] = m
+
+    dlp = np.zeros((LANES, 3 * LANES))
+    for g in range(G2):
+        for d, m in enumerate((dx3, dy3, dz3)):
+            dlp[g * S3 : (g + 1) * S3, d * LANES + g * S3 : d * LANES + (g + 1) * S3] = m
+
+    # Correction: input [xy-slot row | z-slot row] (256 lanes), output s^3.
+    corr = np.zeros((2 * LANES, LANES))
+    lfc_xy = np.zeros((LANES, 3 * LANES))
+    lfc_z = np.zeros((LANES, 3 * LANES))
+    for g in range(G2):
+        out = slice(g * S3, (g + 1) * S3)
+        corr[g * 32 : (g + 1) * 32, out] = cwe
+        corr[64 + g * 32 : 64 + (g + 1) * 32, out] = csn
+        corr[LANES + g * 32 : LANES + (g + 1) * 32, out] = cdu
+        lfc_xy[g * 32 : (g + 1) * 32, 0 * LANES + g * S3 : 0 * LANES + (g + 1) * S3] = cwe
+        lfc_xy[64 + g * 32 : 64 + (g + 1) * 32, 1 * LANES + g * S3 : 1 * LANES + (g + 1) * S3] = csn
+        lfc_z[g * 32 : (g + 1) * 32, 2 * LANES + g * S3 : 2 * LANES + (g + 1) * S3] = cdu
+
+    hfk = _bd2(f64(ops.highfilter_k))
+
+    # --- interior fields, single panel -------------------------------------
+    def panel0(a, scale=None):
+        # Geometric fields of the equiangular cubed sphere are identical on
+        # all six panels up to the rounding of the numerical metric build
+        # (~5e-13 relative to the field scale). `scale` lets a family of
+        # fields share one magnitude so identically-zero members (pure
+        # rounding noise) pass.
+        full = pack_rows(f64(a), nel_h, nel_v)
+        one = full[:rows6]
+        tol = 1e-10 * max(np.abs(full).max() if scale is None else scale, 1e-300)
+        if np.abs(full.reshape(6, rows6, LANES) - one).max() > tol:
+            raise ValueError("interior metric field unexpectedly differs across panels")
+        return one
+
+    sqrtg = panel0(metric.sqrtG)
+    inv_sqrtg = panel0(metric.inv_sqrtG)
+    inv_dzdeta = panel0(metric.inv_dzdeta)
+    h_fields = tuple(
+        panel0(metric.h_contra[a, b]) for (a, b) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    )
+    ch_scale = np.abs(f64(metric.christoffel[:, 3:])).max()
+    chs = tuple(
+        panel0(metric.christoffel[a, 3 + j], scale=ch_scale) for a in range(3) for j in range(6)
+    )
+
+    tch_np = f64(metric.christoffel[:, :3])  # (3, 3, 6, nk, ny, nx, s3)
+    if np.all(tch_np == 0.0):
+        tch = None
+    else:
+        tch = tuple(
+            jnp.asarray(pack_rows(tch_np[a, b], nel_h, nel_v), dtype=dtype)
+            for a in range(3)
+            for b in range(3)
+        )
+
+    # Interior part of the w pressure split: sum_d (sqrtG h^{d3}) @ D_d.
+    wp = (
+        f64(metric.sqrtG) * f64(metric.h_contra[0, 2]) @ dx3
+        + f64(metric.sqrtG) * f64(metric.h_contra[1, 2]) @ dy3
+        + f64(metric.sqrtG) * f64(metric.h_contra[2, 2]) @ dz3
+    )
+    wpres_int = panel0(wp)
+
+    # --- interface metric in trace-slot layout ------------------------------
+    def slot_xy(m_i, m_j):
+        """m_i: (nk, ny, nx+1, ss) x-interfaces, m_j: (nk, ny+1, nx, ss) of
+        panel 0 -> (rows6, 128) slot layout. Every element's west/south slot
+        carries its west/south interface metric, its east/north ("h2") slot
+        the east/north one — panel edges AND interior y-slab boundaries read
+        the h2 slots."""
+        out = np.ones((nel_h, nel_v, nxp, G2, 2, 2, SS))  # (ky,kz,x2,g,fam,half,k)
+        for ky in range(nel_h):
+            for kz in range(nel_v):
+                for x2 in range(nxp):
+                    for g in range(G2):
+                        ex = 2 * x2 + g
+                        out[ky, kz, x2, g, 0, 0] = m_i[kz, ky, ex]  # west itf
+                        out[ky, kz, x2, g, 0, 1] = m_i[kz, ky, ex + 1]  # east itf
+                        out[ky, kz, x2, g, 1, 0] = m_j[kz, ky, ex]  # south itf
+                        out[ky, kz, x2, g, 1, 1] = m_j[kz, ky + 1, ex]  # north itf
+        # slot lane = fam*64 + g*32 + half*16 + k
+        return np.moveaxis(out, 4, 3).reshape(rows6, LANES)
+
+    def slot_z(m_k):
+        """m_k: (nk+1, ny, nx, ss) -> (rows6, 128), lanes g*32+[d|u]*16+k."""
+        out = np.ones((nel_h, nel_v, nxp, G2, 2, SS))
+        for ky in range(nel_h):
+            for kz in range(nel_v):
+                for x2 in range(nxp):
+                    for g in range(G2):
+                        ex = 2 * x2 + g
+                        out[ky, kz, x2, g, 0] = m_k[kz, ky, ex]  # down itf (incl. ground)
+                        out[ky, kz, x2, g, 1] = m_k[kz + 1, ky, ex]  # up itf (incl. lid)
+        z = out.reshape(rows6, 64)
+        return np.concatenate([z, np.ones((rows6, 64))], axis=1)
+
+    def p0_itf(a, scale=None):
+        a = f64(a)
+        tol = 1e-10 * max(np.abs(a).max() if scale is None else scale, 1e-300)
+        if np.abs(a - a[:1]).max() > tol:
+            raise ValueError("interface metric field unexpectedly differs across panels")
+        return a[0]
+
+    sg_i, sg_j, sg_k = p0_itf(metric.sqrtG_itf_i), p0_itf(metric.sqrtG_itf_j), p0_itf(metric.sqrtG_itf_k)
+    hsc_i = np.abs(f64(metric.h_contra_itf_i)).max()
+    hsc_j = np.abs(f64(metric.h_contra_itf_j)).max()
+    hsc_k = np.abs(f64(metric.h_contra_itf_k)).max()
+    hi = lambda a, b: p0_itf(metric.h_contra_itf_i[a, b], scale=hsc_i)
+    hj = lambda a, b: p0_itf(metric.h_contra_itf_j[a, b], scale=hsc_j)
+    hk = lambda a, b: p0_itf(metric.h_contra_itf_k[a, b], scale=hsc_k)
+
+    itf_xy = (
+        slot_xy(sg_i, sg_j),
+        slot_xy(hi(0, 0), hj(1, 1)),
+        slot_xy(hi(0, 0), hj(1, 0)),
+        slot_xy(hi(0, 1), hj(1, 1)),
+        slot_xy(hi(0, 2), hj(1, 2)),
+    )
+    itf_z = (
+        slot_z(sg_k),
+        slot_z(hk(2, 2)),
+        slot_z(hk(2, 0)),
+        slot_z(hk(2, 1)),
+        slot_z(hk(2, 2)),
+    )
+
+    c = lambda a: jnp.asarray(a, dtype=dtype)
+    ct = lambda t: tuple(c(a) for a in t)
+    return E3Constants(
+        sqrtg=c(sqrtg), inv_sqrtg=c(inv_sqrtg), inv_dzdeta=c(inv_dzdeta),
+        h=ct(h_fields), chs=ct(chs), wpres_int=c(wpres_int), tch=tch,
+        itf_xy=ct(itf_xy), itf_z=ct(itf_z),
+        e_xy=c(e_xy), e_z=c(e_z), dd=c(dd), dlp=c(dlp), corr=c(corr),
+        lfc_xy=c(lfc_xy), lfc_z=c(lfc_z), hfk=c(hfk),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KM3 kernel body. Written as a pure jnp function over VMEM-resident values
+# so the same code runs under pallas (Mosaic/interpret) AND as a plain jnp
+# function in the unit tests; `roll` is pltpu.roll in-kernel, jnp.roll in
+# pure mode (identical semantics: value at index i moves to i+shift).
+
+
+def _pressure(rt):
+    return P0 * jnp.exp(GAMMA * jnp.log((RD / P0) * rt))
+
+
+def _km3_body(
+    q, qprev, qnext, hwe, hs, hn, con, dims, ytile, n_ytiles, roll,
+    x=None, cdt=None, stage_a=None, stage_b=None,
+):
+    """q: (5, Rb, 128) block rows of one panel; qprev/qnext: (5, nkxp, 128)
+    boundary grid-rows of the neighbouring y-slabs; hwe: (5, ty*nk, 128)
+    panel-edge west/east halo faces (lanes 0..15 / 48..63); hs/hn:
+    (5, nkxp, 128) panel-edge south/north halo faces in ys/yn slot lanes.
+    con: dict of constant blocks. Returns the 5 output rows (5, Rb, 128).
+    """
+    nk, nxp, ty = dims["nk"], dims["nxp"], dims["ty"]
+    nkxp = nk * nxp
+    Rb = ty * nkxp
+    dtype = q.dtype
+    f = lambda v: jnp.asarray(v, dtype)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 0)
+    half = jax.lax.rem(jax.lax.rem(lane, jnp.int32(32)) // 16, jnp.int32(2))
+    is_x = lane < 64
+    lo_half = half == 0
+    x2 = jax.lax.rem(row, jnp.int32(nxp))
+    kz = jax.lax.rem(row // nxp, jnp.int32(nk))
+    kyl = row // nkxp
+
+    xw = is_x & lo_half
+    xe = is_x & ~lo_half
+    ys = (~is_x) & lo_half
+    yn = (~is_x) & ~lo_half
+    g1 = jax.lax.rem(lane, jnp.int32(64)) >= 32
+
+    first_ky = kyl == 0
+    last_ky = kyl == ty - 1
+    south_edge = first_ky & (ytile == 0)
+    north_edge = last_ky & (ytile == n_ytiles - 1)
+    west_col = x2 == 0
+    east_col = x2 == nxp - 1
+    kz0 = kz == 0
+    kztop = kz == nk - 1
+
+    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=dtype)
+
+    # --- extrapolation to faces (rho, rho*theta in log space) -------------
+    lr = jnp.log(q[IDX_RHO])
+    lrt = jnp.log(q[IDX_RHO_THETA])
+    xrows = [lr, q[1], q[2], q[3], lrt]
+
+    def traces(rows_in):
+        big = jnp.concatenate(rows_in, axis=0)
+        t_xy = mm(big, con["e_xy"])
+        t_z = mm(big, con["e_z"])
+        n = rows_in[0].shape[0]
+        sp = lambda t: [t[i * n : (i + 1) * n] for i in range(5)]
+        t_xy, t_z = sp(t_xy), sp(t_z)
+        for i in (0, 4):
+            t_xy[i] = jnp.exp(t_xy[i])
+            t_z[i] = jnp.exp(t_z[i])
+        return t_xy, t_z
+
+    tr, trz = traces(xrows)
+    pxr = [jnp.log(qprev[IDX_RHO]), qprev[1], qprev[2], qprev[3], jnp.log(qprev[IDX_RHO_THETA])]
+    nxr = [jnp.log(qnext[IDX_RHO]), qnext[1], qnext[2], qnext[3], jnp.log(qnext[IDX_RHO_THETA])]
+    trp, _ = traces(pxr)  # previous slab: need its north faces
+    trn, _ = traces(nxr)  # next slab: need its south faces
+
+    pad_lead = lambda a: jnp.pad(a, ((0, Rb - a.shape[0]), (0, 0)))
+    pad_tail = lambda a: jnp.pad(a, ((Rb - a.shape[0], 0), (0, 0)))
+    rep = lambda a: jnp.repeat(a, nxp, axis=0)  # (ty*nk, 128) -> (Rb, 128)
+
+    # --- L/R interface states ---------------------------------------------
+    L_xy, R_xy, L_z, R_z = [], [], [], []
+    for v in range(5):
+        t = tr[v]
+        lx = jnp.where(lane < 16, roll(roll(t, 1, 0), 80, 1), roll(t, 16, 1))
+        ly = roll(roll(t, nkxp, 0), 112, 1)
+        ly = jnp.where(first_ky, pad_lead(roll(trp[v], 112, 1)), ly)
+        l = jnp.where(is_x, lx, ly)
+        hwe_v = rep(hwe[v])
+        # Only the g0 element's west slot (lanes 0..15) sits on the panel
+        # boundary; g1's west interface is interior to the row.
+        l = jnp.where((lane < 16) & west_col, hwe_v, l)
+        l = jnp.where(ys & south_edge, pad_lead(hs[v]), l)
+        # h2 slots: east/north boundary interfaces — L is the element's own
+        # east/north face (already in place).
+        east_b = xe & g1 & east_col
+        north_b = yn & last_ky
+        l = jnp.where(east_b | north_b, t, l)
+        r = t
+        r = jnp.where(east_b, hwe_v, r)
+        rn = pad_tail(roll(trn[v], 16, 1))
+        r = jnp.where(north_b, jnp.where(north_edge, pad_tail(hn[v]), rn), r)
+        L_xy.append(l)
+        R_xy.append(r)
+
+        tz = trz[v]
+        lz = roll(roll(tz, nxp, 0), 112, 1)
+        # Ground mirror (kz=0 down slots) and rigid-lid h2 (kz=nk-1 up
+        # slots): L is the element's own face; the flipped normal speed is
+        # applied below (reference pde_euler_cubesphere.py:150-156).
+        lz = jnp.where((is_x & lo_half & kz0) | (is_x & ~lo_half & kztop), tz, lz)
+        L_z.append(lz)
+        R_z.append(tz)
+
+    zd = is_x & lo_half
+    zu = is_x & ~lo_half
+
+    # --- Rusanov at every slot (both xy families in one pass; z its own) ---
+    def rusanov(L, R, msg, mhd, mh0, mh1, mh2, vnL, vnR):
+        pL = _pressure(L[4])
+        pR = _pressure(R[4])
+        eig = jnp.maximum(
+            jnp.abs(vnL) + jnp.sqrt(mhd * f(GAMMA) * pL / L[0]),
+            jnp.abs(vnR) + jnp.sqrt(mhd * f(GAMMA) * pR / R[0]),
+        )
+        flux, wadv = [], None
+        for v in range(5):
+            fl = f(0.5) * msg * (vnL * L[v] + vnR * R[v] - eig * (R[v] - L[v]))
+            if v == IDX_RHO_W:
+                wadv = fl
+            flux.append(fl)
+        psum = f(0.5) * msg * (pL + pR)
+        flux[1] = flux[1] + mh0 * psum
+        flux[2] = flux[2] + mh1 * psum
+        flux[3] = flux[3] + mh2 * psum
+        wpres = mh2 * psum
+        return flux, wadv, wpres, pL, pR
+
+    msg, mhd, mh0, mh1, mh2 = con["itf_xy"]
+    vnL = jnp.where(is_x, L_xy[1], L_xy[2]) / L_xy[0]
+    vnR = jnp.where(is_x, R_xy[1], R_xy[2]) / R_xy[0]
+    Fxy, wadv_xy, wpres_xy, pL_xy, pR_xy = rusanov(L_xy, R_xy, msg, mhd, mh0, mh1, mh2, vnL, vnR)
+
+    msgz, mhdz, mh0z, mh1z, mh2z = con["itf_z"]
+    vnLz = L_z[3] / L_z[0]
+    vnLz = jnp.where(zd & kz0, -vnLz, vnLz)
+    vnRz = R_z[3] / R_z[0]
+    vnRz = jnp.where(zu & kztop, -vnRz, vnRz)
+    Fz, wadv_z, wpres_z, pL_z, pR_z = rusanov(L_z, R_z, msgz, mhdz, mh0z, mh1z, mh2z, vnLz, vnRz)
+
+    # --- fill east/north/up face slots from the neighbours' west/south/down
+    # interface values (SW faces() pattern, reference rhs_dfr.py:106-139).
+    keep_xe = east_col & g1
+    keep_yn = last_ky
+    keep_zu = kztop
+
+    def fill_xy(a):
+        f_g0 = roll(a, 112, 1)
+        f_g1 = roll(roll(a, Rb - 1, 0), 48, 1)
+        fe = jnp.where(g1, f_g1, f_g0)
+        fn = roll(roll(a, Rb - nkxp, 0), 16, 1)
+        out = jnp.where(xe & ~keep_xe, fe, a)
+        return jnp.where(yn & ~keep_yn, fn, out)
+
+    def fill_z(a):
+        fu = roll(roll(a, Rb - nxp, 0), 16, 1)
+        return jnp.where(zu & ~keep_zu, fu, a)
+
+    Fxy = [fill_xy(a) for a in Fxy]
+    Fz = [fill_z(a) for a in Fz]
+    wadv_xy, wadv_z = fill_xy(wadv_xy), fill_z(wadv_z)
+    wpres_xy, wpres_z = fill_xy(wpres_xy), fill_z(wpres_z)
+    # Face pressures: west/south/down faces are the R side of their own
+    # interface; east/north/up faces are the L side of the neighbour's.
+    pf_xy = jnp.where(xw | ys, pR_xy, fill_xy(pL_xy))
+    pf_z = jnp.where(zd, pR_z, fill_z(pL_z))
+    lf_xy = jnp.log(pf_xy)
+    lf_z = jnp.log(pf_z)
+    wpf_xy = wpres_xy / pf_xy
+    wpf_z = wpres_z / pf_z
+
+    # --- pointwise fluxes + interior divergence ---------------------------
+    sg = con["sqrtg"]
+    inv_sg = con["inv_sqrtg"]
+    h11, h12, h13, h22, h23, h33 = con["h"]
+    rho = q[IDX_RHO]
+    u1 = q[1] / rho
+    u2 = q[2] / rho
+    w = q[3] / rho
+    pressure = _pressure(q[IDX_RHO_THETA])
+    logp = jnp.log(pressure)
+    sgp = sg * pressure
+
+    hrows = ((h11, h12, h13), (h12, h22, h23), (h13, h23, h33))
+    cat = lambda xs: jnp.concatenate(xs, axis=-1)
+    bundles = []
+    for v in range(5):
+        per_d = []
+        for d, un in enumerate((u1, u2, w)):
+            fl = sg * un * q[v]
+            if 1 <= v <= 3:
+                fl = fl + sgp * hrows[d][v - 1]
+            per_d.append(fl)
+        bundles.append(cat(per_d))
+    bundles.append(cat([sg * un * q[3] for un in (u1, u2, w)]))  # w advective
+    div = mm(jnp.concatenate(bundles, axis=0), con["dd"])
+    dv = [div[i * Rb : (i + 1) * Rb] for i in range(6)]
+
+    dlogp = mm(logp, con["dlp"])  # (Rb, 384)
+
+    # --- boundary corrections ----------------------------------------------
+    rows7 = [cat([Fxy[v], Fz[v]]) for v in range(5)]
+    rows7.append(cat([wadv_xy, wadv_z]))
+    rows7.append(cat([wpf_xy, wpf_z]))
+    co = mm(jnp.concatenate(rows7, axis=0), con["corr"])
+    cv = [co[i * Rb : (i + 1) * Rb] for i in range(7)]
+
+    dlp = dlogp + mm(lf_xy, con["lfc_xy"]) + mm(lf_z, con["lfc_z"])
+    dlp_x, dlp_y, dlp_z = dlp[:, :LANES], dlp[:, LANES : 2 * LANES], dlp[:, 2 * LANES :]
+
+    w_df = (
+        dv[5]
+        + cv[5]
+        + (con["wpres_int"] + cv[6]) * pressure
+        + pressure * (sg * h13 * dlp_x + sg * h23 * dlp_y + sg * h33 * dlp_z)
+    )
+
+    # --- forcing -----------------------------------------------------------
+    chs = con["chs"]
+
+    def forcing_row(a):
+        c11, c12, c13, c22, c23, c33 = chs[a * 6 : (a + 1) * 6]
+        out = (
+            c11 * (rho * u1 * u1 + h11 * pressure)
+            + f(2.0) * c12 * (rho * u1 * u2 + h12 * pressure)
+            + f(2.0) * c13 * (rho * u1 * w + h13 * pressure)
+            + c22 * (rho * u2 * u2 + h22 * pressure)
+            + f(2.0) * c23 * (rho * u2 * w + h23 * pressure)
+            + c33 * (rho * w * w + h33 * pressure)
+        )
+        if con.get("tch") is not None:
+            t0, t1, t2 = con["tch"][a * 3 : (a + 1) * 3]
+            out = out + f(2.0) * rho * (t0 * u1 + t1 * u2 + t2 * w)
+        return out
+
+    gravity = con["inv_dzdeta"] * f(GRAVITY) * inv_sg * mm(sg * rho, con["hfk"])
+    f1 = forcing_row(0)
+    f2 = forcing_row(1)
+    f3 = forcing_row(2) + gravity
+
+    out = [
+        -inv_sg * (dv[0] + cv[0]),
+        -inv_sg * (dv[1] + cv[1]) - f1,
+        -inv_sg * (dv[2] + cv[2]) - f2,
+        -inv_sg * w_df - f3,
+        -inv_sg * (dv[4] + cv[4]),
+    ]
+    if stage_a is not None:
+        for v in range(5):
+            val = f(stage_b) * q[v] + cdt * out[v]
+            if x is not None:
+                val = f(stage_a) * x[v] + val
+            out[v] = val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Panel-edge halo glue (XLA). Extracts the four outward edge-face traces of
+# the packed state (log-space extrapolation like the interior), runs the
+# pooled neighbour exchange + momentum rotation of parallel/topology.py and
+# formats the results into the kernel's hwe/hs/hn input arrays. Everything
+# here is edge-sized (~nv*6*nk*nh*s^2 values).
+
+
+class HaloOps(NamedTuple):
+    exw: jnp.ndarray  # (64, 16) west-face extrapolation
+    exe: jnp.ndarray
+    eys: jnp.ndarray
+    eyn: jnp.ndarray
+    conv: jnp.ndarray  # (4, 6, nk?, ...) momentum rotation, from topology
+
+
+def build_halo_ops(ops, topology, dtype=jnp.float32) -> HaloOps:
+    f64 = lambda a: np.asarray(a, np.float64)
+    ex3, ey3 = f64(ops.extrap_x3), f64(ops.extrap_y3)
+    c = lambda a: jnp.asarray(a, dtype=dtype)
+    conv = np.asarray(topology._conv_contra_all)  # (4, 6, npts_h, 2, 2)
+    return HaloOps(c(ex3[:, :SS]), c(ex3[:, SS:]), c(ey3[:, :SS]), c(ey3[:, SS:]), c(conv))
+
+
+def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
+    """qp: (5, R, 128) packed state -> (hwe, hs, hn) kernel halo inputs.
+
+    hwe: (6*n_ytiles, tynk_pad, 128) west halo at lanes 0..15, east at
+    48..63, rows (ky_local, kz) per (panel, ytile) chunk; hs/hn:
+    (6, nkxp, 128) south/north halo faces in ys/yn slot lanes."""
+    nxp = nel_h // 2
+    nk, ny = nel_v, nel_h
+    nkxp = nk * nxp
+    n_ytiles = ny // ty
+    tynk = ty * nk
+    tynk_pad = -(-tynk // 8) * 8
+    s = S
+    dtype = qp.dtype
+
+    qv = qp.reshape(5, 6, ny, nk, nxp, LANES)
+
+    def logged(strip):
+        # rows (rho, u1, u2, w, rho*theta) -> log on rows 0 and 4
+        return jnp.concatenate(
+            [jnp.log(strip[0:1]), strip[1:4], jnp.log(strip[4:5])], axis=0
+        )
+
+    def expd(face):
+        return jnp.concatenate(
+            [jnp.exp(face[0:1]), face[1:4], jnp.exp(face[4:5])], axis=0
+        )
+
+    # Outward faces of the four panel edges (reference new-layout face
+    # index kz_s*s+ky_s for x, kz_s*s+kx_s for y).
+    wst = expd(logged(qv[:, :, :, :, 0, :S3]) @ hops.exw)  # (5,6,ny,nk,ss)
+    est = expd(logged(qv[:, :, :, :, -1, S3:]) @ hops.exe)
+    sst = qv[:, :, 0].reshape(5, 6, nk, nxp, 2, S3)
+    nst = qv[:, :, -1].reshape(5, 6, nk, nxp, 2, S3)
+    sth = expd(logged(sst) @ hops.eys).reshape(5, 6, nk, 2 * nxp, SS)
+    nth = expd(logged(nst) @ hops.eyn).reshape(5, 6, nk, 2 * nxp, SS)
+
+    pool = jnp.stack(
+        [sth, nth, jnp.moveaxis(wst, 2, 3), jnp.moveaxis(est, 2, 3)], axis=1
+    )  # (5, 4, 6, nk, nh, ss)
+    ex = topology.exchange_pool_3d(pool)
+
+    # 2x2 panel-basis rotation of the horizontal momenta (contravariant).
+    cc = np.asarray(hops.conv).reshape(4, 6, ny, s, 2, 2)
+    coef = lambda i, j: jnp.asarray(
+        cc[..., i, j][:, :, None, :, None, :], dtype=dtype
+    )  # (4, 6, 1, nh, 1, s)
+    split = ex.shape[1:-1] + (s, s)
+    v1 = ex[1].reshape(split)
+    v2 = ex[2].reshape(split)
+    b1 = (coef(0, 0) * v1 + coef(0, 1) * v2).reshape(ex.shape[1:])
+    b2 = (coef(1, 0) * v1 + coef(1, 1) * v2).reshape(ex.shape[1:])
+    halo = jnp.stack([ex[0], b1, b2, ex[3], ex[4]])  # (5, 4, 6, nk, nh, ss)
+
+    z = lambda n, shape: jnp.zeros(shape[:-1] + (n,), dtype)
+    # hwe rows (p, ky, kz): west at lanes 0..15, east at 48..63.
+    wr = jnp.moveaxis(halo[:, 2], 2, 3).reshape(5, 6, ny, nk, SS)
+    er = jnp.moveaxis(halo[:, 3], 2, 3).reshape(5, 6, ny, nk, SS)
+    hwe = jnp.concatenate([wr, z(32, wr.shape), er, z(64, er.shape)], axis=-1)
+    hwe = hwe.reshape(5, 6, n_ytiles, tynk, LANES)
+    hwe = jnp.pad(hwe, ((0, 0), (0, 0), (0, 0), (0, tynk_pad - tynk), (0, 0)))
+    hwe = jnp.moveaxis(hwe, 0, 2).reshape(6 * n_ytiles, 5, tynk_pad, LANES)
+
+    # hs rows (p, kz, x2): lanes 64 + g*32 + [0..15] (ys slots).
+    sr = halo[:, 0].reshape(5, 6, nk, nxp, 2, SS)
+    hs = jnp.concatenate(
+        [z(64, sr.shape[:-2] + (SS,)), sr[..., 0, :], z(16, sr.shape[:-2] + (SS,)),
+         sr[..., 1, :], z(16, sr.shape[:-2] + (SS,))],
+        axis=-1,
+    ).reshape(5, 6, nkxp, LANES)
+    nr = halo[:, 1].reshape(5, 6, nk, nxp, 2, SS)
+    hn = jnp.concatenate(
+        [z(80, nr.shape[:-2] + (SS,)), nr[..., 0, :], z(16, nr.shape[:-2] + (SS,)),
+         nr[..., 1, :]],
+        axis=-1,
+    ).reshape(5, 6, nkxp, LANES)
+    return hwe, jnp.moveaxis(hs, 0, 1), jnp.moveaxis(hn, 0, 1)
+
+
+def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
+    """Slice the constant fields for one (ytile, panel) block (pure mode)."""
+    sl = lambda a: a[i0:i1]
+    d = {
+        "sqrtg": sl(con.sqrtg), "inv_sqrtg": sl(con.inv_sqrtg),
+        "inv_dzdeta": sl(con.inv_dzdeta),
+        "h": tuple(sl(a) for a in con.h),
+        "chs": tuple(sl(a) for a in con.chs),
+        "wpres_int": sl(con.wpres_int),
+        "itf_xy": tuple(sl(a) for a in con.itf_xy),
+        "itf_z": tuple(sl(a) for a in con.itf_z),
+        "e_xy": con.e_xy, "e_z": con.e_z, "dd": con.dd, "dlp": con.dlp,
+        "corr": con.corr, "lfc_xy": con.lfc_xy, "lfc_z": con.lfc_z,
+        "hfk": con.hfk, "tch": tch_block,
+    }
+    return d
+
+
+def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
+                    nel_h: int, nel_v: int, ty: int):
+    """Reference driver: run the kernel body block-by-block with jnp.roll.
+    Bit-identical semantics to the pallas path; used by the parity tests."""
+    nxp = nel_h // 2
+    nk, ny = nel_v, nel_h
+    nkxp = nk * nxp
+    rows6 = ny * nkxp
+    n_ytiles = ny // ty
+    Rb = ty * nkxp
+    dims = {"nk": nk, "nxp": nxp, "ty": ty}
+
+    hwe, hs, hn = edge_halo(qp, topology, hops, nel_h, nel_v, ty)
+    out = []
+    for p in range(6):
+        pan = []
+        for i in range(n_ytiles):
+            r0 = p * rows6 + i * Rb
+            q = qp[:, r0 : r0 + Rb]
+            pr = p * rows6 + max(i * ty - 1, 0) * nkxp
+            nx_ = p * rows6 + min(i * ty + ty, ny - 1) * nkxp
+            qprev = qp[:, pr : pr + nkxp]
+            qnext = qp[:, nx_ : nx_ + nkxp]
+            c0 = i * Rb
+            tch_block = (
+                tuple(a[r0 : r0 + Rb] for a in con.tch) if con.tch is not None else None
+            )
+            cblk = _const_blocks(con, c0, c0 + Rb, Rb, nkxp, tch_block)
+            o = _km3_body(
+                q, qprev, qnext, hwe[p * n_ytiles + i, :, : ty * nk], hs[p], hn[p],
+                cblk, dims, i, n_ytiles, jnp.roll,
+            )
+            pan.append(jnp.stack(o))
+        out.append(jnp.concatenate(pan, axis=1))
+    return jnp.concatenate(out, axis=1)
