@@ -73,3 +73,40 @@ def test_km3_body_matches_xla_rotating():
 
     scale = np.abs(ref).max(axis=(1, 2, 3, 4, 5), keepdims=True)
     np.testing.assert_allclose(got / scale, ref / scale, atol=1e-9)
+
+
+@pytest.mark.parametrize("ty", [2])
+def test_km3_fused_matches_pure(ty):
+    # The pallas_call wrapper (interpret mode) must reproduce the pure-jnp
+    # block driver exactly: same body, same block decomposition.
+    geom, ops, topo, metric, q, rhs = _setup()
+    con = pe3.build_constants(ops, metric, NELH, NELV, dtype=jnp.float64)
+    hops = pe3.build_halo_ops(ops, topo, dtype=jnp.float64)
+    qp = pe3.pack_rows_jnp(q, NELH, NELV)
+
+    want = np.asarray(pe3.rhs_packed_pure(qp, con, topo, hops, NELH, NELV, ty))
+    hwe, hs, hn = pe3.edge_halo(qp, topo, hops, NELH, NELV, ty)
+    got = np.asarray(
+        pe3.km3_fused(qp, hwe, hs, hn, con, NELH, NELV, ty, interpret=True)
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-12)
+
+
+def test_km3_fused_stage_combination():
+    # stage_a*x + stage_b*q + cdt*RHS(q) fused into the kernel epilogue.
+    geom, ops, topo, metric, q, rhs = _setup()
+    con = pe3.build_constants(ops, metric, NELH, NELV, dtype=jnp.float64)
+    hops = pe3.build_halo_ops(ops, topo, dtype=jnp.float64)
+    qp = pe3.pack_rows_jnp(q, NELH, NELV)
+    hwe, hs, hn = pe3.edge_halo(qp, topo, hops, NELH, NELV, 2)
+    r = pe3.km3_fused(qp, hwe, hs, hn, con, NELH, NELV, 2, interpret=True)
+    dt = jnp.asarray(1.7, qp.dtype)
+    x = qp * 1.1
+    got = pe3.km3_fused(
+        qp, hwe, hs, hn, con, NELH, NELV, 2,
+        x=x, cdt=dt, stage_a=0.25, stage_b=0.75, interpret=True,
+    )
+    want = 0.25 * x + 0.75 * qp + dt * r
+    w = np.asarray(want)
+    np.testing.assert_allclose(np.asarray(got) / np.abs(w).max(), w / np.abs(w).max(), atol=1e-12)

@@ -18,8 +18,10 @@ are exchanged like scalars (the reference leaves tracer halos at panel
 edges unexchanged — rhs_dfr.py:148-172 sends only the 5 dynamical rows).
 """
 
+import os
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,10 +48,19 @@ def make_rhs_euler_cubesphere(
     advection_only: bool = False,
     extra_forcing: Optional[Callable] = None,
     dtype=jnp.float64,
+    interior: Optional[str] = None,
+    num_vars: int = 5,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """`extra_forcing(rho, u1, u2, w)` may return momentum-forcing additions
     (f1, f2, f3) — used for the DCMIP 21/22 Rayleigh damping
-    (reference pde_euler_cubesphere.py:283-288)."""
+    (reference pde_euler_cubesphere.py:283-288).
+
+    ``interior`` selects the spatial-operator implementation: ``"xla"``
+    (fused jnp; reference semantics, float64 parity path, runs everywhere)
+    or ``"pallas"`` (the ops/pallas_euler3d.py mega-kernel pipeline, the
+    f32 production fast path on TPU). Default: pallas on TPU when the
+    shape/dtype is supported, else XLA; ``WXF_USE_PALLAS=0`` forces XLA.
+    ``num_vars`` only gates the pallas path (tracers fall back to XLA)."""
     if topology is None:
         topology = CubedSphereTopology(geom)
     s = ops.num_solpts
@@ -365,4 +376,61 @@ def make_rhs_euler_cubesphere(
             out = out.at[:5].set(0.0)
         return out
 
-    return rhs
+    # --- Pallas fast path (ops/pallas_euler3d.py): the whole spatial
+    # operator as one mega kernel per (y-slab, panel) block; only the tiny
+    # panel-edge halo stage runs in XLA. Exposed on the returned callable as
+    # .packed/.packed_stage plus pack/unpack, mirroring the SW fast path.
+    if interior is None:
+        if os.environ.get("WXF_USE_PALLAS", "") == "0":
+            interior = "xla"
+        else:
+            interior = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if interior != "pallas" or advection_only or extra_forcing is not None:
+        return rhs
+
+    from ..ops import pallas_euler3d as pe3
+
+    if not pe3.supported(s, nel_h, nel_v, num_vars, dtype):
+        return rhs
+
+    con = pe3.build_constants(ops, metric, nel_h, nel_v, dtype=dtype)
+    hops = pe3.build_halo_ops(ops, topology, dtype=dtype)
+    ty = pe3.pick_ty(nel_h, nel_v)
+    interp = jax.default_backend() != "tpu"
+
+    def rhs_packed(qp: jnp.ndarray) -> jnp.ndarray:
+        hwe, hs, hn = pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty)
+        return pe3.km3_fused(qp, hwe, hs, hn, con, nel_h, nel_v, ty, interpret=interp)
+
+    def packed_stage(x, y, a: float, b: float, cdt) -> jnp.ndarray:
+        """One fused explicit-RK stage on packed states:
+        a*x + b*y + cdt*RHS(y), combined inside the kernel epilogue."""
+        hwe, hs, hn = pe3.edge_halo(y, topology, hops, nel_h, nel_v, ty)
+        return pe3.km3_fused(
+            y, hwe, hs, hn, con, nel_h, nel_v, ty,
+            x=x, cdt=cdt, stage_a=float(a), stage_b=float(b), interpret=interp,
+        )
+
+    # pallas_call has no AD rule; exponential/implicit integrators need
+    # jvp(rhs) for their matrix-free Jacobian action, so route tangents
+    # through the XLA path (exact same operator up to roundoff).
+    _rhs_cj = jax.custom_jvp(
+        lambda q: pe3.unpack_rows_jnp(rhs_packed(pe3.pack_rows_jnp(q, nel_h, nel_v)), nel_h, nel_v)
+    )
+
+    @_rhs_cj.defjvp
+    def _rhs_jvp(primals, tangents):
+        (q,), (dq,) = primals, tangents
+        out = _rhs_cj(q)
+        _, dout = jax.jvp(rhs, (q,), (dq,))
+        return out, dout
+
+    def rhs_pallas(q: jnp.ndarray) -> jnp.ndarray:
+        return _rhs_cj(q)
+
+    rhs_pallas.packed = rhs_packed
+    rhs_pallas.packed_stage = packed_stage
+    rhs_pallas.pack = lambda q: pe3.pack_rows_jnp(q, nel_h, nel_v)
+    rhs_pallas.unpack = lambda qp: pe3.unpack_rows_jnp(qp, nel_h, nel_v)
+    rhs_pallas.xla = rhs
+    return rhs_pallas

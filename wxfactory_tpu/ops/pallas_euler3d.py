@@ -86,7 +86,7 @@ def supported(num_solpts: int, nel_h: int, nel_v: int, nvar: int, dtype) -> bool
     return dtype in (jnp.float64, np.float64) and jax.default_backend() != "tpu"
 
 
-def pick_ty(nel_h: int, nel_v: int, vmem_budget_rows: int = 256) -> int:
+def pick_ty(nel_h: int, nel_v: int, vmem_budget_rows: int = 128) -> int:
     """Largest y-slab height that divides ny and keeps the block under a
     row budget (VMEM: ~40 constant fields + state per row)."""
     nxp = nel_h // 2
@@ -363,14 +363,18 @@ def _km3_body(
     dtype = q.dtype
     f = lambda v: jnp.asarray(v, dtype)
 
+    # All index math stays strictly int32 via lax ops: Python-int floor
+    # division would promote through int64/f32 converts that Mosaic cannot
+    # lower (its convert rule recurses).
+    i32 = jnp.int32
     lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 0)
-    half = jax.lax.rem(jax.lax.rem(lane, jnp.int32(32)) // 16, jnp.int32(2))
+    half = jax.lax.rem(jax.lax.div(jax.lax.rem(lane, i32(32)), i32(16)), i32(2))
     is_x = lane < 64
     lo_half = half == 0
-    x2 = jax.lax.rem(row, jnp.int32(nxp))
-    kz = jax.lax.rem(row // nxp, jnp.int32(nk))
-    kyl = row // nkxp
+    x2 = jax.lax.rem(row, i32(nxp))
+    kz = jax.lax.rem(jax.lax.div(row, i32(nxp)), i32(nk))
+    kyl = jax.lax.div(row, i32(nkxp))
 
     xw = is_x & lo_half
     xe = is_x & ~lo_half
@@ -758,3 +762,131 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
             pan.append(jnp.stack(o))
         out.append(jnp.concatenate(pan, axis=1))
     return jnp.concatenate(out, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas wrapper: grid (ny/ty, 6) with the panel axis innermost (single-
+# panel constants keep their block between the six inner steps).
+
+
+def km3_fused(
+    qp, hwe, hs, hn, con: E3Constants, nel_h: int, nel_v: int, ty: int,
+    x=None, cdt=None, stage_a=None, stage_b=None, interpret: bool = False,
+):
+    """The whole 3D Euler spatial operator (+ optional explicit-RK stage
+    combination ``stage_a*x + stage_b*qp + cdt*RHS(qp)``) as one kernel per
+    (y-slab, panel) block. qp: (5, R, 128) packed state; hwe/hs/hn from
+    ``edge_halo``."""
+    nxp = nel_h // 2
+    nk, ny = nel_v, nel_h
+    nkxp = nk * nxp
+    rows6 = ny * nkxp
+    n_ytiles = ny // ty
+    Rb = ty * nkxp
+    tynk = ty * nk
+    tynk_pad = hwe.shape[-2]
+    dims = {"nk": nk, "nxp": nxp, "ty": ty}
+    with_stage = stage_a is not None
+    with_x = with_stage and (stage_a != 0.0)
+    with_tch = con.tch is not None
+    dtype = qp.dtype
+    zero = np.int32(0)
+
+    n_panel_fields = 3 + 6 + 18 + 1 + 5 + 5  # sqrtg..wpres_int + itf_xy + itf_z
+    n_mats = 8
+
+    def kernel(*refs):
+        it = iter(refs)
+        q_ref = next(it)
+        qprev_ref, qnext_ref = next(it), next(it)
+        hwe_ref, hs_ref, hn_ref = next(it), next(it), next(it)
+        sqrtg, inv_sqrtg, inv_dzdeta = next(it), next(it), next(it)
+        h = tuple(next(it) for _ in range(6))
+        chs = tuple(next(it) for _ in range(18))
+        wpres_int = next(it)
+        itf_xy = tuple(next(it) for _ in range(5))
+        itf_z = tuple(next(it) for _ in range(5))
+        e_xy, e_z, dd, dlp, corr, lfc_xy, lfc_z, hfk = (next(it) for _ in range(n_mats))
+        tch = tuple(next(it) for _ in range(9)) if with_tch else None
+        x_ref = next(it) if with_x else None
+        cdt_ref = next(it) if with_stage else None
+        o_ref = next(it)
+
+        rd = lambda r: r[...]
+        cblk = {
+            "sqrtg": rd(sqrtg), "inv_sqrtg": rd(inv_sqrtg),
+            "inv_dzdeta": rd(inv_dzdeta),
+            "h": tuple(rd(a) for a in h),
+            "chs": tuple(rd(a) for a in chs),
+            "wpres_int": rd(wpres_int),
+            "itf_xy": tuple(rd(a) for a in itf_xy),
+            "itf_z": tuple(rd(a) for a in itf_z),
+            "e_xy": rd(e_xy), "e_z": rd(e_z), "dd": rd(dd), "dlp": rd(dlp),
+            "corr": rd(corr), "lfc_xy": rd(lfc_xy), "lfc_z": rd(lfc_z),
+            "hfk": rd(hfk),
+            "tch": tuple(rd(a) for a in tch) if with_tch else None,
+        }
+        # shift must land as an i32 scalar (x64 mode would make it i64,
+        # which tpu.dynamic_rotate rejects)
+        roll = lambda a, shift, axis: pltpu.roll(a, np.int32(shift), axis)
+        out = _km3_body(
+            q_ref[...], qprev_ref[...], qnext_ref[...],
+            hwe_ref[0][:, :tynk], hs_ref[0], hn_ref[0],
+            cblk, dims, pl.program_id(0), n_ytiles, roll,
+            x=(x_ref[...] if with_x else None),
+            cdt=(cdt_ref[0, 0] if with_stage else None),
+            stage_a=stage_a, stage_b=stage_b,
+        )
+        for v in range(5):
+            o_ref[v] = out[v]
+
+    blk5 = pl.BlockSpec((5, Rb, LANES), lambda i, p: (zero, p * n_ytiles + i, zero))
+    slab = lambda rowsel: pl.BlockSpec((5, nkxp, LANES), rowsel)
+    prev_spec = slab(lambda i, p: (zero, p * ny + jnp.maximum(i * ty - 1, 0), zero))
+    next_spec = slab(lambda i, p: (zero, p * ny + jnp.minimum(i * ty + ty, ny - 1), zero))
+    hwe_spec = pl.BlockSpec((1, 5, tynk_pad, LANES), lambda i, p: (p * n_ytiles + i, zero, zero, zero))
+    edge_spec = pl.BlockSpec((1, 5, nkxp, LANES), lambda i, p: (p, zero, zero, zero))
+    pan = lambda: pl.BlockSpec((Rb, LANES), lambda i, p: (i, zero))
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, p: tuple(zero for _ in a.shape))
+    tch_spec = pl.BlockSpec((Rb, LANES), lambda i, p: (p * n_ytiles + i, zero))
+
+    in_specs = [blk5, prev_spec, next_spec, hwe_spec, edge_spec, edge_spec]
+    args = [qp, qp, qp, hwe, hs, hn]
+    panel_fields = (
+        [con.sqrtg, con.inv_sqrtg, con.inv_dzdeta]
+        + list(con.h) + list(con.chs) + [con.wpres_int]
+        + list(con.itf_xy) + list(con.itf_z)
+    )
+    in_specs += [pan() for _ in panel_fields]
+    args += panel_fields
+    mats = [con.e_xy, con.e_z, con.dd, con.dlp, con.corr, con.lfc_xy, con.lfc_z, con.hfk]
+    in_specs += [full(a) for a in mats]
+    args += mats
+    if with_tch:
+        in_specs += [tch_spec for _ in range(9)]
+        args += list(con.tch)
+    if with_x:
+        in_specs.append(blk5)
+        args.append(x)
+    if with_stage:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, p: (zero, zero), memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(cdt, dtype=dtype).reshape(1, 1))
+
+    import sys
+
+    # The kernel body traces to several hundred primitives; CPython's
+    # default 1000-frame recursion limit is not enough for the nested
+    # trace/lowering machinery on a body this size.
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 20000))
+    try:
+        return pl.pallas_call(
+            kernel,
+            grid=(n_ytiles, 6),
+            in_specs=in_specs,
+            out_specs=blk5,
+            out_shape=jax.ShapeDtypeStruct(qp.shape, dtype),
+            interpret=interpret,
+        )(*args)
+    finally:
+        sys.setrecursionlimit(old_limit)
