@@ -110,3 +110,29 @@ def test_km3_fused_stage_combination():
     want = 0.25 * x + 0.75 * qp + dt * r
     w = np.asarray(want)
     np.testing.assert_allclose(np.asarray(got) / np.abs(w).max(), w / np.abs(w).max(), atol=1e-12)
+
+
+def test_balanced_offset_restores_base_state_rhs():
+    # f32 cannot resolve the hydrostatic balance (pressure gradient vs
+    # gravity differ at ~1e-9 relative); with base_state the kernel adds
+    # C = RHS_f64(base) - K_f32(base) so the RHS at the base state matches
+    # the f64 truth to f32-addition rounding instead of being off by ~1e4.
+    geom, ops, topo, metric, q, rhs = _setup()
+    truth = np.asarray(rhs(q))
+    sc = np.abs(truth).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+    q32 = q.astype(jnp.float32)
+
+    from wxfactory_tpu.models.euler_cubesphere import make_rhs_euler_cubesphere
+
+    plain = make_rhs_euler_cubesphere(
+        geom, ops, metric, topology=topo, dtype=jnp.float32, interior="pallas"
+    )
+    balanced = make_rhs_euler_cubesphere(
+        geom, ops, metric, topology=topo, dtype=jnp.float32, interior="pallas",
+        base_state=q,
+    )
+    assert hasattr(plain, "packed")
+    err_plain = np.abs((np.asarray(plain(q32)) - truth) / sc).max()
+    err_bal = np.abs((np.asarray(balanced(q32)) - truth) / sc).max()
+    assert err_bal < 1e-2, err_bal
+    assert err_bal < err_plain * 1e-3, (err_bal, err_plain)

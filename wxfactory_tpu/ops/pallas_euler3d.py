@@ -349,7 +349,7 @@ def _pressure(rt):
 
 def _km3_body(
     q, qprev, qnext, hwe, hs, hn, con, dims, ytile, n_ytiles, roll,
-    x=None, cdt=None, stage_a=None, stage_b=None,
+    x=None, cdt=None, stage_a=None, stage_b=None, bal=None,
 ):
     """q: (5, Rb, 128) block rows of one panel; qprev/qnext: (5, nkxp, 128)
     boundary grid-rows of the neighbouring y-slabs; hwe: (5, ty*nk, 128)
@@ -597,6 +597,12 @@ def _km3_body(
         -inv_sg * w_df - f3,
         -inv_sg * (dv[4] + cv[4]),
     ]
+    if bal is not None:
+        # Well-balanced offset: bal = RHS_f64(q_base) - K_f32(q_base), so
+        # the f32 cancellation error of the huge balanced terms (pressure
+        # gradient vs gravity) is removed exactly at the base state and to
+        # first order near it.
+        out = [o + bal[v] for v, o in enumerate(out)]
     if stage_a is not None:
         for v in range(5):
             val = f(stage_b) * q[v] + cdt * out[v]
@@ -771,7 +777,8 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
 
 def km3_fused(
     qp, hwe, hs, hn, con: E3Constants, nel_h: int, nel_v: int, ty: int,
-    x=None, cdt=None, stage_a=None, stage_b=None, interpret: bool = False,
+    x=None, cdt=None, stage_a=None, stage_b=None, bal=None,
+    interpret: bool = False,
 ):
     """The whole 3D Euler spatial operator (+ optional explicit-RK stage
     combination ``stage_a*x + stage_b*qp + cdt*RHS(qp)``) as one kernel per
@@ -788,6 +795,7 @@ def km3_fused(
     dims = {"nk": nk, "nxp": nxp, "ty": ty}
     with_stage = stage_a is not None
     with_x = with_stage and (stage_a != 0.0)
+    with_bal = bal is not None
     with_tch = con.tch is not None
     dtype = qp.dtype
     zero = np.int32(0)
@@ -808,6 +816,7 @@ def km3_fused(
         itf_z = tuple(next(it) for _ in range(5))
         e_xy, e_z, dd, dlp, corr, lfc_xy, lfc_z, hfk = (next(it) for _ in range(n_mats))
         tch = tuple(next(it) for _ in range(9)) if with_tch else None
+        bal_ref = next(it) if with_bal else None
         x_ref = next(it) if with_x else None
         cdt_ref = next(it) if with_stage else None
         o_ref = next(it)
@@ -836,6 +845,7 @@ def km3_fused(
             x=(x_ref[...] if with_x else None),
             cdt=(cdt_ref[0, 0] if with_stage else None),
             stage_a=stage_a, stage_b=stage_b,
+            bal=(bal_ref[...] if with_bal else None),
         )
         for v in range(5):
             o_ref[v] = out[v]
@@ -865,6 +875,9 @@ def km3_fused(
     if with_tch:
         in_specs += [tch_spec for _ in range(9)]
         args += list(con.tch)
+    if with_bal:
+        in_specs.append(blk5)
+        args.append(bal)
     if with_x:
         in_specs.append(blk5)
         args.append(x)
