@@ -349,7 +349,7 @@ def _pressure(rt):
 
 def _km3_body(
     q, qprev, qnext, hwe, hs, hn, con, dims, ytile, n_ytiles, roll,
-    x=None, cdt=None, stage_a=None, stage_b=None, bal=None,
+    x=None, cdt=None, stage_a=None, stage_b=None, bal=None, lwe=None,
 ):
     """q: (5, Rb, 128) block rows of one panel; qprev/qnext: (5, nkxp, 128)
     boundary grid-rows of the neighbouring y-slabs; hwe: (5, ty*nk, 128)
@@ -508,8 +508,8 @@ def _km3_body(
         fu = roll(roll(a, Rb - nxp, 0), 16, 1)
         return jnp.where(zu & ~keep_zu, fu, a)
 
-    Fxy = [fill_xy(a) for a in Fxy]
-    Fz = [fill_z(a) for a in Fz]
+    Fxy = [fill_xy(a) if v != 3 else a for v, a in enumerate(Fxy)]
+    Fz = [fill_z(a) if v != 3 else a for v, a in enumerate(Fz)]
     wadv_xy, wadv_z = fill_xy(wadv_xy), fill_z(wadv_z)
     wpres_xy, wpres_z = fill_xy(wpres_xy), fill_z(wpres_z)
     # Face pressures: west/south/down faces are the R side of their own
@@ -533,29 +533,35 @@ def _km3_body(
     logp = jnp.log(pressure)
     sgp = sg * pressure
 
+    # The rho*w momentum row needs only its ADVECTIVE divergence (the
+    # pressure part goes through the p*dlogp split), so the full w flux
+    # row is never contracted: bundle rows are [rho, hu1, hu2, rho*theta,
+    # w-advective] (reference rhs_dfr.py:106-139).
     hrows = ((h11, h12, h13), (h12, h22, h23), (h13, h23, h33))
     cat = lambda xs: jnp.concatenate(xs, axis=-1)
     bundles = []
-    for v in range(5):
+    for v in (0, 1, 2, 4):
         per_d = []
         for d, un in enumerate((u1, u2, w)):
             fl = sg * un * q[v]
-            if 1 <= v <= 3:
+            if 1 <= v <= 2:
                 fl = fl + sgp * hrows[d][v - 1]
             per_d.append(fl)
         bundles.append(cat(per_d))
     bundles.append(cat([sg * un * q[3] for un in (u1, u2, w)]))  # w advective
     div = mm(jnp.concatenate(bundles, axis=0), con["dd"])
-    dv = [div[i * Rb : (i + 1) * Rb] for i in range(6)]
+    dvr = [div[i * Rb : (i + 1) * Rb] for i in range(5)]
+    dv = [dvr[0], dvr[1], dvr[2], None, dvr[3], dvr[4]]
 
     dlogp = mm(logp, con["dlp"])  # (Rb, 384)
 
-    # --- boundary corrections ----------------------------------------------
-    rows7 = [cat([Fxy[v], Fz[v]]) for v in range(5)]
-    rows7.append(cat([wadv_xy, wadv_z]))
-    rows7.append(cat([wpf_xy, wpf_z]))
-    co = mm(jnp.concatenate(rows7, axis=0), con["corr"])
-    cv = [co[i * Rb : (i + 1) * Rb] for i in range(7)]
+    # --- boundary corrections (w momentum row skipped, as in the bundle) ---
+    rows6_ = [cat([Fxy[v], Fz[v]]) for v in (0, 1, 2, 4)]
+    rows6_.append(cat([wadv_xy, wadv_z]))
+    rows6_.append(cat([wpf_xy, wpf_z]))
+    co = mm(jnp.concatenate(rows6_, axis=0), con["corr"])
+    cvr = [co[i * Rb : (i + 1) * Rb] for i in range(6)]
+    cv = [cvr[0], cvr[1], cvr[2], None, cvr[3], cvr[4], cvr[5]]
 
     dlp = dlogp + mm(lf_xy, con["lfc_xy"]) + mm(lf_z, con["lfc_z"])
     dlp_x, dlp_y, dlp_z = dlp[:, :LANES], dlp[:, LANES : 2 * LANES], dlp[:, 2 * LANES :]
@@ -676,6 +682,21 @@ def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
     pool = jnp.stack(
         [sth, nth, jnp.moveaxis(wst, 2, 3), jnp.moveaxis(est, 2, 3)], axis=1
     )  # (5, 4, 6, nk, nh, ss)
+    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty)
+
+
+def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
+    """Neighbour exchange + momentum rotation + kernel-input formatting on
+    an outgoing trace pool (5, 4[S,N,W,E], 6, nk, nh, ss)."""
+    s = S
+    nxp = nel_h // 2
+    nk, ny = nel_v, nel_h
+    nkxp = nk * nxp
+    n_ytiles = ny // ty
+    tynk = ty * nk
+    tynk_pad = -(-tynk // 8) * 8
+    dtype = pool.dtype
+
     ex = topology.exchange_pool_3d(pool)
 
     # 2x2 panel-basis rotation of the horizontal momenta (contravariant).
@@ -713,6 +734,34 @@ def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
         axis=-1,
     ).reshape(5, 6, nkxp, LANES)
     return hwe, jnp.moveaxis(hs, 0, 1), jnp.moveaxis(hn, 0, 1)
+
+
+def halo_from_slabs(we, ssl, nsl, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
+    """Panel-edge halo stage from kernel-emitted edge slabs.
+
+    we: (6, 5, nynk_pad, 128) rows (ky, kz), west face at lanes 0..15 /
+    east at 48..63; ssl/nsl: (6, 5, nkxp, 128) first/last grid-row trace
+    slabs (south faces at ys lanes, north at yn lanes). Everything here is
+    edge-sized; the big-state slicing lives in the kernels."""
+    nxp = nel_h // 2
+    nk, ny = nel_v, nel_h
+    nynk = ny * nk
+    wst = we[:, :, :nynk, 0:SS].reshape(6, 5, ny, nk, SS)
+    est = we[:, :, :nynk, 48:64].reshape(6, 5, ny, nk, SS)
+    w_pool = jnp.moveaxis(jnp.moveaxis(wst, 0, 1), 2, 3)  # (5, 6, nk, ny, ss)
+    e_pool = jnp.moveaxis(jnp.moveaxis(est, 0, 1), 2, 3)
+    sg0 = ssl[:, :, :, 64:80]
+    sg1 = ssl[:, :, :, 96:112]
+    s_pool = jnp.moveaxis(
+        jnp.stack([sg0, sg1], axis=-2).reshape(6, 5, nk, nxp * 2, SS), 0, 1
+    )
+    ng0 = nsl[:, :, :, 80:96]
+    ng1 = nsl[:, :, :, 112:128]
+    n_pool = jnp.moveaxis(
+        jnp.stack([ng0, ng1], axis=-2).reshape(6, 5, nk, nxp * 2, SS), 0, 1
+    )
+    pool = jnp.stack([s_pool, n_pool, w_pool, e_pool], axis=1)
+    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty)
 
 
 def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
