@@ -112,6 +112,48 @@ def test_km3_fused_stage_combination():
     np.testing.assert_allclose(np.asarray(got) / np.abs(w).max(), w / np.abs(w).max(), atol=1e-12)
 
 
+def test_packed_stage_chained_matches_unchained():
+    # Chained stages: the mega kernel emits the output's edge slabs; the
+    # rebuilt halo must equal the XLA extraction of the output state, so a
+    # chained TVD-RK3 step reproduces the unchained one exactly.
+    geom, ops, topo, metric, q, rhs = _setup()
+    con = pe3.build_constants(ops, metric, NELH, NELV, dtype=jnp.float64)
+    hops = pe3.build_halo_ops(ops, topo, dtype=jnp.float64)
+    qp = pe3.pack_rows_jnp(q, NELH, NELV)
+    ty = 2
+    dt = jnp.asarray(0.04, qp.dtype)
+
+    def unchained_stage(x, y, a, b, cdt):
+        hwe, hs, hn = pe3.edge_halo(y, topo, hops, NELH, NELV, ty)
+        return pe3.km3_fused(
+            y, hwe, hs, hn, con, NELH, NELV, ty,
+            x=x, cdt=cdt, stage_a=a, stage_b=b, interpret=True,
+        )
+
+    def chained_stage(x, y, slabs, a, b, cdt):
+        o, we = pe3.km3_fused(
+            y, *slabs, con, NELH, NELV, ty,
+            x=x, cdt=cdt, stage_a=a, stage_b=b, emit_slabs=True, interpret=True,
+        )
+        return o, pe3.halo_from_slabs(we, o, topo, hops, NELH, NELV, ty)
+
+    stages = [(0.0, 1.0, dt), (0.75, 0.25, 0.25 * dt), (1.0 / 3.0, 2.0 / 3.0, 2.0 / 3.0 * dt)]
+    y_u = qp
+    y_c, slabs = qp, pe3.edge_halo(qp, topo, hops, NELH, NELV, ty)
+    for a, b, cdt in stages:
+        y_u = unchained_stage(qp, y_u, a, b, cdt)
+        y_c, slabs = chained_stage(qp, y_c, slabs, a, b, cdt)
+    scale = np.abs(np.asarray(y_u)).max()
+    np.testing.assert_allclose(
+        np.asarray(y_c) / scale, np.asarray(y_u) / scale, atol=1e-13
+    )
+    # the emitted halo must match a fresh XLA extraction of the final state
+    fresh = pe3.edge_halo(y_c, topo, hops, NELH, NELV, ty)
+    for got, want in zip(slabs, fresh):
+        w = np.asarray(want)
+        np.testing.assert_allclose(np.asarray(got), w, atol=1e-13 * max(np.abs(w).max(), 1.0))
+
+
 def test_balanced_offset_restores_base_state_rhs():
     # f32 cannot resolve the hydrostatic balance (pressure gradient vs
     # gravity differ at ~1e-9 relative); with base_state the kernel adds

@@ -18,6 +18,7 @@ class Configuration:
     equations: str
     depth_approx: str
     desired_device: str
+    precision: str
     case_number: int
     dt: float
     t_end: float

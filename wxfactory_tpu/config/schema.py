@@ -134,6 +134,11 @@ SCHEMA: List[Field] = [
     _f("System", "desired_device", "str", "tpu", choices=["cpu", "tpu", "cuda"],
        doc="Compute device ('cuda' accepted for reference-config compatibility; maps to the JAX default)"),
     _f("System", "cuda_devices", "list-int", [], doc="Ignored (reference compatibility)"),
+    _f("System", "precision", "str", "float64", choices=["float32", "float64"],
+       doc="State/compute dtype. float64 matches the reference bit-for-bit; float32 is the "
+           "TPU-native operating point (enables the fused Pallas pipelines; the 3D Euler model "
+           "adds a well-balanced offset around the initial state to absorb the f32 hydrostatic "
+           "cancellation error)"),
     # Test case
     _f("Test_case", "case_number", "int", -1, doc="Test-case identifier (Williamson/DCMIP/bubble numbering)"),
     _f("Test_case", "matsuno_wave_type", "str", "rossby", choices=["rossby", "eig", "wig"]),

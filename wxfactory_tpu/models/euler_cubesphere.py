@@ -430,6 +430,27 @@ def make_rhs_euler_cubesphere(
         a*x + b*y + cdt*(RHS(y)+C), combined inside the kernel epilogue."""
         return _raw_packed(y, x=x, cdt=cdt, stage_a=float(a), stage_b=float(b), bal=bal)
 
+    def packed_slabs(qp):
+        """Panel-edge halo inputs of a packed state (chained bootstrap).
+        For the 3D pipeline the chained carry IS the formatted halo triple
+        (hwe, hs, hn); the in-loop stages rebuild it from kernel-emitted
+        edge slabs instead of slicing the big state in XLA."""
+        return pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty)
+
+    def packed_stage_chained(x, y, slabs, a: float, b: float, cdt):
+        """Chained explicit-RK stage: consumes y's halo triple (from
+        ``packed_slabs`` or the previous stage) and returns
+        (new_state, new_halo). The mega kernel emits the output's edge
+        traces, so the steady-state loop is one mega kernel plus the tiny
+        edge-sized halo exchange per stage."""
+        hwe, hs, hn = slabs
+        o, we = pe3.km3_fused(
+            y, hwe, hs, hn, con, nel_h, nel_v, ty,
+            x=x, cdt=cdt, stage_a=float(a), stage_b=float(b), bal=bal,
+            emit_slabs=True, interpret=interp,
+        )
+        return o, pe3.halo_from_slabs(we, o, topology, hops, nel_h, nel_v, ty)
+
     # pallas_call has no AD rule; exponential/implicit integrators need
     # jvp(rhs) for their matrix-free Jacobian action, so route tangents
     # through the XLA path (exact same operator up to roundoff).
@@ -449,6 +470,8 @@ def make_rhs_euler_cubesphere(
 
     rhs_pallas.packed = rhs_packed
     rhs_pallas.packed_stage = packed_stage
+    rhs_pallas.packed_stage_chained = packed_stage_chained
+    rhs_pallas.packed_slabs = packed_slabs
     rhs_pallas.pack = lambda q: pe3.pack_rows_jnp(q, nel_h, nel_v)
     rhs_pallas.unpack = lambda qp: pe3.unpack_rows_jnp(qp, nel_h, nel_v)
     rhs_pallas.xla = rhs

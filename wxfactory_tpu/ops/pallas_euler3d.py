@@ -615,7 +615,35 @@ def _km3_body(
             if x is not None:
                 val = f(stage_a) * x[v] + val
             out[v] = val
-    return out
+    if lwe is None:
+        return out
+
+    # --- west/east edge traces of the OUTPUT state (chained mode) ----------
+    # The west/east panel-edge extraction is the expensive part of the XLA
+    # ``edge_halo`` (strided row+lane gathers over the big state); emitting
+    # it here costs one tiny compaction GEMM on VMEM-resident data. The
+    # south/north grid rows stay an XLA job — they are contiguous row
+    # slices, and emitting them per block would write whole-block-sized
+    # slabs of which only the boundary y-tiles' are consumed. ``lwe`` is
+    # the one-hot (2*ty*nk, Rb) compaction picking the west column (x2=0)
+    # rows then the east column (x2=nxp-1) rows.
+    tynk = ty * nk
+    logged = [jnp.log(out[0]), out[1], out[2], out[3], jnp.log(out[4])]
+    comp = [mm(lwe, lv) for lv in logged]  # (2*tynk, 128) each
+    tr = mm(jnp.concatenate(comp, axis=0), con["e_xy"])
+    nwe = 2 * tynk
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (tynk, LANES), 1)
+    we_rows = []
+    for v in range(5):
+        cv_ = tr[v * nwe : (v + 1) * nwe]
+        if v in (0, 4):
+            cv_ = jnp.exp(cv_)
+        wtr, etr = cv_[:tynk], cv_[tynk:]
+        we_rows.append(
+            jnp.where(lane_w < SS, wtr, f(0.0))
+            + jnp.where((lane_w >= 48) & (lane_w < 64), etr, f(0.0))
+        )
+    return out, we_rows
 
 
 # ---------------------------------------------------------------------------
@@ -736,30 +764,37 @@ def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, 
     return hwe, jnp.moveaxis(hs, 0, 1), jnp.moveaxis(hn, 0, 1)
 
 
-def halo_from_slabs(we, ssl, nsl, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
-    """Panel-edge halo stage from kernel-emitted edge slabs.
+def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
+    """Panel-edge halo stage from the kernel-emitted west/east slabs plus
+    the packed state (chained mode).
 
-    we: (6, 5, nynk_pad, 128) rows (ky, kz), west face at lanes 0..15 /
-    east at 48..63; ssl/nsl: (6, 5, nkxp, 128) first/last grid-row trace
-    slabs (south faces at ys lanes, north at yn lanes). Everything here is
-    edge-sized; the big-state slicing lives in the kernels."""
+    we: (6*n_ytiles, 5, tynk_pad, 128) chunks in hwe chunk order
+    (p*n_ytiles + i), rows (ky_local, kz), west face at lanes 0..15 / east
+    at 48..63 — the strided big-state gathers that make XLA extraction
+    expensive. The south/north grid rows are contiguous row slices of
+    ``qp``, so their (edge-sized) extrapolation stays here in XLA."""
     nxp = nel_h // 2
     nk, ny = nel_v, nel_h
-    nynk = ny * nk
-    wst = we[:, :, :nynk, 0:SS].reshape(6, 5, ny, nk, SS)
-    est = we[:, :, :nynk, 48:64].reshape(6, 5, ny, nk, SS)
-    w_pool = jnp.moveaxis(jnp.moveaxis(wst, 0, 1), 2, 3)  # (5, 6, nk, ny, ss)
-    e_pool = jnp.moveaxis(jnp.moveaxis(est, 0, 1), 2, 3)
-    sg0 = ssl[:, :, :, 64:80]
-    sg1 = ssl[:, :, :, 96:112]
-    s_pool = jnp.moveaxis(
-        jnp.stack([sg0, sg1], axis=-2).reshape(6, 5, nk, nxp * 2, SS), 0, 1
-    )
-    ng0 = nsl[:, :, :, 80:96]
-    ng1 = nsl[:, :, :, 112:128]
-    n_pool = jnp.moveaxis(
-        jnp.stack([ng0, ng1], axis=-2).reshape(6, 5, nk, nxp * 2, SS), 0, 1
-    )
+    nkxp = nk * nxp
+    n_ytiles = ny // ty
+    tynk = ty * nk
+    tynk_pad = we.shape[-2]
+    wec = we.reshape(6, n_ytiles, 5, tynk_pad, LANES)[:, :, :, :tynk]
+    wst = wec[..., 0:SS].reshape(6, n_ytiles, 5, ty, nk, SS)
+    est = wec[..., 48:64].reshape(6, n_ytiles, 5, ty, nk, SS)
+    # (6, i, 5, ty, nk, ss) -> (5, 6, nk, ny, ss) with ky = i*ty + ky_local
+    fmt = lambda a: jnp.transpose(a, (2, 0, 4, 1, 3, 5)).reshape(5, 6, nk, ny, SS)
+    w_pool = fmt(wst)
+    e_pool = fmt(est)
+
+    qv = qp.reshape(5, 6, ny, nkxp, LANES)
+    logged = lambda s: jnp.concatenate([jnp.log(s[0:1]), s[1:4], jnp.log(s[4:5])], axis=0)
+    expd = lambda s: jnp.concatenate([jnp.exp(s[0:1]), s[1:4], jnp.exp(s[4:5])], axis=0)
+    sst = qv[:, :, 0].reshape(5, 6, nk, nxp, 2, S3)
+    nst = qv[:, :, -1].reshape(5, 6, nk, nxp, 2, S3)
+    s_pool = expd(logged(sst) @ hops.eys).reshape(5, 6, nk, 2 * nxp, SS)
+    n_pool = expd(logged(nst) @ hops.eyn).reshape(5, 6, nk, 2 * nxp, SS)
+
     pool = jnp.stack([s_pool, n_pool, w_pool, e_pool], axis=1)
     return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty)
 
@@ -827,12 +862,15 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
 def km3_fused(
     qp, hwe, hs, hn, con: E3Constants, nel_h: int, nel_v: int, ty: int,
     x=None, cdt=None, stage_a=None, stage_b=None, bal=None,
-    interpret: bool = False,
+    emit_slabs: bool = False, interpret: bool = False,
 ):
     """The whole 3D Euler spatial operator (+ optional explicit-RK stage
     combination ``stage_a*x + stage_b*qp + cdt*RHS(qp)``) as one kernel per
     (y-slab, panel) block. qp: (5, R, 128) packed state; hwe/hs/hn from
-    ``edge_halo``."""
+    ``edge_halo``. With ``emit_slabs`` (requires a stage combination, since
+    the slabs are log-extrapolated from the OUTPUT state) also returns the
+    (we, ssl, nsl) edge-trace slabs for ``halo_from_slabs`` so the next
+    stage needs no XLA extraction over the big state."""
     nxp = nel_h // 2
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
@@ -846,6 +884,8 @@ def km3_fused(
     with_x = with_stage and (stage_a != 0.0)
     with_bal = bal is not None
     with_tch = con.tch is not None
+    if emit_slabs and not with_stage:
+        raise ValueError("emit_slabs needs a stage combination (output must be a state)")
     dtype = qp.dtype
     zero = np.int32(0)
 
@@ -868,7 +908,10 @@ def km3_fused(
         bal_ref = next(it) if with_bal else None
         x_ref = next(it) if with_x else None
         cdt_ref = next(it) if with_stage else None
+        lwe_ref = next(it) if emit_slabs else None
         o_ref = next(it)
+        if emit_slabs:
+            owe_ref = next(it)
 
         rd = lambda r: r[...]
         cblk = {
@@ -895,7 +938,12 @@ def km3_fused(
             cdt=(cdt_ref[0, 0] if with_stage else None),
             stage_a=stage_a, stage_b=stage_b,
             bal=(bal_ref[...] if with_bal else None),
+            lwe=(lwe_ref[...] if emit_slabs else None),
         )
+        if emit_slabs:
+            out, we_rows = out
+            wearr = jnp.stack(we_rows)
+            owe_ref[0] = jnp.pad(wearr, ((0, 0), (0, tynk_pad - tynk), (0, 0)))
         for v in range(5):
             o_ref[v] = out[v]
 
@@ -933,6 +981,21 @@ def km3_fused(
     if with_stage:
         in_specs.append(pl.BlockSpec((1, 1), lambda i, p: (zero, zero), memory_space=pltpu.SMEM))
         args.append(jnp.asarray(cdt, dtype=dtype).reshape(1, 1))
+    if emit_slabs:
+        lwe_np = np.zeros((2 * tynk, Rb), np.float32)
+        for r in range(tynk):
+            lwe_np[r, r * nxp] = 1.0
+            lwe_np[tynk + r, r * nxp + nxp - 1] = 1.0
+        in_specs.append(pl.BlockSpec((2 * tynk, Rb), lambda i, p: (zero, zero)))
+        args.append(jnp.asarray(lwe_np, dtype=dtype))
+
+    out_specs = [blk5]
+    out_shapes = [jax.ShapeDtypeStruct(qp.shape, dtype)]
+    if emit_slabs:
+        out_specs.append(
+            pl.BlockSpec((1, 5, tynk_pad, LANES), lambda i, p: (p * n_ytiles + i, zero, zero, zero))
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((6 * n_ytiles, 5, tynk_pad, LANES), dtype))
 
     import sys
 
@@ -942,13 +1005,14 @@ def km3_fused(
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 20000))
     try:
-        return pl.pallas_call(
+        res = pl.pallas_call(
             kernel,
             grid=(n_ytiles, 6),
             in_specs=in_specs,
-            out_specs=blk5,
-            out_shape=jax.ShapeDtypeStruct(qp.shape, dtype),
+            out_specs=out_specs if emit_slabs else out_specs[0],
+            out_shape=out_shapes if emit_slabs else out_shapes[0],
             interpret=interpret,
         )(*args)
+        return tuple(res) if emit_slabs else res
     finally:
         sys.setrecursionlimit(old_limit)
