@@ -98,8 +98,9 @@ def test_kh_exchange_matches_xla_exchange():
     halo_we, hs, hn = pallas_sw.kh_exchange(pool, hc, interpret=True)
     np.testing.assert_allclose(np.asarray(hs)[:, :, 0, :npts], ref[:, 0], atol=1e-13)
     np.testing.assert_allclose(np.asarray(hn)[:, :, 0, :npts], ref[:, 1], atol=1e-13)
-    np.testing.assert_allclose(np.asarray(halo_we)[:, 0], ref[:, 2], atol=1e-13)
-    np.testing.assert_allclose(np.asarray(halo_we)[:, 1], ref[:, 3], atol=1e-13)
+    # hwe is panel-major (6, 3, 2, npts)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(halo_we)[:, :, 0], 0, 1), ref[:, 2], atol=1e-13)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(halo_we)[:, :, 1], 0, 1), ref[:, 3], atol=1e-13)
 
 
 def test_packed_stage_matches_explicit_axpy():

@@ -281,27 +281,22 @@ def make_rhs_shallow_water(
         # panel-basis rotation of the momenta — as a single tiny Pallas
         # kernel when the edge length is lane-tiled, else as XLA one-hot
         # matmuls (every small XLA op costs ~2 us of fixed TPU overhead).
+        # hwe stays in the compact (3, 2, 6, npts) flat-edge layout; KM
+        # expands it to panel shape in VMEM (strided lane rotate). The old
+        # XLA-side (3,6,nel,32,4) pad+reshape cost a 16 us relayout copy
+        # per stage — a third of the whole RK3 step.
         if halo_consts is not None:
-            halo_we, hs, hn = pallas_sw.kh_exchange(pool, halo_consts, interpret=interp)
-            hw = halo_we[:, 0].reshape(3, 6, nel, 1, s)
-            he = halo_we[:, 1].reshape(3, 6, nel, 1, s)
+            hwe, hs, hn = pallas_sw.kh_exchange(pool, halo_consts, interpret=interp)
         else:
             ex = topology.exchange_pool(pool)  # (3, 4, 6, npts)
             conv = jnp.asarray(topology._conv_contra_all, dtype=ex.dtype)
             b1 = conv[..., 0, 0] * ex[IDX_HU1] + conv[..., 0, 1] * ex[IDX_HU2]
             b2 = conv[..., 1, 0] * ex[IDX_HU1] + conv[..., 1, 1] * ex[IDX_HU2]
             halo = jnp.stack([ex[IDX_H], b1, b2])  # (3, 4, 6, npts)
-            hw = halo[:, WEST].reshape(3, 6, nel, 1, s)
-            he = halo[:, EAST].reshape(3, 6, nel, 1, s)
+            hwe = jnp.transpose(jnp.stack([halo[:, WEST], halo[:, EAST]], axis=1), (2, 0, 1, 3))
             edge_pad = ((0, 0), (0, 0), (0, 0), (0, npl - npts))
             hs = jnp.pad(halo[:, SOUTH].reshape(3, 6, 1, npts), edge_pad)
             hn = jnp.pad(halo[:, NORTH].reshape(3, 6, 1, npts), edge_pad)
-
-        # West/east halo rows for KM (minor-dim pads only).
-        hwe = (
-            jnp.pad(hw, ((0, 0), (0, 0), (0, 0), (0, 31), (0, 0)))
-            + jnp.pad(he, ((0, 0), (0, 0), (0, 0), (15, 16), (0, 0)))
-        ).reshape(3, 6 * nel, 128)
         return hwe, hs, hn
 
     def _km(qp, hwe, hs, hn, **kw):

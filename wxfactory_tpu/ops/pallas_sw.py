@@ -303,7 +303,7 @@ def build_halo_constants(topology, dtype=jnp.float32) -> HaloConstants:
 
 
 def _make_kh(npts: int, npl: int):
-    def kernel(pool_ref, perm_ref, rev_ref, flip_ref, conv_ref, we_ref, hs_ref, hn_ref):
+    def kernel(pool_ref, perm_ref, rev_ref, flip_ref, conv_ref, pwe_ref, we_ref, hs_ref, hn_ref):
         flat = pool_ref[...].reshape(72, npts)
         mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=flat.dtype)
         ex = mm(perm_ref[...], flat)
@@ -323,7 +323,9 @@ def _make_kh(npts: int, npl: int):
         )
         hs_ref[...] = pad(cat([halo[v * 24 : v * 24 + 6] for v in range(3)])).reshape(3, 6, 1, npl)
         hn_ref[...] = pad(cat([halo[v * 24 + 6 : v * 24 + 12] for v in range(3)])).reshape(3, 6, 1, npl)
-        we_ref[...] = cat([halo[v * 24 + 12 : v * 24 + 24] for v in range(3)]).reshape(3, 2, 6, npts)
+        # KM consumes the flat edges panel-major (its per-panel block spec
+        # needs the blocked axis leading): rows (p, v, side) via one-hot.
+        we_ref[...] = mm(pwe_ref[...], halo).reshape(6, 3, 2, npts)
 
     return kernel
 
@@ -333,20 +335,26 @@ def kh_exchange(pool, hc: HaloConstants, interpret: bool = False):
     """pool: (3, 4, 6, npts) outgoing traces in (S, N, W, E) side order.
     Applies the neighbor permutation, edge flips and the momentum 2x2
     panel-basis rotation (= topology.exchange_pool + rotation; reference
-    process_topology.py start_exchange_* semantics) and emits K2-ready
-    arrays: halo_we (3, 2, 6, npts) [west, east], hs/hn (3, 6, 1, npl)
-    flat lane-padded south/north rows."""
+    process_topology.py start_exchange_* semantics) and emits KM-ready
+    arrays: hwe (6, 3, 2, npts) panel-major [west, east] flat edges,
+    hs/hn (3, 6, 1, npl) flat lane-padded south/north rows."""
     npts = pool.shape[-1]
     npl = -(-npts // 128) * 128
+    pwe = np.zeros((36, 72), np.float64)
+    for p in range(6):
+        for v in range(3):
+            for side in range(2):
+                pwe[(p * 3 + v) * 2 + side, v * 24 + 12 + side * 6 + p] = 1.0
     return pl.pallas_call(
         _make_kh(npts, npl),
         out_shape=[
-            jax.ShapeDtypeStruct((3, 2, 6, npts), pool.dtype),
+            jax.ShapeDtypeStruct((6, 3, 2, npts), pool.dtype),
             jax.ShapeDtypeStruct((3, 6, 1, npl), pool.dtype),
             jax.ShapeDtypeStruct((3, 6, 1, npl), pool.dtype),
         ],
         interpret=interpret,
-    )(pool.reshape(3, 24, npts), hc.perm72, hc.rev, hc.flip, hc.conv)
+    )(pool.reshape(3, 24, npts), hc.perm72, hc.rev, hc.flip, hc.conv,
+      jnp.asarray(pwe, dtype=pool.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -358,7 +366,7 @@ def kh_exchange(pool, hc: HaloConstants, interpret: bool = False):
 # HBM: per stage the only big transfers are q, x and the output state.
 
 
-def _make_km(rpr: int, prows: int, nel: int, stage_a, stage_b, emit_slabs: bool, with_x: bool):
+def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_slabs: bool, with_x: bool):
     half_g = 0.5 * GRAVITY
     _i32 = lambda v: np.int32(v)
     with_stage = stage_a is not None
@@ -374,7 +382,7 @@ def _make_km(rpr: int, prows: int, nel: int, stage_a, stage_b, emit_slabs: bool,
         gridrot_ref = next(it)
         eexy_ref, dd_ref = next(it), next(it)
         msg_ref, mhd_ref, mho_ref = next(it), next(it), next(it)
-        wmat_ref, spread_ref, lw_ref, le_ref = next(it), next(it), next(it), next(it)
+        wmat_ref, spread_ref, lw_ref, le_ref, rev_ref = (next(it) for _ in range(5))
         x_ref = next(it) if with_x else None
         cdt_ref = next(it) if with_stage else None
         o_ref = next(it)
@@ -441,13 +449,32 @@ def _make_km(rpr: int, prows: int, nel: int, stage_a, stage_b, emit_slabs: bool,
         A = (mm(q_ref[0], eexy), mm(q_ref[1], eexy), mm(q_ref[2], eexy))
 
         # Expand the small halo arrays to full panel shape in VMEM. hwe
-        # (nel, 128) carries west (lanes 0..3) and east (60..63) values of one
-        # element-grid row -> repeat over its rpr position-rows. hs/hn hold a
-        # panel edge as ONE flat lane-padded row; position-row r of the
-        # first/last grid row takes its 32-lane window via a lane roll, then
-        # one (128,128) one-hot matmul spreads it onto the y-face slots. Only
-        # slot-masked selects ever read the result.
+        # holds the west/east panel edges as ONE flat lane-padded row each;
+        # element-grid row y's west value lives at flat lanes y*s..y*s+s-1
+        # and must land at lanes 0..s-1 (east: 64-s..63) of its row — a
+        # per-row DECREASING lane shift. Mosaic's strided rotate only
+        # increases, so rows are produced grid-reversed (shift base
+        # -s*(nel-1), stride +s) and un-reversed by a one-hot matmul.
+        # Consuming the flat layout directly is what kills the XLA-side
+        # (3,6,nel,32,4) pad+relayout copy (~16 us/stage, a third of the
+        # whole step). hs/hn: position-row r of the first/last grid row
+        # takes its 32-lane window via a lane roll, then one (128,128)
+        # one-hot matmul spreads it onto the y-face slots. Only slot-masked
+        # selects ever read the results.
         spread = spread_ref[...]
+        rev = rev_ref[...]
+        lanes_we = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
+        bw = (npl - S * (nel - 1)) % npl
+        be = (npl - S * (nel - 1) + (64 - S)) % npl
+
+        def expand_we(v):
+            w = jnp.repeat(hwe_ref[0, v, 0:1], nel, axis=0)  # (nel, npl), identical rows
+            e = jnp.repeat(hwe_ref[0, v, 1:2], nel, axis=0)
+            w = pltpu.roll(w, _i32(bw), 1, stride=S, stride_axis=0)[:, :LANES]
+            e = pltpu.roll(e, _i32(be), 1, stride=S, stride_axis=0)[:, :LANES]
+            wsel = jnp.where(lanes_we < S, w, 0.0)
+            esel = jnp.where((lanes_we >= 64 - S) & (lanes_we < 64), e, 0.0)
+            return jax.lax.dot(rev, wsel + esel, preferred_element_type=w.dtype)
 
         def expand_sn(src, north):
             npl = src.shape[-1]
@@ -464,7 +491,7 @@ def _make_km(rpr: int, prows: int, nel: int, stage_a, stage_b, emit_slabs: bool,
             return jnp.pad(e, ((0, prows - rpr), (0, 0)))
 
         E = tuple(
-            jnp.repeat(hwe_ref[i], rpr, axis=0)
+            jnp.repeat(expand_we(i), rpr, axis=0)
             + expand_sn(hs_ref[i, 0], False)
             + expand_sn(hn_ref[i, 0], True)
             for i in range(3)
@@ -563,8 +590,9 @@ def km_fused(
     emit_slabs: bool = False, interpret: bool = False,
 ):
     """The whole SW spatial operator + optional TVD-RK stage combination in
-    one kernel per panel. qp: (3, R, 128) packed state; hwe: (3, 6*nel, 128)
-    west+east halo values at lanes 0..3 / 60..63 per element-grid row;
+    one kernel per panel. qp: (3, R, 128) packed state; hwe: (6, 3, 2, npts)
+    compact west/east halo edges (flat rows, the kh_exchange layout —
+    expanded to panel shape in VMEM so no XLA relayout ever touches them);
     hs/hn: (3, 6, 1, npl) flat lane-padded south/north halo edges;
     fields: the 13 single-panel K1 constants; m_*: single-panel interface
     metrics. Returns the RHS (3, R, 128), or with stage coefficients
@@ -573,12 +601,14 @@ def km_fused(
     so the next stage needs no separate edge kernel."""
     rows = qp.shape[1]
     prows = rows // 6
-    nel = hwe.shape[1] // 6
+    nel = prows // rpr
     npl = hs.shape[-1]
     rpad = -(-rpr // 8) * 8
     zero = np.int32(0)
     with_stage = stage_a is not None
     with_x = with_stage and (stage_a != 0.0)
+    if hwe.shape[-1] < npl:
+        hwe = jnp.pad(hwe, ((0, 0), (0, 0), (0, 0), (0, npl - hwe.shape[-1])))
 
     lw = np.zeros((nel, prows), np.float64)
     le = np.zeros((nel, prows), np.float64)
@@ -587,6 +617,7 @@ def km_fused(
         le[y, y * rpr + rpr - 1] = 1.0
     lw = jnp.asarray(lw, dtype=qp.dtype)
     le = jnp.asarray(le, dtype=qp.dtype)
+    rev = jnp.asarray(np.eye(nel)[::-1].copy(), dtype=qp.dtype)
 
     pan3 = lambda: pl.BlockSpec((3, prows, LANES), lambda i: (zero, i, zero))
     pan = lambda: pl.BlockSpec((prows, LANES), lambda i: (i, zero))
@@ -596,7 +627,11 @@ def km_fused(
     const = lambda: pl.BlockSpec((LANES, LANES), lambda i: (zero, zero))
 
     in_specs = (
-        [pan3(), small3(nel), edge(), edge()]
+        [
+            pan3(),
+            pl.BlockSpec((1, 3, 2, npl), lambda i: (i, zero, zero, zero)),  # hwe
+            edge(), edge(),
+        ]
         + [pan0() for _ in range(13)]
         + [
             pan(),  # gridrot (panel-dependent)
@@ -606,9 +641,10 @@ def km_fused(
             const(), const(),  # wmat, spread
             pl.BlockSpec((nel, prows), lambda i: (zero, zero)),  # lw
             pl.BlockSpec((nel, prows), lambda i: (zero, zero)),  # le
+            pl.BlockSpec((nel, nel), lambda i: (zero, zero)),  # rev
         ]
     )
-    args = [qp, hwe, hs, hn, *fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat, spread, lw, le]
+    args = [qp, hwe, hs, hn, *fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat, spread, lw, le, rev]
     if with_x:
         in_specs.append(pan3())
         args.append(x)
@@ -631,7 +667,7 @@ def km_fused(
         ]
 
     outs = pl.pallas_call(
-        _make_km(rpr, prows, nel, stage_a, stage_b, emit_slabs, with_x),
+        _make_km(rpr, prows, nel, npl, stage_a, stage_b, emit_slabs, with_x),
         grid=(6,),
         in_specs=in_specs,
         out_specs=out_specs,
