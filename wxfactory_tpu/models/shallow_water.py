@@ -336,6 +336,20 @@ def make_rhs_shallow_water(
         )
         return o, tuple(oslabs)
 
+    def packed_run(qp, nsteps: int, abc):
+        """Run ``nsteps`` full 3-stage explicit RK steps as ONE kernel
+        (``pallas_sw.kr_run``): every stage of every step executes on-chip
+        with the RK registers, edge slabs and halos resident in VMEM —
+        steady-state HBM traffic is ~zero. ``abc``: (3,3) per-stage
+        (a, b, c*dt) rows (see ``pallas_sw.tvdrk3_abc``)."""
+        we0, s0, n0 = packed_slabs(qp)
+        return pallas_sw.kr_run(
+            qp, we0, s0, n0, consts.fields, consts.gridrot, consts.eexy,
+            consts.dd, consts.m_sg, consts.m_hd, consts.m_ho, consts.wmat,
+            consts.spread, halo_consts, abc, rpr=rpr, nsteps=nsteps,
+            interpret=interp,
+        )
+
     def rhs_pallas(q: jnp.ndarray) -> jnp.ndarray:
         return rhs_packed(q.reshape(3, rows, 128)).reshape(q.shape)
 
@@ -343,6 +357,8 @@ def make_rhs_shallow_water(
     rhs_pallas.packed_stage = packed_stage
     rhs_pallas.packed_stage_chained = packed_stage_chained
     rhs_pallas.packed_slabs = packed_slabs
+    if halo_consts is not None and pallas_sw.run_supported(s, nel, dtype):
+        rhs_pallas.packed_run = packed_run
     rhs_pallas.pack = lambda q: q.reshape(3, rows, 128)
     rhs_pallas.unpack = lambda qp: qp.reshape(3, 6, nel, nel, s * s)
     return rhs_pallas

@@ -34,6 +34,7 @@ float64 parity reference.
 """
 
 import functools
+import types
 from typing import NamedTuple
 
 import jax
@@ -302,30 +303,43 @@ def build_halo_constants(topology, dtype=jnp.float32) -> HaloConstants:
     return HaloConstants(c(perm72), c(rev), c(flip), c(conv))
 
 
+def _halo_math(flat, perm, rev, flip, conv, pwe, npts: int, npl: int):
+    """The panel-edge exchange on flat edges: neighbor permutation, edge
+    flips, 2x2 contravariant basis rotation of the momenta (reference
+    process_topology.py start_exchange_* semantics). flat: (72, npts) rows
+    ``v*24 + side*6 + panel`` in (S, N, W, E) side order. Returns
+    (hwe (6,3,2,npts), hs (3,6,1,npl), hn (3,6,1,npl))."""
+    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=flat.dtype)
+    ex = mm(perm, flat)
+    flipped = mm(ex, rev)
+    ex = flip * flipped + (1.0 - flip) * ex
+    a1 = ex[24:48]
+    a2 = ex[48:72]
+    b1 = conv[0] * a1 + conv[1] * a2
+    b2 = conv[2] * a1 + conv[3] * a2
+    halo = jnp.concatenate([ex[0:24], b1, b2], axis=0)  # (72, npts) v-major
+
+    cat = lambda slabs: jnp.concatenate(slabs, axis=0)
+    pad = lambda a: (
+        a if npl == npts else jnp.concatenate([a, jnp.zeros((a.shape[0], npl - npts), a.dtype)], axis=-1)
+    )
+    hs = pad(cat([halo[v * 24 : v * 24 + 6] for v in range(3)])).reshape(3, 6, 1, npl)
+    hn = pad(cat([halo[v * 24 + 6 : v * 24 + 12] for v in range(3)])).reshape(3, 6, 1, npl)
+    # KM consumes the flat edges panel-major (its per-panel block spec
+    # needs the blocked axis leading): rows (p, v, side) via one-hot.
+    hwe = mm(pwe, halo).reshape(6, 3, 2, npts)
+    return hwe, hs, hn
+
+
 def _make_kh(npts: int, npl: int):
     def kernel(pool_ref, perm_ref, rev_ref, flip_ref, conv_ref, pwe_ref, we_ref, hs_ref, hn_ref):
         flat = pool_ref[...].reshape(72, npts)
-        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=flat.dtype)
-        ex = mm(perm_ref[...], flat)
-        flipped = mm(ex, rev_ref[...])
-        m = flip_ref[...]
-        ex = m * flipped + (1.0 - m) * ex
-        conv = conv_ref[...]
-        a1 = ex[24:48]
-        a2 = ex[48:72]
-        b1 = conv[0] * a1 + conv[1] * a2
-        b2 = conv[2] * a1 + conv[3] * a2
-        halo = jnp.concatenate([ex[0:24], b1, b2], axis=0)  # (72, npts) v-major
-
-        cat = lambda slabs: jnp.concatenate(slabs, axis=0)
-        pad = lambda a: (
-            a if npl == npts else jnp.concatenate([a, jnp.zeros((a.shape[0], npl - npts), a.dtype)], axis=-1)
+        hwe, hs, hn = _halo_math(
+            flat, perm_ref[...], rev_ref[...], flip_ref[...], conv_ref[...], pwe_ref[...], npts, npl
         )
-        hs_ref[...] = pad(cat([halo[v * 24 : v * 24 + 6] for v in range(3)])).reshape(3, 6, 1, npl)
-        hn_ref[...] = pad(cat([halo[v * 24 + 6 : v * 24 + 12] for v in range(3)])).reshape(3, 6, 1, npl)
-        # KM consumes the flat edges panel-major (its per-panel block spec
-        # needs the blocked axis leading): rows (p, v, side) via one-hot.
-        we_ref[...] = mm(pwe_ref[...], halo).reshape(6, 3, 2, npts)
+        we_ref[...] = hwe
+        hs_ref[...] = hs
+        hn_ref[...] = hn
 
     return kernel
 
@@ -358,6 +372,195 @@ def kh_exchange(pool, hc: HaloConstants, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Shared per-panel stage math (used by KM and the whole-run kernel KR).
+# All helpers take/return VMEM *values*; the kernels do the ref plumbing.
+
+
+def _masks(rpr: int, prows: int):
+    """Slot masks of the packed trace layout (trace-time constants)."""
+    shape = (prows, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    is_x = lane < 64
+    h1 = jax.lax.rem(lane, jnp.int32(8)) < S
+    rmod = jax.lax.rem(row, jnp.int32(rpr))
+    west_slot = is_x & (lane < S) & (rmod == 0)
+    east_slot = is_x & (lane >= 64 - S) & (rmod == rpr - 1)
+    south_slot = (~is_x) & h1 & (row < rpr)
+    north_slot = (~is_x) & (~h1) & (row >= prows - rpr)
+    return types.SimpleNamespace(
+        rpr=rpr, prows=prows, lane=lane, is_x=is_x, h1=h1,
+        west_slot=west_slot, south_slot=south_slot,
+        edge_h2=east_slot | north_slot,
+    )
+
+
+def _element_stage(q3, fields, gridrot, dd):
+    """Element-local stage: pointwise sqrt(g)-weighted fluxes, interior
+    divergence GEMM, Coriolis/Christoffel forcing (reference
+    rhs_sw.py:120-131, :223-238). Returns the interior df tuple."""
+    (sqrtg, h11, h12, h22, g101, g102, g201, g202,
+     c111, c112, c212, c222, invsg) = fields
+    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=q3[0].dtype)
+    half_g = 0.5 * GRAVITY
+    h, hu1, hu2 = q3
+    u1 = hu1 / h
+    u2 = hu2 / h
+    hsq = h * h
+    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    div0 = mm(cat(sqrtg * hu1, sqrtg * hu2), dd)
+    div1 = mm(
+        cat(
+            sqrtg * (hu1 * u1 + half_g * h11 * hsq),
+            sqrtg * (hu1 * u2 + half_g * h12 * hsq),
+        ),
+        dd,
+    )
+    div2 = mm(
+        cat(
+            sqrtg * (hu2 * u1 + half_g * h12 * hsq),
+            sqrtg * (hu2 * u2 + half_g * h22 * hsq),
+        ),
+        dd,
+    )
+    # Time Christoffels factored as gridrot * single-panel factor.
+    rot2 = 2.0 * gridrot
+    forcing_1 = (
+        rot2 * (g101 * hu1 + g102 * hu2) + c111 * hu1 * u1 + 2.0 * c112 * hu1 * u2
+    )
+    forcing_2 = (
+        rot2 * (g201 * hu1 + g202 * hu2) + 2.0 * c212 * hu1 * u2 + c222 * hu2 * u2
+    )
+    return (-invsg * div0, -invsg * div1 - forcing_1, -invsg * div2 - forcing_2)
+
+
+def _expand_halo_var(w_row, e_row, hs_row, hn_row, spread, rev, m, nel: int, npl: int):
+    """Expand one variable's compact halo edges to full panel trace shape in
+    VMEM. hwe holds the west/east panel edges as ONE flat lane-padded row
+    each; element-grid row y's west value lives at flat lanes y*s..y*s+s-1
+    and must land at lanes 0..s-1 (east: 64-s..63) of its row — a per-row
+    DECREASING lane shift. Mosaic's strided rotate only increases, so rows
+    are produced grid-reversed (shift base -s*(nel-1), stride +s) and
+    un-reversed by a one-hot matmul. Consuming the flat layout directly is
+    what kills the XLA-side (3,6,nel,32,4) pad+relayout copy (~16 us/stage,
+    a third of the whole step). hs/hn: position-row r of the first/last
+    grid row takes its 32-lane window via a lane roll, then one (128,128)
+    one-hot matmul spreads it onto the y-face slots. Only slot-masked
+    selects ever read the results."""
+    rpr, prows = m.rpr, m.prows
+    _i32 = lambda v: np.int32(v)
+    lanes_we = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
+    bw = (npl - S * (nel - 1)) % npl
+    be = (npl - S * (nel - 1) + (64 - S)) % npl
+
+    w = jnp.repeat(w_row, nel, axis=0)  # (nel, npl), identical rows
+    e = jnp.repeat(e_row, nel, axis=0)
+    w = pltpu.roll(w, _i32(bw), 1, stride=S, stride_axis=0)[:, :LANES]
+    e = pltpu.roll(e, _i32(be), 1, stride=S, stride_axis=0)[:, :LANES]
+    wsel = jnp.where(lanes_we < S, w, 0.0)
+    esel = jnp.where((lanes_we >= 64 - S) & (lanes_we < 64), e, 0.0)
+    we = jax.lax.dot(rev, wsel + esel, preferred_element_type=w.dtype)
+
+    def expand_sn(src, north):
+        npl_ = src.shape[-1]
+        rows_ = []
+        for r in range(rpr):
+            shift = (npl_ - 32 * r) % npl_
+            rolled = pltpu.roll(src, _i32(shift), 1) if shift else src
+            rows_.append(rolled[:, :LANES])
+        b = jnp.concatenate(rows_, axis=0) if rpr > 1 else rows_[0]
+        e_ = jax.lax.dot(b, spread, preferred_element_type=src.dtype)
+        if north:
+            e_ = pltpu.roll(e_, _i32(4), 1)
+            return jnp.pad(e_, ((prows - rpr, 0), (0, 0)))
+        return jnp.pad(e_, ((0, prows - rpr), (0, 0)))
+
+    return jnp.repeat(we, rpr, axis=0) + expand_sn(hs_row, False) + expand_sn(hn_row, True)
+
+
+def _interface_flux(A, E, msg, mhd, mho, m):
+    """Interface L/R assembly with pltpu.roll shifts + AUSM Mach-splitting
+    flux for BOTH directions in one vector pass (x in lanes 0..63, y in
+    64..127) — reference rhs_sw.py:170-207."""
+    _i32 = lambda v: np.int32(v)
+    rpr, is_x, lane = m.rpr, m.is_x, m.lane
+    half_g = 0.5 * GRAVITY
+
+    def assemble_L(a, e):
+        prev = pltpu.roll(a, _i32(1), 0)
+        # x: qL = east face of the lane-group to the west (same row),
+        # with the group-0 carry from the previous position-row.
+        lx = jnp.where(lane < S, pltpu.roll(prev, _i32(68), 1), pltpu.roll(a, _i32(4), 1))
+        # y: qL = north face of the element one position-row up.
+        ly = pltpu.roll(pltpu.roll(a, _i32(LANES - 4), 1), _i32(rpr), 0)
+        l = jnp.where(is_x, lx, ly)
+        # Panel-edge interfaces: qL west/south comes from the halo;
+        # qL east/north is this element's own east/north face (in place).
+        l = jnp.where(m.west_slot | m.south_slot, e, l)
+        return jnp.where(m.edge_h2, a, l)
+
+    L = tuple(assemble_L(a, e) for a, e in zip(A, E))
+    R = tuple(jnp.where(m.edge_h2, e, a) for a, e in zip(A, E))
+
+    hL, hR = L[0], R[0]
+    aL = jnp.sqrt(GRAVITY * hL * mhd)
+    aR = jnp.sqrt(GRAVITY * hR * mhd)
+    qnL = jnp.where(is_x, L[1], L[2])
+    qnR = jnp.where(is_x, R[1], R[2])
+    tmpL = hL * aL
+    tmpR = hR * aR
+    mL = jnp.where(tmpL != 0.0, qnL / tmpL, 0.0)
+    mR = jnp.where(tmpR != 0.0, qnR / tmpR, 0.0)
+    big_m = 0.25 * ((mL + 1.0) ** 2 - (mR - 1.0) ** 2)
+    adv_l = jnp.maximum(0.0, big_m) * aL
+    adv_r = jnp.minimum(0.0, big_m) * aR
+    f = [msg * (adv_l * l + adv_r * r) for l, r in zip(L, R)]
+    pres_l = (1.0 + mL) * (msg * half_g) * (hL * hL)
+    pres_r = (1.0 - mR) * (msg * half_g) * (hR * hR)
+    pres_diag = 0.5 * (mhd * pres_l + mhd * pres_r)
+    pres_off = 0.5 * (mho * pres_l + mho * pres_r)
+    f[1] = f[1] + jnp.where(is_x, pres_diag, pres_off)
+    f[2] = f[2] + jnp.where(is_x, pres_off, pres_diag)
+    return f
+
+
+def _faces(fl, m):
+    """Per-element faces: h1 slots already hold the west/south flux; the
+    east/north flux is the next element's west/south one (or, at panel
+    edges, the boundary flux computed in this element's h2 slot)."""
+    _i32 = lambda v: np.int32(v)
+    fnext = pltpu.roll(fl, _i32(m.prows - 1), 0)
+    shx = jnp.where(
+        jax.lax.rem(m.lane, jnp.int32(64)) >= 60,
+        pltpu.roll(fnext, _i32(60), 1),
+        pltpu.roll(fl, _i32(LANES - 4), 1),
+    )
+    shy = pltpu.roll(pltpu.roll(fl, _i32(m.prows - m.rpr), 0), _i32(4), 1)
+    fc = jnp.where(m.h1, fl, jnp.where(m.is_x, shx, shy))
+    return jnp.where(m.edge_h2, fl, fc)
+
+
+def _emit_slabs(o3, eexy, lw, le, rpr: int, prows: int, nel: int):
+    """Panel-edge trace slabs of a state (the ``ke_edges`` layout), emitted
+    from edge-element rows only: one-hot row selection commutes exactly with
+    the extrapolation GEMM, so extrapolating the selected rows is bitwise
+    identical to selecting from the full trace at ~2/3 of the MXU work."""
+    rpad = -(-rpr // 8) * 8
+    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o3[0].dtype)
+    lanes_ = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
+    wmask = lanes_ < S
+    emask = (lanes_ >= 64 - S) & (lanes_ < 64)
+    wes, ss, ns_ = [], [], []
+    for v in range(3):
+        trw = mm(mm(lw, o3[v]), eexy)
+        tre = mm(mm(le, o3[v]), eexy)
+        wes.append(jnp.where(wmask, trw, 0.0) + jnp.where(emask, tre, 0.0))
+        ss.append(mm(o3[v][0:rpad], eexy))
+        ns_.append(mm(o3[v][prows - rpad : prows], eexy))
+    return wes, ss, ns_
+
+
+# ---------------------------------------------------------------------------
 # KM: the mega kernel — the ENTIRE spatial operator per panel in one VMEM
 # pass: extrapolation, pointwise fluxes, interior divergence, forcing
 # (reference rhs_sw.py:81-131,223-238), interface assembly + AUSM + boundary
@@ -367,10 +570,7 @@ def kh_exchange(pool, hc: HaloConstants, interpret: bool = False):
 
 
 def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_slabs: bool, with_x: bool):
-    half_g = 0.5 * GRAVITY
-    _i32 = lambda v: np.int32(v)
     with_stage = stage_a is not None
-    rpad = -(-rpr // 8) * 8
 
     def kernel(*refs):
         it = iter(refs)
@@ -391,169 +591,36 @@ def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_sl
 
         mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
         eexy = eexy_ref[...]
+        m = _masks(rpr, prows)
+        fields = (
+            sqrtg_ref[...], h11_ref[...], h12_ref[...], h22_ref[...],
+            g101_ref[...], g102_ref[...], g201_ref[...], g202_ref[...],
+            c111_ref[...], c112_ref[...], c212_ref[...], c222_ref[...],
+            invsg_ref[...],
+        )
+        invsg = fields[12]
+        q3 = (q_ref[0], q_ref[1], q_ref[2])
 
         # --- element-local stage (the former K1, now in VMEM) ---
-        h = q_ref[0]
-        hu1 = q_ref[1]
-        hu2 = q_ref[2]
-        sqrtg = sqrtg_ref[...]
-        invsg = invsg_ref[...]
-        u1 = hu1 / h
-        u2 = hu2 / h
-        hsq = h * h
-        dd = dd_ref[...]
-        cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
-        div0 = mm(cat(sqrtg * hu1, sqrtg * hu2), dd)
-        div1 = mm(
-            cat(
-                sqrtg * (hu1 * u1 + half_g * h11_ref[...] * hsq),
-                sqrtg * (hu1 * u2 + half_g * h12_ref[...] * hsq),
-            ),
-            dd,
-        )
-        div2 = mm(
-            cat(
-                sqrtg * (hu2 * u1 + half_g * h12_ref[...] * hsq),
-                sqrtg * (hu2 * u2 + half_g * h22_ref[...] * hsq),
-            ),
-            dd,
-        )
-        # Time Christoffels factored as gridrot * single-panel factor.
-        rot2 = 2.0 * gridrot_ref[...]
-        forcing_1 = (
-            rot2 * (g101_ref[...] * hu1 + g102_ref[...] * hu2)
-            + c111_ref[...] * hu1 * u1
-            + 2.0 * c112_ref[...] * hu1 * u2
-        )
-        forcing_2 = (
-            rot2 * (g201_ref[...] * hu1 + g202_ref[...] * hu2)
-            + 2.0 * c212_ref[...] * hu1 * u2
-            + c222_ref[...] * hu2 * u2
-        )
-        df = (-invsg * div0, -invsg * div1 - forcing_1, -invsg * div2 - forcing_2)
+        df = _element_stage(q3, fields, gridrot_ref[...], dd_ref[...])
 
         # --- interface stage (the former K2) ---
-        shape = (prows, LANES)
-        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        is_x = lane < 64
-        lmod8 = jax.lax.rem(lane, jnp.int32(8))
-        h1 = lmod8 < S
-        rmod = jax.lax.rem(row, jnp.int32(rpr))
-        west_slot = is_x & (lane < S) & (rmod == 0)
-        east_slot = is_x & (lane >= 64 - S) & (rmod == rpr - 1)
-        south_slot = (~is_x) & h1 & (row < rpr)
-        north_slot = (~is_x) & (~h1) & (row >= prows - rpr)
-        edge_h2 = east_slot | north_slot
-
-        A = (mm(q_ref[0], eexy), mm(q_ref[1], eexy), mm(q_ref[2], eexy))
-
-        # Expand the small halo arrays to full panel shape in VMEM. hwe
-        # holds the west/east panel edges as ONE flat lane-padded row each;
-        # element-grid row y's west value lives at flat lanes y*s..y*s+s-1
-        # and must land at lanes 0..s-1 (east: 64-s..63) of its row — a
-        # per-row DECREASING lane shift. Mosaic's strided rotate only
-        # increases, so rows are produced grid-reversed (shift base
-        # -s*(nel-1), stride +s) and un-reversed by a one-hot matmul.
-        # Consuming the flat layout directly is what kills the XLA-side
-        # (3,6,nel,32,4) pad+relayout copy (~16 us/stage, a third of the
-        # whole step). hs/hn: position-row r of the first/last grid row
-        # takes its 32-lane window via a lane roll, then one (128,128)
-        # one-hot matmul spreads it onto the y-face slots. Only slot-masked
-        # selects ever read the results.
+        A = tuple(mm(q3[v], eexy) for v in range(3))
         spread = spread_ref[...]
         rev = rev_ref[...]
-        lanes_we = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
-        bw = (npl - S * (nel - 1)) % npl
-        be = (npl - S * (nel - 1) + (64 - S)) % npl
-
-        def expand_we(v):
-            w = jnp.repeat(hwe_ref[0, v, 0:1], nel, axis=0)  # (nel, npl), identical rows
-            e = jnp.repeat(hwe_ref[0, v, 1:2], nel, axis=0)
-            w = pltpu.roll(w, _i32(bw), 1, stride=S, stride_axis=0)[:, :LANES]
-            e = pltpu.roll(e, _i32(be), 1, stride=S, stride_axis=0)[:, :LANES]
-            wsel = jnp.where(lanes_we < S, w, 0.0)
-            esel = jnp.where((lanes_we >= 64 - S) & (lanes_we < 64), e, 0.0)
-            return jax.lax.dot(rev, wsel + esel, preferred_element_type=w.dtype)
-
-        def expand_sn(src, north):
-            npl = src.shape[-1]
-            rows_ = []
-            for r in range(rpr):
-                shift = (npl - 32 * r) % npl
-                rolled = pltpu.roll(src, _i32(shift), 1) if shift else src
-                rows_.append(rolled[:, :LANES])
-            b = jnp.concatenate(rows_, axis=0) if rpr > 1 else rows_[0]
-            e = jax.lax.dot(b, spread, preferred_element_type=src.dtype)
-            if north:
-                e = pltpu.roll(e, _i32(4), 1)
-                return jnp.pad(e, ((prows - rpr, 0), (0, 0)))
-            return jnp.pad(e, ((0, prows - rpr), (0, 0)))
-
         E = tuple(
-            jnp.repeat(expand_we(i), rpr, axis=0)
-            + expand_sn(hs_ref[i, 0], False)
-            + expand_sn(hn_ref[i, 0], True)
-            for i in range(3)
-        )
-
-        def assemble_L(a, e):
-            prev = pltpu.roll(a, _i32(1), 0)
-            # x: qL = east face of the lane-group to the west (same row),
-            # with the group-0 carry from the previous position-row.
-            lx = jnp.where(lane < S, pltpu.roll(prev, _i32(68), 1), pltpu.roll(a, _i32(4), 1))
-            # y: qL = north face of the element one position-row up.
-            ly = pltpu.roll(pltpu.roll(a, _i32(LANES - 4), 1), _i32(rpr), 0)
-            l = jnp.where(is_x, lx, ly)
-            # Panel-edge interfaces: qL west/south comes from the halo;
-            # qL east/north is this element's own east/north face (in place).
-            l = jnp.where(west_slot | south_slot, e, l)
-            return jnp.where(edge_h2, a, l)
-
-        L = tuple(assemble_L(a, e) for a, e in zip(A, E))
-        R = tuple(jnp.where(edge_h2, e, a) for a, e in zip(A, E))
-
-        # AUSM Mach-splitting flux, both directions at once
-        # (reference rhs_sw.py:170-207).
-        sg = msg_ref[...]
-        hd = mhd_ref[...]
-        ho = mho_ref[...]
-        hL, hR = L[0], R[0]
-        aL = jnp.sqrt(GRAVITY * hL * hd)
-        aR = jnp.sqrt(GRAVITY * hR * hd)
-        qnL = jnp.where(is_x, L[1], L[2])
-        qnR = jnp.where(is_x, R[1], R[2])
-        tmpL = hL * aL
-        tmpR = hR * aR
-        mL = jnp.where(tmpL != 0.0, qnL / tmpL, 0.0)
-        mR = jnp.where(tmpR != 0.0, qnR / tmpR, 0.0)
-        big_m = 0.25 * ((mL + 1.0) ** 2 - (mR - 1.0) ** 2)
-        adv_l = jnp.maximum(0.0, big_m) * aL
-        adv_r = jnp.minimum(0.0, big_m) * aR
-        f = [sg * (adv_l * l + adv_r * r) for l, r in zip(L, R)]
-        pres_l = (1.0 + mL) * (sg * half_g) * (hL * hL)
-        pres_r = (1.0 - mR) * (sg * half_g) * (hR * hR)
-        pres_diag = 0.5 * (hd * pres_l + hd * pres_r)
-        pres_off = 0.5 * (ho * pres_l + ho * pres_r)
-        f[1] = f[1] + jnp.where(is_x, pres_diag, pres_off)
-        f[2] = f[2] + jnp.where(is_x, pres_off, pres_diag)
-
-        # Per-element faces: h1 slots already hold the west/south flux; the
-        # east/north flux is the next element's west/south one (or, at panel
-        # edges, the boundary flux computed in this element's h2 slot).
-        def faces(fl):
-            fnext = pltpu.roll(fl, _i32(prows - 1), 0)
-            shx = jnp.where(
-                jax.lax.rem(lane, jnp.int32(64)) >= 60, pltpu.roll(fnext, _i32(60), 1), pltpu.roll(fl, _i32(LANES - 4), 1)
+            _expand_halo_var(
+                hwe_ref[0, v, 0:1], hwe_ref[0, v, 1:2], hs_ref[v, 0], hn_ref[v, 0],
+                spread, rev, m, nel, npl,
             )
-            shy = pltpu.roll(pltpu.roll(fl, _i32(prows - rpr), 0), _i32(4), 1)
-            fc = jnp.where(h1, fl, jnp.where(is_x, shx, shy))
-            return jnp.where(edge_h2, fl, fc)
+            for v in range(3)
+        )
+        f = _interface_flux(A, E, msg_ref[...], mhd_ref[...], mho_ref[...], m)
 
         wmat = wmat_ref[...]
         o = []
         for v in range(3):
-            rhs_v = df[v] - invsg * mm(faces(f[v]), wmat)
+            rhs_v = df[v] - invsg * mm(_faces(f[v], m), wmat)
             if with_stage:
                 cdt = cdt_ref[0, 0]
                 val = stage_b * q_ref[v] + cdt * rhs_v
@@ -566,16 +633,11 @@ def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_sl
 
         # --- next-stage edge slabs of the OUTPUT state (chained mode) ---
         if emit_slabs:
-            lanes_ = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
-            wmask = lanes_ < S
-            emask = (lanes_ >= 64 - S) & (lanes_ < 64)
-            lw = lw_ref[...]
-            le = le_ref[...]
+            wes, ss, ns_ = _emit_slabs(o, eexy, lw_ref[...], le_ref[...], rpr, prows, nel)
             for v in range(3):
-                tr = mm(o[v], eexy)
-                we_ref[v] = jnp.where(wmask, mm(lw, tr), 0.0) + jnp.where(emask, mm(le, tr), 0.0)
-                s_ref[v] = tr[0:rpad]
-                n_ref[v] = tr[prows - rpad : prows]
+                we_ref[v] = wes[v]
+                s_ref[v] = ss[v]
+                n_ref[v] = ns_[v]
 
     return kernel
 
@@ -675,3 +737,286 @@ def km_fused(
         interpret=interpret,
     )(*args)
     return tuple(outs) if emit_slabs else outs[0]
+
+
+# ---------------------------------------------------------------------------
+# KR: the whole-RUN kernel. One pallas_call executes EVERY TVD-RK stage of
+# EVERY time step: grid (nsteps, 3, 6) iterated sequentially on the core,
+# with both RK state registers, the edge-trace slabs, and the halo results
+# living in VMEM scratch for the entire run (v5e VMEM is 128 MB; the whole
+# working set at nel=64 is ~30 MB). Constants are fetched ONCE per call
+# instead of once per stage, and the per-stage kernel launches, XLA glue
+# and all intermediate-state HBM round-trips disappear: steady-state HBM
+# traffic is ~zero, leaving the MXU as the only limiter.
+
+
+def tvdrk3_abc(dt):
+    """Per-stage (a, b, c*dt) rows of TVD-RK3 in 2-register SSP form
+    (``val = a*x + b*y + c*dt*RHS(y)``; reference integrators/tvdrk3.py)."""
+    a = jnp.asarray([0.0, 0.75, 1.0 / 3.0])
+    b = jnp.asarray([1.0, 0.25, 2.0 / 3.0])
+    return jnp.stack([a, b, b * dt])
+
+
+def run_supported(num_solpts: int, nel: int, dtype) -> bool:
+    """KR additionally folds the halo exchange in-kernel, whose batched
+    edge flattening needs lane-tiled flat edges: npts % 128 == 0
+    (i.e. nel a multiple of 32)."""
+    return supported(num_solpts, nel, dtype) and (nel * S) % 128 == 0
+
+
+def _slabs_to_flat(we, sv, nv, csn_s, csn_n, p6, p6s, p6n, nel: int, rpr: int, npl: int):
+    """Flatten the panel-edge trace slabs (``ke_edges`` layout) into the
+    (72, npts) flat-edge matrix ``_halo_math`` consumes — in VMEM, batched
+    over all six panels per (variable, side). Element-grid row y's face
+    point k must land at flat lane s*y+k: a strided lane rotate moves row r
+    by ``base + stride*r`` and the per-panel offsets vanish mod npts (the
+    ``run_supported`` gate), so one roll + one block-ones GEMM flattens a
+    whole side. Mosaic caps a strided rotate's intra-vreg shift spread at
+    the vreg width, so the y-side rows (32-lane windows) use per-row plain
+    rolls with a row-index mask instead — shifts depend only on the
+    within-panel row, so one pass covers all six panels. Row order:
+    v*24 + side*6 + panel, (S,N,W,E)."""
+    _i32 = lambda v: np.int32(v)
+    rpad = -(-rpr // 8) * 8
+    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=we.dtype)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (6 * nel, LANES), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (6 * rpad, npl), 0)
+    rmod = jax.lax.rem(rowi, jnp.int32(rpad))
+    pad = lambda a: jnp.pad(a, ((0, 0), (0, npl - LANES))) if npl > LANES else a
+    per_var = []
+    for v in range(3):
+        blk = we[v]  # (6*nel, LANES): west at lanes 0..s-1, east at 64-s..63
+        wsel = pad(jnp.where(lanes < S, blk, 0.0))
+        esel = pad(jnp.where((lanes >= 64 - S) & (lanes < 64), blk, 0.0))
+        flat_w = mm(p6, pltpu.roll(wsel, _i32(0), 1, stride=S, stride_axis=0))
+        flat_e = mm(p6, pltpu.roll(esel, _i32((npl - (64 - S)) % npl), 1, stride=S, stride_axis=0))
+        # y-face slabs: compact lanes 64+8g+half*4+k -> 4g+k, then shift
+        # row r (within the panel edge) to flat lanes 32r..32r+31.
+        cs = mm(sv[v], csn_s)  # (6*rpad, npl)
+        cn = mm(nv[v], csn_n)
+        acc_s = jnp.zeros_like(cs)
+        acc_n = jnp.zeros_like(cn)
+        for r in range(rpad):
+            acc_s = acc_s + jnp.where(rmod == r, pltpu.roll(cs, _i32((32 * r) % npl), 1), 0.0)
+            rn = (32 * (r - (rpad - rpr))) % npl
+            acc_n = acc_n + jnp.where(rmod == r, pltpu.roll(cn, _i32(rn), 1), 0.0)
+        flat_s = mm(p6s, acc_s)
+        flat_n = mm(p6n, acc_n)
+        per_var.append(jnp.concatenate([flat_s, flat_n, flat_w, flat_e], axis=0))
+    return jnp.concatenate(per_var, axis=0)  # (72, npts)
+
+
+def _make_kr(rpr: int, prows: int, nel: int, npl: int, nsteps: int):
+    rpad = -(-rpr // 8) * 8
+    rows = 6 * prows
+
+    def kernel(
+        q_ref, we0_ref, s0_ref, n0_ref,
+        sqrtg_ref, h11_ref, h12_ref, h22_ref,
+        g101_ref, g102_ref, g201_ref, g202_ref,
+        c111_ref, c112_ref, c212_ref, c222_ref, invsg_ref,
+        gridrot_ref, eexy_ref, dd_ref, msg_ref, mhd_ref, mho_ref,
+        wmat_ref, spread_ref, lw_ref, le_ref, rev_ref,
+        perm_ref, revn_ref, flip_ref, conv_ref, pwe_ref,
+        csns_ref, csnn_ref, p6_ref, p6s_ref, p6n_ref,
+        abc_ref,
+        o_ref,
+        x_scr, y_scr, cur_scr, we_scr, s_scr, n_scr, hwe_scr, hs_scr, hn_scr,
+    ):
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+        p = pl.program_id(2)
+        pslice = pl.ds(p * prows, prows)
+        first = (t == 0) & (s == 0)
+
+        @pl.when(first)
+        def _():
+            # Register x := the input state; slab scratch := its edge slabs.
+            for v in range(3):
+                x_scr[v, pslice, :] = q_ref[v, pslice, :]
+
+        @pl.when(first & (p == 0))
+        def _():
+            we_scr[...] = we0_ref[...]
+            s_scr[...] = s0_ref[...]
+            n_scr[...] = n0_ref[...]
+
+        # --- panel-edge halo exchange, once per stage (p == 0), from the
+        # slabs the previous stage's panels wrote to VMEM scratch ---
+        @pl.when(p == 0)
+        def _():
+            flat = _slabs_to_flat(
+                we_scr[...], s_scr[...], n_scr[...],
+                csns_ref[...], csnn_ref[...], p6_ref[...], p6s_ref[...], p6n_ref[...],
+                nel, rpr, npl,
+            )
+            hwe, hs, hn = _halo_math(
+                flat, perm_ref[...], revn_ref[...], flip_ref[...], conv_ref[...],
+                pwe_ref[...], npl, npl,
+            )
+            hwe_scr[...] = hwe
+            hs_scr[...] = hs
+            hn_scr[...] = hn
+
+        # --- stage source: register x at stage 0, register y afterwards ---
+        @pl.when(s == 0)
+        def _():
+            for v in range(3):
+                cur_scr[v] = x_scr[v, pslice, :]
+
+        @pl.when(s != 0)
+        def _():
+            for v in range(3):
+                cur_scr[v] = y_scr[v, pslice, :]
+
+        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
+        eexy = eexy_ref[...]
+        m = _masks(rpr, prows)
+        fields = (
+            sqrtg_ref[...], h11_ref[...], h12_ref[...], h22_ref[...],
+            g101_ref[...], g102_ref[...], g201_ref[...], g202_ref[...],
+            c111_ref[...], c112_ref[...], c212_ref[...], c222_ref[...],
+            invsg_ref[...],
+        )
+        invsg = fields[12]
+        q3 = tuple(cur_scr[v] for v in range(3))
+
+        df = _element_stage(q3, fields, gridrot_ref[pslice, :], dd_ref[...])
+        A = tuple(mm(q3[v], eexy) for v in range(3))
+        spread = spread_ref[...]
+        rev = rev_ref[...]
+        E = tuple(
+            _expand_halo_var(
+                hwe_scr[pl.ds(p, 1), v, 0], hwe_scr[pl.ds(p, 1), v, 1],
+                hs_scr[v, pl.ds(p, 1), 0], hn_scr[v, pl.ds(p, 1), 0],
+                spread, rev, m, nel, npl,
+            )
+            for v in range(3)
+        )
+        f = _interface_flux(A, E, msg_ref[...], mhd_ref[...], mho_ref[...], m)
+
+        wmat = wmat_ref[...]
+        a = abc_ref[0, s]
+        b = abc_ref[1, s]
+        cdt = abc_ref[2, s]
+        val = []
+        for v in range(3):
+            rhs_v = df[v] - invsg * mm(_faces(f[v], m), wmat)
+            x3 = x_scr[v, pslice, :]
+            val.append(a * x3 + b * q3[v] + cdt * rhs_v)
+
+        # --- slabs of the output state for the NEXT stage's halo ---
+        wes, ss, ns_ = _emit_slabs(val, eexy, lw_ref[...], le_ref[...], rpr, prows, nel)
+        for v in range(3):
+            we_scr[v, pl.ds(p * nel, nel), :] = wes[v]
+            s_scr[v, pl.ds(p * rpad, rpad), :] = ss[v]
+            n_scr[v, pl.ds(p * rpad, rpad), :] = ns_[v]
+
+        # --- register writes: stages 0,1 -> y; stage 2 -> x (step done) ---
+        @pl.when(s <= 1)
+        def _():
+            for v in range(3):
+                y_scr[v, pslice, :] = val[v]
+
+        @pl.when(s == 2)
+        def _():
+            for v in range(3):
+                x_scr[v, pslice, :] = val[v]
+
+        @pl.when((s == 2) & (t == nsteps - 1))
+        def _():
+            for v in range(3):
+                o_ref[v, pslice, :] = val[v]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rpr", "nsteps", "interpret"))
+def kr_run(
+    qp, we0, s0, n0, fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat, spread,
+    halo: HaloConstants, abc, rpr: int, nsteps: int, interpret: bool = False,
+):
+    """Run ``nsteps`` full 3-stage explicit RK steps entirely on-chip.
+    qp: (3, R, 128) packed state; (we0, s0, n0): its edge-trace slabs
+    (``ke_edges``); abc: (3, 3) rows = per-stage (a, b, c*dt) of the
+    2-register SSP combination ``val = a*x + b*y + (c*dt)*RHS(y)`` (TVD-RK3:
+    a=[0,3/4,1/3], b=[1,1/4,2/3], c=[1,1/4,2/3]). Returns the final state."""
+    rows = qp.shape[1]
+    prows = rows // 6
+    nel = prows // rpr
+    rpad = -(-rpr // 8) * 8
+    npts = nel * S
+    npl = npts
+    zero = np.int32(0)
+
+    lw = np.zeros((nel, prows), np.float64)
+    le = np.zeros((nel, prows), np.float64)
+    for y in range(nel):
+        lw[y, y * rpr] = 1.0
+        le[y, y * rpr + rpr - 1] = 1.0
+    rev = np.eye(nel)[::-1].copy()
+    pwe = np.zeros((36, 72), np.float64)
+    for p in range(6):
+        for v in range(3):
+            for side in range(2):
+                pwe[(p * 3 + v) * 2 + side, v * 24 + 12 + side * 6 + p] = 1.0
+    csn_s = np.zeros((LANES, npl), np.float64)
+    csn_n = np.zeros((LANES, npl), np.float64)
+    for g in range(G8):
+        for k in range(S):
+            csn_s[64 + 8 * g + k, 4 * g + k] = 1.0
+            csn_n[64 + 8 * g + 4 + k, 4 * g + k] = 1.0
+    p6 = np.kron(np.eye(6), np.ones((1, nel)))
+    pr_s = np.zeros((1, rpad))
+    pr_s[0, :rpr] = 1.0
+    pr_n = np.zeros((1, rpad))
+    pr_n[0, rpad - rpr :] = 1.0
+    p6s = np.kron(np.eye(6), pr_s)
+    p6n = np.kron(np.eye(6), pr_n)
+
+    dt_ = qp.dtype
+    c = lambda a_: jnp.asarray(a_, dtype=dt_)
+    full = lambda shape: pl.BlockSpec(shape, lambda t, s, p: tuple(zero for _ in shape))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = (
+        [full((3, rows, LANES)), full((3, 6 * nel, LANES)),
+         full((3, 6 * rpad, LANES)), full((3, 6 * rpad, LANES))]
+        + [full((prows, LANES)) for _ in range(13)]
+        + [full((rows, LANES)), full((LANES, LANES)), full((2 * LANES, LANES)),
+           full((prows, LANES)), full((prows, LANES)), full((prows, LANES)),
+           full((LANES, LANES)), full((LANES, LANES)),
+           full((nel, prows)), full((nel, prows)), full((nel, nel)),
+           full((72, 72)), full((npl, npl)), full((72, 1)), full((4, 24, npl)),
+           full((36, 72)), full((LANES, npl)), full((LANES, npl)),
+           full((6, 6 * nel)), full((6, 6 * rpad)), full((6, 6 * rpad)),
+           smem]
+    )
+    args = [
+        qp, we0, s0, n0, *fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat,
+        spread, c(lw), c(le), c(rev),
+        halo.perm72, halo.rev, halo.flip, halo.conv, c(pwe),
+        c(csn_s), c(csn_n), c(p6), c(p6s), c(p6n),
+        jnp.asarray(abc, dtype=dt_),
+    ]
+    scratch = [
+        pltpu.VMEM((3, rows, LANES), dt_),  # x register
+        pltpu.VMEM((3, rows, LANES), dt_),  # y register
+        pltpu.VMEM((3, prows, LANES), dt_),  # current stage source
+        pltpu.VMEM((3, 6 * nel, LANES), dt_),  # we slabs
+        pltpu.VMEM((3, 6 * rpad, LANES), dt_),  # s slabs
+        pltpu.VMEM((3, 6 * rpad, LANES), dt_),  # n slabs
+        pltpu.VMEM((6, 3, 2, npl), dt_),  # halo west/east
+        pltpu.VMEM((3, 6, 1, npl), dt_),  # halo south
+        pltpu.VMEM((3, 6, 1, npl), dt_),  # halo north
+    ]
+    return pl.pallas_call(
+        _make_kr(rpr, prows, nel, npl, nsteps),
+        grid=(nsteps, 3, 6),
+        in_specs=in_specs,
+        out_specs=full((3, rows, LANES)),
+        out_shape=jax.ShapeDtypeStruct((3, rows, LANES), dt_),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
