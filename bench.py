@@ -39,12 +39,24 @@ def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=100, reps=5):
     # packed layout so the RK combination glue stays relayout-free.
     step_rhs = getattr(rhs, "packed", rhs)
     chained = getattr(rhs, "packed_stage_chained", None)
+    packed_run = getattr(rhs, "packed_run", None)
     if hasattr(rhs, "pack"):
         q = rhs.pack(q)
     dt = jnp.asarray(30.0, dtype=dtype)
 
+    if packed_run is not None:
+        # Whole-run kernel: every RK stage of every step is one sequential
+        # pallas grid with the RK registers, edge slabs and halo results in
+        # VMEM scratch for the entire run — steady-state HBM traffic ~zero.
+        from wxfactory_tpu.ops.pallas_sw import tvdrk3_abc
+
+        abc = tvdrk3_abc(dt)
+        multi_step = jax.jit(lambda q: packed_run(q, nsteps, abc))
+    else:
+        multi_step = None
+
     @jax.jit
-    def multi_step(q):
+    def multi_step_stages(q):
         if chained is not None:
             # Chained fused stages: each mega kernel also emits the edge
             # slabs of its output state, so the steady-state loop is exactly
@@ -64,6 +76,9 @@ def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=100, reps=5):
             return q / 3.0 + 2.0 / 3.0 * (q2 + step_rhs(q2) * dt), None
 
         return jax.lax.scan(body, q, None, length=nsteps)[0]
+
+    if multi_step is None:
+        multi_step = multi_step_stages
 
     out = multi_step(q)
     out.block_until_ready()

@@ -155,6 +155,34 @@ def test_packed_stage_chained_matches_unchained():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-13, atol=1e-9)
 
 
+def test_whole_run_kernel_matches_iterated_stages():
+    # KR (the whole-run kernel: every RK stage of every step in one
+    # pallas_call with VMEM-resident registers/slabs/halos) must reproduce
+    # nsteps iterations of the per-stage packed path.
+    from wxfactory_tpu.ops.pallas_sw import tvdrk3_abc
+
+    for nel, nsteps in ((32, 2), (64, 1)):
+        s = 4
+        geom = make_cubed_sphere_2d(nel, s)
+        ops = make_dfr_operators(s)
+        metric = make_metric_2d(geom)
+        rhs = make_rhs_shallow_water(geom, ops, metric, interior="pallas")
+        assert hasattr(rhs, "packed_run"), "KR gate should accept nel % 32 == 0"
+        q = rhs.pack(jnp.asarray(williamson_case6(geom)))
+        dt = jnp.asarray(30.0, q.dtype)
+
+        got = rhs.packed_run(q, nsteps, tvdrk3_abc(dt))
+
+        coeffs = [(0.0, 1.0, dt), (0.75, 0.25, 0.25 * dt), (1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt)]
+        want = q
+        for _ in range(nsteps):
+            y = want
+            for a, b, cdt in coeffs:
+                y = rhs.packed_stage(want, y, a, b, cdt)
+            want = y
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-13, atol=1e-10)
+
+
 def test_tvdrk3_uses_packed_chain_and_matches_plain():
     # The explicit integrators route through the fused packed pipeline when
     # the RHS exposes it; per-step results must match stepping the plain

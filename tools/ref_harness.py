@@ -222,12 +222,27 @@ def _install_fake_modules():
         sys.modules["device"] = device_mod
 
 
+_PERSISTENT_WORLDS: Dict[int, tuple] = {}
+
+
 def run_lockstep(size: int, fn: Callable[[int], object]) -> List:
     """Run fn(rank) on `size` lockstep threads under the fake MPI world.
-    Returns the per-rank results (exceptions re-raised)."""
+    Returns the per-rank results (exceptions re-raised).
+
+    The world object is PERSISTENT per size: the reference's
+    ProcessTopology.__init__ captures ``MPI.COMM_WORLD`` as a default
+    argument at import time (process_topology.py:50), so the first world
+    must stay THE world; a crashed run leaves its barrier aborted, which is
+    repaired here so one failing golden test cannot poison the rest."""
     _install_fake_modules()
-    world = _World(size)
-    comm_world = FakeComm(world, list(range(size)))
+    if size in _PERSISTENT_WORLDS:
+        world, comm_world = _PERSISTENT_WORLDS[size]
+        if world.barrier.broken:
+            world.barrier.reset()
+    else:
+        world = _World(size)
+        comm_world = FakeComm(world, list(range(size)))
+        _PERSISTENT_WORLDS[size] = (world, comm_world)
     sys.modules["mpi4py"].MPI.COMM_WORLD = comm_world
 
     results: List = [None] * size
@@ -288,6 +303,8 @@ def reference_sw_case(case_number: int, nel_per_tile: int, num_solpts: int, lamb
             t_end=0.0,
             matsuno_wave_type="Rossby",
             matsuno_amp=1e-5,
+            num_elements_horizontal=nel_per_tile,
+            num_solpts=num_solpts,
         )
 
         from geometry.cubed_sphere_2d import CubedSphere2D
@@ -301,7 +318,16 @@ def reference_sw_case(case_number: int, nel_per_tile: int, num_solpts: int, lamb
         import init.shallow_water_test as swt
 
         topo = None
-        if case_number == 2:
+        if case_number == 0:
+            u1, u2, h = swt.circular_vortex(geom, metric, param)
+        elif case_number == 1:
+            u1, u2, h = swt.williamson_case1(geom, metric, param)
+        elif case_number == 9:
+            u1, u2, h = swt.case_matsuno(geom, metric, param)
+        elif case_number == 10:
+            u1, u2, h, hsurf, dzdx1, dzdx2, hsurf_i, hsurf_j = swt.case_unsteady_zonal(geom, metric, mtrx, param)
+            topo = SimpleNamespace(hsurf=hsurf, dzdx1=dzdx1, dzdx2=dzdx2, hsurf_itf_i=hsurf_i, hsurf_itf_j=hsurf_j)
+        elif case_number == 2:
             u1, u2, h = swt.williamson_case2(geom, metric, param)
         elif case_number == 5:
             u1, u2, h, hsurf, dzdx1, dzdx2, hsurf_i, hsurf_j = swt.williamson_case5(geom, metric, mtrx, param)

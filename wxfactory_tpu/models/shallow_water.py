@@ -357,7 +357,7 @@ def make_rhs_shallow_water(
     rhs_pallas.packed_stage = packed_stage
     rhs_pallas.packed_stage_chained = packed_stage_chained
     rhs_pallas.packed_slabs = packed_slabs
-    if halo_consts is not None and pallas_sw.run_supported(s, nel, dtype):
+    if pallas_sw.run_supported(s, nel, dtype):  # implies halo_consts is built
         rhs_pallas.packed_run = packed_run
     rhs_pallas.pack = lambda q: q.reshape(3, rows, 128)
     rhs_pallas.unpack = lambda qp: qp.reshape(3, 6, nel, nel, s * s)

@@ -86,6 +86,28 @@ class SWConstants(NamedTuple):
     spread: jnp.ndarray  # (128, 128) flat edge lanes -> y-h1 trace slots
 
 
+def _edge_selectors(nel: int, prows: int, rpr: int):
+    """One-hot row selectors (lw, le): element-grid row y's west/east element
+    row within a panel (host-side, float64)."""
+    lw = np.zeros((nel, prows), np.float64)
+    le = np.zeros((nel, prows), np.float64)
+    for y in range(nel):
+        lw[y, y * rpr] = 1.0
+        le[y, y * rpr + rpr - 1] = 1.0
+    return lw, le
+
+
+def _pwe() -> np.ndarray:
+    """One-hot (36, 72) matrix reordering the flat halo rows (v*24 + side*6
+    + panel, W/E sides only) into KM's panel-major (p, v, side) order."""
+    pwe = np.zeros((36, 72), np.float64)
+    for p in range(6):
+        for v in range(3):
+            for side in range(2):
+                pwe[(p * 3 + v) * 2 + side, v * 24 + 12 + side * 6 + p] = 1.0
+    return pwe
+
+
 def _block_diag(a: np.ndarray, reps: int) -> np.ndarray:
     r, c = a.shape
     out = np.zeros((reps * r, reps * c), a.dtype)
@@ -238,11 +260,7 @@ def ke_edges(q, eexy, rpr: int, interpret: bool = False):
     nel = prows // rpr
     rpad = -(-rpr // 8) * 8
 
-    lw = np.zeros((nel, prows), np.float64)
-    le = np.zeros((nel, prows), np.float64)
-    for y in range(nel):
-        lw[y, y * rpr] = 1.0
-        le[y, y * rpr + rpr - 1] = 1.0
+    lw, le = _edge_selectors(nel, prows, rpr)
     lw = jnp.asarray(lw, dtype=q.dtype)
     le = jnp.asarray(le, dtype=q.dtype)
 
@@ -354,11 +372,7 @@ def kh_exchange(pool, hc: HaloConstants, interpret: bool = False):
     hs/hn (3, 6, 1, npl) flat lane-padded south/north rows."""
     npts = pool.shape[-1]
     npl = -(-npts // 128) * 128
-    pwe = np.zeros((36, 72), np.float64)
-    for p in range(6):
-        for v in range(3):
-            for side in range(2):
-                pwe[(p * 3 + v) * 2 + side, v * 24 + 12 + side * 6 + p] = 1.0
+    pwe = _pwe()
     return pl.pallas_call(
         _make_kh(npts, npl),
         out_shape=[
@@ -672,11 +686,7 @@ def km_fused(
     if hwe.shape[-1] < npl:
         hwe = jnp.pad(hwe, ((0, 0), (0, 0), (0, 0), (0, npl - hwe.shape[-1])))
 
-    lw = np.zeros((nel, prows), np.float64)
-    le = np.zeros((nel, prows), np.float64)
-    for y in range(nel):
-        lw[y, y * rpr] = 1.0
-        le[y, y * rpr + rpr - 1] = 1.0
+    lw, le = _edge_selectors(nel, prows, rpr)
     lw = jnp.asarray(lw, dtype=qp.dtype)
     le = jnp.asarray(le, dtype=qp.dtype)
     rev = jnp.asarray(np.eye(nel)[::-1].copy(), dtype=qp.dtype)
@@ -950,17 +960,9 @@ def kr_run(
     npl = npts
     zero = np.int32(0)
 
-    lw = np.zeros((nel, prows), np.float64)
-    le = np.zeros((nel, prows), np.float64)
-    for y in range(nel):
-        lw[y, y * rpr] = 1.0
-        le[y, y * rpr + rpr - 1] = 1.0
+    lw, le = _edge_selectors(nel, prows, rpr)
     rev = np.eye(nel)[::-1].copy()
-    pwe = np.zeros((36, 72), np.float64)
-    for p in range(6):
-        for v in range(3):
-            for side in range(2):
-                pwe[(p * 3 + v) * 2 + side, v * 24 + 12 + side * 6 + p] = 1.0
+    pwe = _pwe()
     csn_s = np.zeros((LANES, npl), np.float64)
     csn_n = np.zeros((LANES, npl), np.float64)
     for g in range(G8):

@@ -6,6 +6,7 @@ algorithm, maintained upstream — adapted to the framework's matrix-free
 callable + residual-history interface (matching fgmres's return contract).
 """
 
+from time import time
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
@@ -32,9 +33,16 @@ def gcrot(
 
     residuals: List = []
     count = [0]
+    norm_b0 = float(np.linalg.norm(b)) or 1.0
+    t0 = time()
 
     def callback(xk):
+        # Fill the same (rel_residual, time, work) history fgmres returns.
+        # gcrotmk gives only the iterate, so the residual costs one extra
+        # matvec per outer iteration — acceptable for this non-hot solver.
         count[0] += 1
+        rn = float(np.linalg.norm(b - op.matvec(xk)))
+        residuals.append((rn / norm_b0, time() - t0, 0.0))
 
     x, info = scipy.sparse.linalg.gcrotmk(
         op, b, x0=x0, rtol=tol, atol=0.0, m=restart, k=restart,

@@ -7,8 +7,7 @@ adaptivity of the substep size tau and the Krylov dimension m.
 Algorithm: Gaudreault, Rainwater & Tokman 2018 (JCP), same method the
 reference implements in solvers/kiops.py. This implementation orchestrates
 the adaptive outer loop on the host while the matvec (a full RHS jvp) runs
-jitted on device; a fully-jitted lax.while_loop variant lives in
-kiops_jit.py for the single-program hot path.
+jitted on device. This host variant is the adaptivity/parity reference.
 
 Design notes vs the reference:
   * dot products / norms are plain reductions (they become mesh collectives
