@@ -65,6 +65,45 @@ def test_epi3_multistep(bubble):
     assert _rel_err(q, qr) < 1e-7
 
 
+def test_srerk3_kiops_large_step(bubble):
+    from wxfactory_tpu.integrators import Srerk
+
+    q0, rhs, qr = bubble
+    srerk = Srerk(rhs, order=3, tolerance=1e-12, exponential_solver="kiops")
+    q = srerk.step(q0, 2.0)
+    assert _rel_err(q, qr) < 1e-7
+    assert srerk.solver_info is not None and srerk.solver_info.total_num_it > 0
+
+
+def test_srerk6_multistep(bubble):
+    from wxfactory_tpu.integrators import Srerk
+
+    q0, rhs, qr = bubble
+    srerk = Srerk(rhs, order=6, tolerance=1e-12, exponential_solver="pmex")
+    q = q0
+    for _ in range(2):
+        q = srerk.step(q, 1.0)
+    assert _rel_err(q, qr) < 1e-7
+
+
+def test_srerk_custom_jtv_matches_default(bubble):
+    # The Srerk_others capability: a user-supplied Jacobian action must give
+    # the same step as the built-in jvp when it IS the jvp.
+    import jax
+
+    from wxfactory_tpu.integrators import Srerk
+
+    q0, rhs, qr = bubble
+
+    @jax.jit
+    def jvp(v, dt, q, rhs_q):
+        return dt * jax.jvp(rhs, (q,), (v.reshape(q.shape),))[1].ravel()
+
+    a = Srerk(rhs, order=3, tolerance=1e-12).step(q0, 1.0)
+    b = Srerk(rhs, order=3, tolerance=1e-12, jtv=jvp).step(q0, 1.0)
+    assert _rel_err(a, b) < 1e-10
+
+
 def test_epi_stiff_4(bubble):
     q0, rhs, qr = bubble
     epi = EpiStiff(rhs, order=4, tolerance=1e-12, exponential_solver="kiops")

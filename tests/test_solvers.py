@@ -187,12 +187,18 @@ class TestErkEngine:
         from wxfactory_tpu.solvers.erk import get_tableau
 
         tab = get_tableau(method)
-        # First three order conditions of the main method.
-        assert abs(tab.B.sum() - 1.0) < 1e-12
-        if tab.order >= 2:
-            assert abs(tab.B @ tab.C - 0.5) < 1e-12
-        if tab.order >= 3:
-            assert abs(tab.B @ tab.C**2 - 1 / 3) < 1e-12
+        # Quadrature order conditions B @ C^(k-1) = 1/k (necessary for
+        # order k) up to the full advertised order — catches any wrong
+        # coefficient payload, incl. the 17/35-stage Feagin tables.
+        for k in range(1, tab.order + 1):
+            assert abs(tab.B @ tab.C ** (k - 1) - 1.0 / k) < 1e-12, (method, k)
+        if method in ("F10(8)", "F14(12)"):
+            # E = b_hat - B for the Feagin pairs: the embedded method's own
+            # quadrature conditions must hold to its order too.
+            bh = tab.E[: len(tab.B)] + tab.B
+            for k in range(1, tab.error_estimator_order + 1):
+                assert abs(bh @ tab.C ** (k - 1) - 1.0 / k) < 1e-12, (method, k)
+            assert tab.n_stages == {10: 17, 14: 35}[tab.order]
 
     @pytest.mark.parametrize("method", ALL_METHODS)
     def test_nonlinear_ode_accuracy(self, method):

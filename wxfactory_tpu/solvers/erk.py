@@ -23,11 +23,16 @@ Tableaus are the published coefficients of each method:
             order error estimator (scipy publishes the coefficients; the
             reference's butcher.py:1593 uses the 1981 RK8(7)13M variant —
             same order, same stage count, different error weights)
-- F10(8), F14(12) alias DP8(7): the Feagin mega-tableaus (~1400 lines of
-            decimal payload in the reference) add order beyond what the
-            f64 stiff-PDE benchmarks can resolve; the 8th-order method
-            serves the same "high-order adaptive" role.
+- F10(8)    Feagin RK10(8), 17 stages
+- F14(12)   Feagin RK14(12), 35 stages
+            The Feagin coefficient payloads (published numerical tables,
+            T. Feagin, https://sce.uhcl.edu/rungekutta/; carried by the
+            reference in butcher.py:166-2292) are stored as binary data in
+            data_feagin.npz; tests verify the B/C quadrature order
+            conditions up to the advertised orders.
 """
+
+import os
 
 import math
 from dataclasses import dataclass
@@ -177,6 +182,14 @@ def _dp87() -> Tableau:
     return Tableau(A, B, C, E5, 8, 7, E3=E3)
 
 
+def _feagin(key: str, order: int, eeo: int) -> Tableau:
+    """Feagin RK10(8) / RK14(12): published coefficient payloads loaded from
+    binary data (E is already in embedded-difference form, non-FSAL)."""
+    path = os.path.join(os.path.dirname(__file__), "data_feagin.npz")
+    d = np.load(path)
+    return Tableau(d[f"{key}_A"], d[f"{key}_B"], d[f"{key}_C"], d[f"{key}_E"], order, eeo)
+
+
 _BUILDERS = {
     "BS3(2)": _bs32,
     "DP5(4)": _dp54,
@@ -186,8 +199,8 @@ _BUILDERS = {
     "EXLRK3(2)": _exlrk32,
     "EXLRK4(3)": _exlrk43,
     "DP8(7)": _dp87,
-    "F10(8)": _dp87,
-    "F14(12)": _dp87,
+    "F10(8)": lambda: _feagin("f108", 10, 8),
+    "F14(12)": lambda: _feagin("f1412", 14, 12),
 }
 
 
