@@ -65,6 +65,54 @@ def test_epi3_multistep(bubble):
     assert _rel_err(q, qr) < 1e-7
 
 
+def test_epi2_device_resident_matches_host(bubble):
+    # exponential_solver="kiops_jit": the WHOLE EPI step (RHS, vec assembly,
+    # adaptive KIOPS, update) is one XLA program; must agree with the
+    # host-orchestrated path to roundoff, stats included.
+    q0, rhs, qr = bubble
+    dev = Epi(rhs, order=2, tolerance=1e-12, exponential_solver="kiops_jit")
+    host = Epi(rhs, order=2, tolerance=1e-12, exponential_solver="kiops")
+    qd = dev.step(q0, 2.0)
+    qh = host.step(q0, 2.0)
+    assert _rel_err(qd, qh) < 1e-12
+    assert dev.solver_info.total_num_it == host.solver_info.total_num_it
+    assert _rel_err(qd, qr) < 1e-7
+
+
+def test_epi3_device_resident_multistep(bubble):
+    q0, rhs, qr = bubble
+    dev = Epi(rhs, order=3, tolerance=1e-12, exponential_solver="kiops_jit")
+    host = Epi(rhs, order=3, tolerance=1e-12, exponential_solver="kiops")
+    qd, qh = q0, q0
+    for _ in range(4):
+        qd = dev.step(qd, 0.5)
+        qh = host.step(qh, 0.5)
+    assert _rel_err(qd, qh) < 1e-12
+    assert _rel_err(qd, qr) < 1e-7
+
+
+def test_epistiff_device_resident(bubble):
+    q0, rhs, qr = bubble
+    dev = EpiStiff(rhs, order=4, tolerance=1e-12, exponential_solver="kiops_jit")
+    qd = q0
+    for _ in range(8):
+        qd = dev.step(qd, 0.25)
+    assert _rel_err(qd, qr) < 1e-6
+
+
+def test_ros2_device_resident_matches_host(bubble):
+    q0, rhs, qr = bubble
+    dev = Ros2(rhs, tolerance=1e-10, linear_solver="fgmres_jit")
+    host = Ros2(rhs, tolerance=1e-10, linear_solver="fgmres")
+    qd, qh = q0, q0
+    for _ in range(4):
+        qd = dev.step(qd, 0.5)
+        qh = host.step(qh, 0.5)
+    assert dev.solver_info.converged and dev.failure_flag == 0
+    assert dev.solver_info.total_num_it == host.solver_info.total_num_it
+    assert _rel_err(qd, qh) < 1e-11
+
+
 def test_srerk3_kiops_large_step(bubble):
     from wxfactory_tpu.integrators import Srerk
 

@@ -158,6 +158,108 @@ class TestLowSyncVariants:
         assert err < 1e-8, (name, err)
 
 
+class TestKiopsJit:
+    """The device-resident KIOPS (ONE XLA program, solvers/kiops_jit.py)
+    must reproduce the host orchestration exactly: same controller
+    decisions (identical stats) and results to roundoff."""
+
+    @pytest.mark.parametrize("p", [0, 1, 3])
+    def test_matches_host_kiops_and_exact_phi(self, p):
+        import jax
+        import jax.numpy as jnp
+
+        from wxfactory_tpu.solvers import kiops_jit
+
+        n = 120
+        rng = np.random.default_rng(7)
+        a = -np.diag(np.linspace(0.5, 30.0, n)) + 0.1 * rng.standard_normal((n, n))
+        u = rng.standard_normal((p + 1, n))
+        w_host, st_host = kiops([1.0], lambda v: a @ v, u.copy(), tol=1e-10, mmin=10, mmax=64)
+
+        aj = jnp.asarray(a)
+        fn = jax.jit(lambda uu: kiops_jit(lambda v: aj @ v, uu, tol=1e-10, mmin=10, mmax=64))
+        w_jit, st_jit = fn(jnp.asarray(u))
+        w_jit = np.asarray(w_jit)
+
+        scale = np.abs(w_host[0]).max()
+        assert np.abs(w_jit - w_host[0]).max() / scale < 1e-12
+        # Identical trajectory through the adaptivity controller.
+        assert int(st_jit.krylov_steps) == st_host.krylov_steps
+        assert int(st_jit.substeps) == st_host.substeps
+        assert int(st_jit.rejected) == st_host.rejected
+        assert int(st_jit.last_krylov_size) == st_host.last_krylov_size
+
+        exact = _phi_exact(a, 1.0, u.copy())
+        assert np.linalg.norm(w_jit - exact) / np.linalg.norm(exact) < 1e-8
+
+    def test_stiff_substepping_matches_host(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wxfactory_tpu.solvers import kiops_jit
+
+        # Large tau_end forces tau-substepping + rejections on the device.
+        n = 100
+        rng = np.random.default_rng(11)
+        a = -np.diag(np.linspace(1.0, 400.0, n)) + 0.5 * rng.standard_normal((n, n))
+        u = rng.standard_normal((2, n))
+        w_host, st_host = kiops([1.0], lambda v: a @ v, u.copy(), tol=1e-9, mmin=10, mmax=32)
+        aj = jnp.asarray(a)
+        fn = jax.jit(lambda uu: kiops_jit(lambda v: aj @ v, uu, tol=1e-9, mmin=10, mmax=32))
+        w_jit, st_jit = fn(jnp.asarray(u))
+        assert st_host.substeps > 1  # the adaptive path is actually exercised
+        assert int(st_jit.substeps) == st_host.substeps
+        assert int(st_jit.krylov_steps) == st_host.krylov_steps
+        scale = np.abs(w_host[0]).max()
+        assert np.abs(np.asarray(w_jit) - w_host[0]).max() / scale < 1e-12
+
+
+class TestFgmresJit:
+    def test_matches_host_and_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wxfactory_tpu.solvers import fgmres, fgmres_jit
+
+        n = 120
+        rng = np.random.default_rng(7)
+        a = np.eye(n) + 0.5 / np.sqrt(n) * rng.standard_normal((n, n))
+        b = rng.standard_normal(n)
+        aj = jnp.asarray(a)
+        x, info = jax.jit(lambda bb: fgmres_jit(lambda v: aj @ v, bb, tol=1e-10, restart=30))(
+            jnp.asarray(b)
+        )
+        x = np.asarray(x)
+        assert bool(info.converged)
+        assert np.linalg.norm(b - a @ x) / np.linalg.norm(b) < 1e-10
+
+        x_host, _, _, it_host, flag, _ = fgmres(lambda v: a @ v, b, tol=1e-10, restart=30)
+        assert flag == 0
+        assert int(info.num_iter) == it_host
+        assert np.abs(x - x_host).max() / np.abs(x_host).max() < 1e-10
+
+    def test_restart_and_preconditioner(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wxfactory_tpu.solvers import fgmres_jit
+
+        n = 90
+        rng = np.random.default_rng(3)
+        d = np.linspace(1.0, 50.0, n)
+        a = np.diag(d) + 0.5 * rng.standard_normal((n, n)) / np.sqrt(n)
+        b = rng.standard_normal(n)
+        aj, dj = jnp.asarray(a), jnp.asarray(d)
+        x, info = jax.jit(
+            lambda bb: fgmres_jit(
+                lambda v: aj @ v, bb, x0=jnp.ones(n), tol=1e-9, restart=10,
+                max_outer=50, preconditioner=lambda v: v / dj,
+            )
+        )(jnp.asarray(b))
+        assert bool(info.converged)
+        assert np.linalg.norm(b - a @ np.asarray(x)) / np.linalg.norm(b) < 1e-9
+
+
 class TestExode:
     @pytest.mark.parametrize("method", ["BS3(2)", "DP5(4)", "DP8(7)"])
     def test_matches_exact_phi(self, method):

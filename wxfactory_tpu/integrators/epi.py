@@ -110,6 +110,71 @@ class Epi(Integrator):
             return rhs(q)
 
         self._rhs = _rhs
+        self._dev_step = None  # built lazily for exponential_solver="kiops_jit"
+        self._phi_offset = 2  # vec row of the first history residual
+
+    def _build_dev_step(self):
+        """ONE jitted program for the whole EPI step: RHS, history-residual
+        jvps, vec assembly, the full device-resident KIOPS evaluation
+        (solvers/kiops_jit.py) and the state update. The host path pays one
+        device dispatch per Krylov iteration; this pays one per STEP."""
+        from functools import partial
+
+        from ..solvers.kiops_jit import kiops_jit
+
+        rhs = self.rhs
+        A_tbl = jnp.asarray(self.A) if self.A.size else None
+        n_prev, max_phi, offset = self.n_prev, self.max_phi, self._phi_offset
+        tol, mmin, mmax = self.tol, self.mmin, self.mmax
+
+        @partial(jax.jit, static_argnums=())
+        def dev_step(q, prev_q, prev_rhs, dt, m0):
+            rhs_q = rhs(q)
+            fq = rhs_q.ravel()
+
+            def jvp(v):
+                return jax.jvp(rhs, (q,), (v.reshape(q.shape),))[1].ravel()
+
+            rows = [jnp.zeros_like(fq), fq] + [jnp.zeros_like(fq) for _ in range(max_phi - 1)]
+            for i in range(n_prev):
+                dq = (prev_q[i] - q).ravel()
+                r = (prev_rhs[i] - rhs_q).ravel() - jvp(dq)
+                for k in range(A_tbl.shape[0]):
+                    rows[k + offset] = rows[k + offset] + A_tbl[k, i] * r
+            vec = jnp.stack(rows)
+
+            w, stats = kiops_jit(
+                lambda v: dt * jvp(v), vec, tau_end=1.0, tol=tol,
+                m_init=m0, mmin=mmin, mmax=mmax,
+            )
+            return q + w.reshape(q.shape) * dt, rhs_q, stats
+
+        return dev_step
+
+    def _step_device(self, q, dt: float):
+        """Device-resident step (exponential_solver="kiops_jit")."""
+        if self._dev_step is None:
+            self._dev_step = self._build_dev_step()
+        shape = ((self.n_prev,) + q.shape) if self.n_prev else (0,) + q.shape
+        prev_q = jnp.stack(list(self.previous_q)) if self.n_prev else jnp.zeros(shape, q.dtype)
+        prev_rhs = jnp.stack(list(self.previous_rhs)) if self.n_prev else jnp.zeros(shape, q.dtype)
+        q_new, rhs_q, stats = self._dev_step(
+            q, prev_q, prev_rhs, jnp.asarray(dt, q.dtype), int(self.krylov_size)
+        )
+        ksteps = int(stats.krylov_steps)
+        self.krylov_size = max(1, math.floor(0.7 * int(stats.last_krylov_size) + 0.3 * self.krylov_size))
+        self.solver_info = SolverInfo(
+            total_num_it=ksteps,
+            num_substeps=int(stats.substeps),
+            num_rejected=int(stats.rejected),
+            error_estimate=float(stats.error_estimate),
+        )
+        if self.n_prev > 0:
+            self.previous_q.pop()
+            self.previous_q.appendleft(q)
+            self.previous_rhs.pop()
+            self.previous_rhs.appendleft(rhs_q)
+        return q_new
 
     def _solve_phi(self, matvec, vec):
         # The reference caps the Krylov size at 64 (epi.py:325-336): the
@@ -163,6 +228,9 @@ class Epi(Integrator):
                 q = self.init_method.step(q, sub_dt)
             return q
 
+        if self.exponential_solver == "kiops_jit" and self.jtv is None:
+            return self._step_device(q, dt)
+
         rhs_q = self._rhs(q)
 
         if self.jtv is not None:
@@ -204,6 +272,8 @@ class EpiStiff(Epi):
         self.A = alpha_coeff([-i for i in range(-1, 1 - order, -1)])
         self.n_prev = self.A.shape[1]
         self.max_phi = order if order > 2 else 1
+        self._phi_offset = 3  # EpiStiff residuals start at phi_3
+        self._dev_step = None
         self.init_method = Epi(rhs, 2, self.tol, self.exponential_solver, self.krylov_size,
                                self.mmin, self.mmax)
 
@@ -220,6 +290,9 @@ class EpiStiff(Epi):
             for _ in range(self.init_substeps):
                 q = self.init_method.step(q, sub_dt)
             return q
+
+        if self.exponential_solver == "kiops_jit" and self.jtv is None:
+            return self._step_device(q, dt)
 
         rhs_q = self._rhs(q)
 

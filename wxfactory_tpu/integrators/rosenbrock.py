@@ -22,12 +22,18 @@ class Ros2(Integrator):
         rhs: Callable,
         tolerance: float = 1e-7,
         gmres_restart: int = 30,
+        linear_solver: str = "auto",
         **kwargs,
     ) -> None:
+        """`linear_solver`: "fgmres" (host-orchestrated 1-sync), "fgmres_jit"
+        (whole solve as ONE device program, solvers/fgmres_jit.py), or "auto"
+        (fgmres_jit when no — generally untraceable — preconditioner is
+        set)."""
         super().__init__(**kwargs)
         self.rhs = rhs
         self.tol = tolerance
         self.gmres_restart = gmres_restart
+        self.linear_solver = linear_solver
 
         @jax.jit
         def _rat_apply(q, v, half_dt):
@@ -41,8 +47,51 @@ class Ros2(Integrator):
             return rhs(q)
 
         self._rhs = _rhs
+        self._dev_step = None
+
+    def _step_device(self, q, dt: float):
+        """One XLA program for the whole Ros2 step: RHS, b assembly, and the
+        full restarted FGMRES solve of (I - dt/2 J) x = b."""
+        if self._dev_step is None:
+            from ..solvers.fgmres_jit import fgmres_jit
+
+            rhs = self.rhs
+            tol, restart = self.tol, self.gmres_restart
+            max_outer = max(1, 20000 // restart)  # same budget as the host path
+
+            @jax.jit
+            def dev_step(q, dt):
+                half_dt = 0.5 * dt
+                q_flat = q.ravel()
+
+                def A(v):
+                    jv = jax.jvp(rhs, (q,), (v.reshape(q.shape),))[1].ravel()
+                    return v - half_dt * jv
+
+                b = A(q_flat) + rhs(q).ravel() * dt
+                x, info = fgmres_jit(A, b, x0=q_flat, tol=tol, restart=restart,
+                                     max_outer=max_outer)
+                return x.reshape(q.shape), info
+
+            self._dev_step = dev_step
+
+        q_new, info = self._dev_step(q, jnp.asarray(dt, q.dtype))
+        converged = bool(info.converged)
+        self.solver_info = SolverInfo(total_num_it=int(info.num_iter), converged=converged)
+        self.failure_flag = 0 if converged else -1
+        if self.verbose > 0:
+            print(f"FGMRES(jit) {'convergence' if converged else 'stagnation'} "
+                  f"at iteration {int(info.num_iter)}, relative residual "
+                  f"{float(info.norm_r / info.norm_b):.2e}", flush=True)
+        return q_new
 
     def __step__(self, q, dt: float):
+        use_jit = self.linear_solver == "fgmres_jit" or (
+            self.linear_solver == "auto" and self.preconditioner is None
+        )
+        if use_jit:
+            return self._step_device(q, dt)
+
         rhs_q = self._rhs(q)
         q_flat = np.asarray(q).ravel()
 

@@ -1,0 +1,151 @@
+"""Device-resident FGMRES: restarted flexible GMRES as ONE XLA program.
+
+Same role as the host fgmres.py (reference solvers/fgmres.py:97) but built
+from `lax.while_loop`s over fixed (restart+1)-sized V/Z/H buffers so one
+implicit solve (e.g. a Ros2 step) is a single device program — the host
+variant pays one dispatch per Krylov iteration (~10-20 ms over the axon
+relay).
+
+Orthogonalization is classical Gram-Schmidt as one batched masked product
+(one fused reduction) plus the explicit new-vector norm (a second) —
+2 collectives per iteration under GSPMD. The host path's lagged 1-sync
+scheme stays the multi-host reference; on a single program the dispatch
+win dominates. Givens rotations run as device scalars.
+"""
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class FgmresJitInfo(NamedTuple):
+    norm_r: jnp.ndarray
+    norm_b: jnp.ndarray
+    num_iter: jnp.ndarray
+    converged: jnp.ndarray  # bool
+
+
+def fgmres_jit(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    tol: float = 1e-5,
+    restart: int = 20,
+    max_outer: int = 20,
+    preconditioner: Optional[Callable] = None,
+):
+    """Solve A x = b (A traceable (n,)->(n,)). Returns (x, FgmresJitInfo).
+
+    Pure/traceable — wrap the call (with the operator closure) in one
+    jax.jit, e.g. ``jax.jit(lambda q, b: fgmres_jit(lambda v: op(q, v), b))``.
+    """
+    b = jnp.asarray(b).ravel()
+    dtype = b.dtype
+    n = b.shape[0]
+    R = restart
+    M = preconditioner if preconditioner is not None else (lambda v: v)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).ravel()
+
+    norm_b = jnp.sqrt(b @ b)
+    tol_rel = tol * norm_b
+    kidx = jnp.arange(R + 1)
+
+    class Inner(NamedTuple):
+        V: jnp.ndarray  # (R+1, n) Krylov basis
+        Z: jnp.ndarray  # (R, n) preconditioned vectors
+        Hcol: jnp.ndarray  # (R+1, R) rotated Hessenberg columns (upper tri)
+        cs: jnp.ndarray  # (R,) Givens cosines
+        sn: jnp.ndarray  # (R,) Givens sines
+        g: jnp.ndarray  # (R+1,) rotated residual vector
+        j: jnp.ndarray
+        done: jnp.ndarray
+
+    def inner_body(st: Inner) -> Inner:
+        j = st.j
+        vj = lax.dynamic_slice(st.V, (j, jnp.int32(0)), (1, n))[0]
+        z = M(vj)
+        w = A(z)
+        # Classical Gram-Schmidt against rows 0..j (one batched product).
+        mask = kidx <= j
+        h = jnp.where(mask, st.V @ w, 0.0)  # (R+1,)
+        w = w - h @ st.V
+        nrm = jnp.sqrt(w @ w)
+
+        # Apply the accumulated Givens rotations to the new column.
+        def rot_body(i, hv):
+            c, s = st.cs[i], st.sn[i]
+            hi, hi1 = hv[i], hv[i + 1]
+            hv = hv.at[i].set(c * hi + s * hi1)
+            return hv.at[i + 1].set(-s * hi + c * hi1)
+
+        hfull = h.at[jnp.minimum(j + 1, R)].set(nrm)
+        hfull = lax.fori_loop(0, j, rot_body, hfull)
+
+        # New rotation zeroing the subdiagonal entry (j < R in the loop, so
+        # j+1 is always a valid row of the (R+1)-sized buffers).
+        a_, b_ = hfull[j], hfull[j + 1]
+        r_ = jnp.sqrt(a_ * a_ + b_ * b_)
+        safe = r_ > 0
+        c = jnp.where(safe, a_ / jnp.where(safe, r_, 1.0), 1.0)
+        s = jnp.where(safe, b_ / jnp.where(safe, r_, 1.0), 0.0)
+        hfull = hfull.at[j].set(r_)
+        hfull = hfull.at[j + 1].set(0.0)
+
+        gj = st.g[j]
+        g = st.g.at[j].set(c * gj)
+        g = g.at[j + 1].set(-s * gj)
+
+        V = lax.dynamic_update_slice(
+            st.V, jnp.where(nrm > 0, w / jnp.where(nrm > 0, nrm, 1.0), w)[None, :],
+            (j + 1, jnp.int32(0)),
+        )
+        Z = lax.dynamic_update_slice(st.Z, z[None, :], (j, jnp.int32(0)))
+        Hcol = lax.dynamic_update_slice(st.Hcol, hfull[:, None], (jnp.int32(0), j))
+        cs = st.cs.at[j].set(c)
+        sn = st.sn.at[j].set(s)
+
+        res = jnp.abs(g[j + 1])
+        done = (res < tol_rel) | (nrm == 0.0)
+        return Inner(V, Z, Hcol, cs, sn, g, j + 1, done)
+
+    class Outer(NamedTuple):
+        x: jnp.ndarray
+        r: jnp.ndarray
+        norm_r: jnp.ndarray
+        niter: jnp.ndarray
+        outer: jnp.ndarray
+
+    def outer_body(st: Outer) -> Outer:
+        V0 = jnp.zeros((R + 1, n), dtype)
+        V0 = V0.at[0].set(st.r / st.norm_r)
+        inner0 = Inner(
+            V=V0, Z=jnp.zeros((R, n), dtype), Hcol=jnp.zeros((R + 1, R), dtype),
+            cs=jnp.zeros((R,), dtype), sn=jnp.zeros((R,), dtype),
+            g=jnp.zeros((R + 1,), dtype).at[0].set(st.norm_r),
+            j=jnp.int32(0), done=jnp.asarray(False),
+        )
+        fin = lax.while_loop(lambda s_: (s_.j < R) & (~s_.done), inner_body, inner0)
+
+        # Back-substitution on the rotated (upper-triangular) H, masked to
+        # the j completed columns (identity padding elsewhere -> y = 0).
+        jdone = fin.j
+        cmask = jnp.arange(R) < jdone
+        Ht = jnp.where(cmask[None, :] & cmask[:, None], fin.Hcol[:R, :], 0.0)
+        Ht = Ht + jnp.diag(jnp.where(cmask, 0.0, 1.0))
+        y = jax.scipy.linalg.solve_triangular(Ht, jnp.where(cmask, fin.g[:R], 0.0))
+        x = st.x + y @ fin.Z
+        r = b - A(x)
+        norm_r = jnp.sqrt(r @ r)
+        return Outer(x, r, norm_r, st.niter + jdone, st.outer + 1)
+
+    r0 = b - A(x)
+    init = Outer(x, r0, jnp.sqrt(r0 @ r0), jnp.int32(0), jnp.int32(0))
+    out = lax.while_loop(
+        lambda s_: (s_.norm_r >= tol_rel) & (s_.outer < max_outer) & (norm_b > 0),
+        outer_body,
+        init,
+    )
+    info = FgmresJitInfo(out.norm_r, norm_b, out.niter, (out.norm_r < tol_rel) | (norm_b == 0))
+    return out.x, info

@@ -7,7 +7,10 @@ adaptivity of the substep size tau and the Krylov dimension m.
 Algorithm: Gaudreault, Rainwater & Tokman 2018 (JCP), same method the
 reference implements in solvers/kiops.py. This implementation orchestrates
 the adaptive outer loop on the host while the matvec (a full RHS jvp) runs
-jitted on device. This host variant is the adaptivity/parity reference.
+jitted on device. This host variant is the adaptivity/parity reference;
+the fully device-resident variant (ONE XLA program per call,
+lax.while_loop over fixed-size V/H) is kiops_jit.py — the hot path for
+EPI/Ros2 stepping, agreeing with this one to roundoff (tests/test_solvers).
 
 Design notes vs the reference:
   * dot products / norms are plain reductions (they become mesh collectives
