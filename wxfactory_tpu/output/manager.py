@@ -40,7 +40,7 @@ class OutputManager:
             from .netcdf import make_writer
 
             path = os.path.join(self.output_dir, f"{config.base_output_file}.nc")
-            self.writer = make_writer(path, geom, metric, ops, config.equations)
+            self.writer = make_writer(path, geom, metric, ops, config.equations, topo=topo)
 
         self.config_hash = hash(config.state_id_params()) & 0xFFFFFFFFFFFF
         self.initial_integrals = None
@@ -105,8 +105,12 @@ class OutputManager:
             )
 
     def __write_result__(self, q, step_id: int, sim_time: float):
-        if self.writer is not None and self.config.equations == "shallow_water":
+        if self.writer is None:
+            return
+        if self.config.equations == "shallow_water":
             self.writer.write_sw(sim_time, np.asarray(q))
+        elif self.config.equations == "euler":
+            self.writer.write_euler(sim_time, np.asarray(q))
 
     def __blockstats__(self, q, step_id: int):
         c = self.config

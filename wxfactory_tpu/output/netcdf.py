@@ -67,17 +67,35 @@ class _ScipyNcFile:
         self.f.close()
 
 
+def _to_single_block_3d(a: np.ndarray, nel_v: int, nel_h: int, s: int) -> np.ndarray:
+    """(6, nk, ny, nx, s^3) -> (nk*s, 6, ny*s, nx*s) plottable level blocks
+    (solution-point order (kz_s*s + ky_s)*s + kx_s, x fastest — the
+    reference's new layout, cubed_sphere_3d.py:187)."""
+    b = np.asarray(a).reshape(6, nel_v, nel_h, nel_h, s, s, s)
+    b = np.transpose(b, (1, 4, 0, 2, 5, 3, 6))  # (kz, zs, p, ky, ys, kx, xs)
+    return b.reshape(nel_v * s, 6, nel_h * s, nel_h * s)
+
+
 class NetCDFWriter:
-    def __init__(self, path: str, geom, metric, ops, equations: str):
+    """Variable set matches the reference writer
+    (output/output_cubesphere_netcdf.py:134-270): SW writes h (total height
+    over topography), U, V, RV, PV; Euler writes rho, U, V, W, theta, P
+    (+ tracers q1..q4 when the state carries them)."""
+
+    def __init__(self, path: str, geom, metric, ops, equations: str, topo=None, num_tracers: int = 0):
         if not HAVE_NETCDF:
             raise RuntimeError("no NetCDF backend available; use output_format = none")
         self.geom = geom
         self.metric = metric
         self.ops = ops
         self.equations = equations
+        self.topo = topo
         self.file = _Nc4File(path) if _BACKEND == "netcdf4" else _ScipyNcFile(path)
 
-        ni = geom.num_elements * geom.num_solpts if hasattr(geom, "num_elements") else None
+        self.is_3d = equations == "euler"
+        s = geom.num_solpts
+        nel_h = geom.nel_h if self.is_3d else geom.num_elements
+        ni = nel_h * s
         f = self.file
         f.dim("time", None)
         f.dim("panel", 6)
@@ -87,13 +105,28 @@ class NetCDFWriter:
         self.tvar = f.var("time", ("time",))
         self.tvar.units = "seconds since simulation start"
 
+        if self.is_3d:
+            nk = geom.nel_v * s
+            f.dim("Zdim", nk)
+            lat2 = np.asarray(geom.lat)[:, 0].reshape(6, nel_h, nel_h, s, s, s)[..., 0, :, :]
+            lon2 = np.asarray(geom.lon)[:, 0].reshape(6, nel_h, nel_h, s, s, s)[..., 0, :, :]
+            block2 = lambda a: np.swapaxes(a, -2, -3).reshape(6, ni, ni)
+            grid_dims = ("time", "Zdim", "panel", "Ydim", "Xdim")
+            names = ["rho", "U", "V", "W", "theta", "P"] + [f"q{i + 1}" for i in range(num_tracers)]
+        else:
+            lat2 = geom.to_single_block(geom.lat)
+            lon2 = geom.to_single_block(geom.lon)
+            block2 = lambda a: a
+            grid_dims = ("time", "panel", "Ydim", "Xdim")
+            names = ["h", "U", "V", "RV", "PV"]
+
         lat = f.var("lat", ("panel", "Ydim", "Xdim"))
         lon = f.var("lon", ("panel", "Ydim", "Xdim"))
-        lat[:] = np.degrees(geom.to_single_block(geom.lat))
-        lon[:] = np.degrees(geom.to_single_block(geom.lon))
+        lat[:] = np.degrees(block2(lat2))
+        lon[:] = np.degrees(block2(lon2))
 
-        names = ["h", "U", "V", "RV", "PV"] if equations == "shallow_water" else ["rho", "U", "V", "W", "theta", "P"]
-        self.vars = {name: f.var(name, ("time", "panel", "Ydim", "Xdim")) for name in names}
+        self.vars = {name: f.var(name, grid_dims) for name in names}
+        self.num_tracers = num_tracers
         self.num_writes = 0
 
     def write_sw(self, time_s: float, q: np.ndarray):
@@ -106,11 +139,37 @@ class NetCDFWriter:
         u, v = geom.contra2wind(u1, u2)
         rv = relative_vorticity(u1, u2, metric, ops)
         pv = potential_vorticity(h, u1, u2, metric, ops)
+        h_out = h + np.asarray(self.topo.hsurf) if self.topo is not None else h
 
         i = self.num_writes
         self.tvar[i] = time_s
-        for name, fld in (("h", h), ("U", u), ("V", v), ("RV", rv), ("PV", pv)):
+        for name, fld in (("h", h_out), ("U", u), ("V", v), ("RV", rv), ("PV", pv)):
             self.vars[name][i] = geom.to_single_block(np.asarray(fld))
+        self.num_writes += 1
+        self.file.sync()
+
+    def write_euler(self, time_s: float, q: np.ndarray):
+        """3D Euler output: rho, physical winds (U, V, W), theta, pressure
+        (+ tracer mixing ratios q1..), reference
+        output_cubesphere_netcdf.py:331-367."""
+        from ..common.constants import CPD, CVD, P0, RD
+
+        geom, metric = self.geom, self.metric
+        q = np.asarray(q)
+        rho = q[0]
+        u1, u2, u3 = q[1] / rho, q[2] / rho, q[3] / rho
+        theta = q[4] / rho
+        u, v, w = geom.contra2wind_3d(u1, u2, u3, metric)
+        pressure = P0 * (q[4] * RD / P0) ** (CPD / CVD)
+
+        s, nel_h, nel_v = geom.num_solpts, geom.nel_h, geom.nel_v
+        blk = lambda a: _to_single_block_3d(a, nel_v, nel_h, s)
+        i = self.num_writes
+        self.tvar[i] = time_s
+        fields = [("rho", rho), ("U", u), ("V", v), ("W", w), ("theta", theta), ("P", pressure)]
+        fields += [(f"q{k + 1}", q[5 + k] / rho) for k in range(self.num_tracers)]
+        for name, fld in fields:
+            self.vars[name][i] = blk(np.asarray(fld))
         self.num_writes += 1
         self.file.sync()
 
@@ -118,7 +177,9 @@ class NetCDFWriter:
         self.file.close()
 
 
-def make_writer(path: str, geom, metric, ops, equations: str) -> Optional[NetCDFWriter]:
+def make_writer(
+    path: str, geom, metric, ops, equations: str, topo=None, num_tracers: int = 0
+) -> Optional[NetCDFWriter]:
     if not HAVE_NETCDF:
         return None
-    return NetCDFWriter(path, geom, metric, ops, equations)
+    return NetCDFWriter(path, geom, metric, ops, equations, topo=topo, num_tracers=num_tracers)
