@@ -1,118 +1,224 @@
-"""Benchmark entry point. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark entry point. Prints one JSON line PER METRIC, then the final
+headline line (the driver records the last line; it carries every metric in
+"extra" so nothing is lost).
 
-North-star metric (BASELINE.md): grid-points/s per chip on the canonical
-shallow-water RHS (Williamson case 6 configuration). Measured at the
-TPU-native operating point — float32 fields (validated against float64 to
-~5e-6 relative over 6 model hours; float64 is emulated ~40x slower on this
-chip and remains the default for parity work) — with 100 TVD-RK3 steps fused
-into one XLA program via lax.scan so the number reflects device compute,
-not per-call dispatch latency over the job tunnel (which is multiple ms
-per call on the axon relay and would otherwise dominate). Uses the persistent XLA
-compilation cache (.jax_cache), the TPU-native replacement for the
-reference's compiled-kernel cache.
+Metrics (BASELINE.md "Numbers to be measured"), all on the real TPU chip:
+  * sw_case6_rhs_gridpoints_per_s   — headline: canonical Williamson case 6
+    discretization scaled to nel=64/panel (num_solpts=3 — the config's
+    discretization, config/case6.ini:30) through the GENERIC fused Pallas
+    pipeline, 100 fused TVD-RK3 steps per program.
+  * sw_case6_canonical_gp_per_s     — the exact case6.ini shape (nel=10).
+  * sw_s4_rhs_gridpoints_per_s      — the s=4-specialized pipeline at its
+    tuned shape (whole-run KR kernel when available).
+  * euler3d_dcmip31_rhs_gp_per_s    — canonical dcmip31 (nel 12x12x3, s=2).
+  * euler3d_dcmip31_epi2_steps_per_s— end-to-end exponential stepping
+    (EPI2 + device-resident KIOPS, ONE XLA program per step).
+
+vs_baseline ratios come from BASELINE_MEASURED.json — produced by running
+the REFERENCE's own RHS/integrator on this host (tools/measure_baseline.py;
+the reference targets CPU/CUDA and no CUDA device exists here, so the
+baseline is its canonical 6-worker CPU run).
+
+Mosaic parity gate: every Pallas-path number is reported only if the
+compiled f32 kernel's error against the on-chip f64 XLA truth is within 4x
+of the f32 XLA path's own roundoff (the same criterion the interpret-mode
+tests use) — a silent Mosaic lowering bug zeroes the metric instead of
+shipping a wrong-but-fast number.
+
+float32 operating point; float64 is emulated ~40x slower on this chip and
+remains the parity reference. Timing is marginal ((1+reps) calls minus 1)
+so the ~10-20 ms axon relay dispatch latency cancels.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+RESULTS = []
 
-def bench_sw_rhs(nel=64, num_solpts=4, dtype=jnp.float32, nsteps=100, reps=5):
+
+def emit(metric, value, unit, baseline=None, note=None):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": (value / baseline) if baseline else 1.0}
+    if note:
+        rec["note"] = note
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def load_baselines():
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _marginal_time(fn, reps):
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn())
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(1 + reps):
+        out = fn()
+    jax.block_until_ready(out)
+    t2 = time.perf_counter() - t0
+    return max(t2 - t1, 1e-9), out
+
+
+def _sw_setup(nel, s):
     from wxfactory_tpu.geometry import make_cubed_sphere_2d, make_metric_2d
     from wxfactory_tpu.models import make_rhs_shallow_water
     from wxfactory_tpu.ops.dfr import make_dfr_operators
     from wxfactory_tpu.testcases import williamson_case6
 
-    geom = make_cubed_sphere_2d(nel, num_solpts)
-    ops = make_dfr_operators(num_solpts)
+    geom = make_cubed_sphere_2d(nel, s)
+    ops = make_dfr_operators(s)
     metric = make_metric_2d(geom)
-    rhs = make_rhs_shallow_water(geom, ops, metric, dtype=dtype)
-    q = jnp.asarray(williamson_case6(geom), dtype=dtype)
-    # On TPU the builder returns the fused Pallas pipeline; step on its
-    # packed layout so the RK combination glue stays relayout-free.
-    step_rhs = getattr(rhs, "packed", rhs)
-    chained = getattr(rhs, "packed_stage_chained", None)
+    q64 = jnp.asarray(williamson_case6(geom))
+    return geom, ops, metric, q64, make_rhs_shallow_water
+
+
+def sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs32):
+    """f32 Mosaic kernel vs on-chip f64 XLA truth; passes if within 4x of
+    the f32 XLA path's own roundoff (+ absolute floor)."""
+    truth = np.asarray(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")(q64))
+    scale = np.abs(truth).max(axis=(1, 2, 3, 4), keepdims=True)
+    q32 = q64.astype(jnp.float32)
+    xla32 = np.asarray(make_rhs(geom, ops, metric, dtype=jnp.float32, interior="xla")(q32))
+    fused32 = np.asarray(rhs32(q32))
+    err_xla = np.abs((xla32 - truth) / scale).max()
+    err_fused = np.abs((fused32 - truth) / scale).max()
+    ok = bool(err_fused < max(4.0 * err_xla, 1e-5))
+    return ok, float(err_fused), float(err_xla)
+
+
+def bench_sw(nel, s, dt, metric_name, baseline_gps, nsteps=100, reps=3):
+    geom, ops, metric, q64, make_rhs = _sw_setup(nel, s)
+    rhs = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="pallas")
+    if not hasattr(rhs, "pack"):
+        emit(metric_name, 0.0, "gridpoints/s", note="no fused pipeline for this shape")
+        return
+
+    ok, err_fused, err_xla = sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs)
+    if not ok:
+        emit(metric_name, 0.0, "gridpoints/s",
+             note=f"PARITY GATE FAILED: kernel err {err_fused:.2e} vs xla32 {err_xla:.2e}")
+        return
+
+    q = rhs.pack(q64.astype(jnp.float32))
+    dtv = jnp.asarray(dt, jnp.float32)
     packed_run = getattr(rhs, "packed_run", None)
-    if hasattr(rhs, "pack"):
-        q = rhs.pack(q)
-    dt = jnp.asarray(30.0, dtype=dtype)
+    chained = rhs.packed_stage_chained
 
     if packed_run is not None:
-        # Whole-run kernel: every RK stage of every step is one sequential
-        # pallas grid with the RK registers, edge slabs and halo results in
-        # VMEM scratch for the entire run — steady-state HBM traffic ~zero.
         from wxfactory_tpu.ops.pallas_sw import tvdrk3_abc
 
-        abc = tvdrk3_abc(dt)
-        multi_step = jax.jit(lambda q: packed_run(q, nsteps, abc))
+        abc = tvdrk3_abc(dtv)
+        multi = jax.jit(lambda q: packed_run(q, nsteps, abc))
     else:
-        multi_step = None
 
-    @jax.jit
-    def multi_step_stages(q):
-        if chained is not None:
-            # Chained fused stages: each mega kernel also emits the edge
-            # slabs of its output state, so the steady-state loop is exactly
-            # one mega kernel + the tiny halo stage per RK stage — the whole
-            # spatial operator AND the RK combination stay in VMEM.
+        @jax.jit
+        def multi(q):
             def body(carry, _):
                 q, slabs = carry
-                q1, sl1 = chained(q, q, slabs, 0.0, 1.0, dt)
-                q2, sl2 = chained(q, q1, sl1, 0.75, 0.25, 0.25 * dt)
-                return chained(q, q2, sl2, 1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt), None
+                q1, s1 = chained(q, q, slabs, 0.0, 1.0, dtv)
+                q2, s2 = chained(q, q1, s1, 0.75, 0.25, 0.25 * dtv)
+                return chained(q, q2, s2, 1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dtv), None
 
             return jax.lax.scan(body, (q, rhs.packed_slabs(q)), None, length=nsteps)[0][0]
 
+    elapsed, out = _marginal_time(lambda: multi(q), reps)
+    final = out[0] if isinstance(out, tuple) else out
+    assert np.isfinite(np.asarray(final)).all(), "non-finite state after benchmark run"
+    gps = 6 * nel * nel * s * s * reps * nsteps * 3 / elapsed
+    emit(metric_name, gps, "gridpoints/s", baseline_gps,
+         note=f"parity gate: kernel {err_fused:.1e} vs xla32 {err_xla:.1e} (f64 truth)")
+
+
+def _e3_setup(nel_h=12, nel_v=3, s=2, ztop=10000.0):
+    from wxfactory_tpu.geometry.cubed_sphere_3d import make_cubed_sphere_3d
+    from wxfactory_tpu.geometry.metric3d import make_metric_3d
+    from wxfactory_tpu.models import make_rhs_euler_cubesphere
+    from wxfactory_tpu.ops.dfr import make_dfr_operators
+    from wxfactory_tpu.testcases.dcmip import dcmip_gravity_wave
+
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop, planet_scaling_factor=125.0,
+                                planet_is_rotating=False)
+    ops = make_dfr_operators(s, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    q0 = jnp.asarray(dcmip_gravity_wave(geom))
+    return geom, ops, metric, q0, make_rhs_euler_cubesphere
+
+
+def bench_dcmip31_rhs(baselines, reps=3, iters=50):
+    base = baselines.get("euler3d_dcmip31_rhs", {}).get("gridpoints_per_s")
+    geom, ops, metric, q0, make_rhs = _e3_setup()
+    rhs = make_rhs(geom, ops, metric)
+    q = q0
+
+    @jax.jit
+    def many(q):
         def body(q, _):
-            q1 = q + step_rhs(q) * dt
-            q2 = 0.75 * q + 0.25 * (q1 + step_rhs(q1) * dt)
-            return q / 3.0 + 2.0 / 3.0 * (q2 + step_rhs(q2) * dt), None
+            return q + 1e-9 * rhs(q), None  # keep a data dependency per call
 
-        return jax.lax.scan(body, q, None, length=nsteps)[0]
+        return jax.lax.scan(body, q, None, length=iters)[0]
 
-    if multi_step is None:
-        multi_step = multi_step_stages
+    elapsed, out = _marginal_time(lambda: many(q), reps)
+    assert np.isfinite(np.asarray(out)).all()
+    gp = 6 * 12 * 12 * 3 * 2**3
+    emit("euler3d_dcmip31_rhs_gp_per_s", gp * reps * iters / elapsed, "gridpoints/s", base,
+         note="canonical dcmip31 (nel 12x12x3, num_solpts=2), f64 XLA path")
 
-    out = multi_step(q)
-    out.block_until_ready()
 
-    # Marginal timing: the axon relay adds ~10-20 ms of dispatch latency per
-    # Python->device call; timing (1+reps) calls minus 1 call cancels that
-    # constant so the rate reflects device compute.
+def bench_dcmip31_epi2(baselines, steps=3):
+    from wxfactory_tpu.integrators import Epi
+
+    base = baselines.get("euler3d_dcmip31_epi2", {}).get("steps_per_s")
+    geom, ops, metric, q0, make_rhs = _e3_setup()
+    rhs = make_rhs(geom, ops, metric)
+    epi = Epi(rhs, order=2, tolerance=1e-7, exponential_solver="kiops_jit", mmin=16, mmax=64)
+    q = epi.step(q0, 30.0)  # warm-up/compile
+    jax.block_until_ready(q)
     t0 = time.perf_counter()
-    multi_step(q).block_until_ready()
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(1 + reps):
-        out = multi_step(q)
-    out.block_until_ready()
-    t2 = time.perf_counter() - t0
-    elapsed = max(t2 - t1, 1e-9)
-
-    grid_points = 6 * nel * nel * num_solpts**2
-    num_rhs = reps * nsteps * 3
-    return grid_points * num_rhs / elapsed
+    for _ in range(steps):
+        q = epi.step(q, 30.0)
+    jax.block_until_ready(q)
+    sec = (time.perf_counter() - t0) / steps
+    assert np.isfinite(np.asarray(q)).all()
+    emit("euler3d_dcmip31_epi2_steps_per_s", 1.0 / sec, "steps/s", base,
+         note="EPI2 + device-resident KIOPS (one XLA program per step), f64, dt=30")
 
 
 def main():
-    gps = bench_sw_rhs()
-    print(
-        json.dumps(
-            {
-                "metric": "sw_case6_rhs_gridpoints_per_s",
-                "value": gps,
-                "unit": "gridpoints/s",
-                "vs_baseline": 1.0,  # reference publishes no numbers (BASELINE.md)
-            }
-        )
-    )
+    baselines = load_baselines()
+    sw_b = baselines.get("sw_case6_rhs", {}).get("gridpoints_per_s")
+    sw_b64 = baselines.get("sw_case6_rhs_nel64", {}).get("gridpoints_per_s")
+
+    # Canonical case6 discretization (s=3): exact config shape + scaled-up.
+    bench_sw(10, 3, 30.0, "sw_case6_canonical_gp_per_s", sw_b)
+    bench_sw(64, 3, 10.0, "sw_case6_rhs_gridpoints_per_s", sw_b64)
+    # The s=4-specialized pipeline at its tuned shape (KR whole-run kernel).
+    bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None)
+    bench_dcmip31_rhs(baselines)
+    bench_dcmip31_epi2(baselines)
+
+    headline = next(r for r in RESULTS if r["metric"] == "sw_case6_rhs_gridpoints_per_s")
+    final = dict(headline)
+    final["extra"] = {r["metric"]: {"value": r["value"], "unit": r["unit"],
+                                    "vs_baseline": r["vs_baseline"]} for r in RESULTS}
+    print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":

@@ -249,7 +249,26 @@ def make_rhs_shallow_water(
     from ..ops import pallas_sw
 
     if not pallas_sw.supported(s, nel, dtype):
-        return rhs
+        # Generic fused pipeline (ops/pallas_sw_gen.py): any num_solpts in
+        # 2..8 with a usable row packing — covers the canonical case6
+        # (s=3) and galewsky (s=7) discretizations the s=4-specialized
+        # module cannot.
+        from ..ops import pallas_sw_gen
+
+        gen = pallas_sw_gen.make_pipeline(geom, ops, metric, topology, dtype=dtype)
+        if gen is None:
+            return rhs
+
+        def rhs_gen(q: jnp.ndarray) -> jnp.ndarray:
+            return gen.unpack(gen.packed(gen.pack(q))).reshape(q.shape)
+
+        rhs_gen.packed = gen.packed
+        rhs_gen.packed_stage = gen.packed_stage
+        rhs_gen.packed_stage_chained = gen.packed_stage_chained
+        rhs_gen.packed_slabs = gen.packed_slabs
+        rhs_gen.pack = gen.pack
+        rhs_gen.unpack = lambda qp: gen.unpack(qp)
+        return rhs_gen
 
     consts = pallas_sw.build_constants(ops, metric, nel, dtype=dtype)
     rows = 6 * nel * nel // pallas_sw.G8
