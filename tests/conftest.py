@@ -10,7 +10,9 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # 24 = 6*2^2 panels x tiles: enough for the general (panel, y, x)
+    # shard_map decomposition at N=2 (reference 6*N^2-rank analogue).
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=24").strip()
 
 import jax
 
