@@ -212,3 +212,53 @@ def test_multigrid_sphere_preconditions_fgmres():
     # residual drop with the preconditioner.
     assert r_mg <= r_plain * 1.05, (r_mg, r_plain)
     assert it_mg <= it_plain, (it_mg, it_plain)
+
+
+def test_fv_agglomeration_multigrid_preconditions_fgmres():
+    """FV-agglomeration MG (reference precondition/multigrid.py:38-165
+    'fv' discretization): DG->FV cell-mean transfer (the Interpolator role)
+    into a 2x-agglomerated FV hierarchy. Must (a) round-trip the DG<->FV
+    transfer exactly (square modal pair), (b) build the expected level
+    chain, and (c) accelerate FGMRES on the implicit bubble system."""
+    import jax
+    import jax.numpy as jnp
+
+    from wxfactory_tpu.geometry.cartesian import make_cartesian_2d
+    from wxfactory_tpu.models import make_rhs_euler_cartesian
+    from wxfactory_tpu.ops.dfr import make_dfr_operators
+    from wxfactory_tpu.precondition import Multigrid
+    from wxfactory_tpu.precondition.multigrid import dg_fv_interpolators
+    from wxfactory_tpu.solvers import fgmres
+    from wxfactory_tpu.testcases import initialize_cartesian2d
+
+    # (a) exact DG<->FV round trip
+    for s in (2, 3, 4):
+        m, minv = dg_fv_interpolators(s)
+        np.testing.assert_allclose(m @ minv, np.eye(s), atol=1e-12)
+        # cell means of a constant are that constant
+        np.testing.assert_allclose(m @ np.ones(s), np.ones(s), atol=1e-12)
+
+    s = 3
+    geom = make_cartesian_2d((0, 1000), (0, 1500), 4, 6, s)
+    rhs = make_rhs_euler_cartesian(geom, make_dfr_operators(s))
+    q = jnp.asarray(initialize_cartesian2d(geom, 2))
+    dt = 20.0
+
+    mg = Multigrid.for_geometry(geom, kind="fv-mg", num_levels=3,
+                                num_pre_smoothe=2, num_post_smoothe=2, pseudo_cfl=3.0)
+    # (b) level chain: DG(3) -> FV 12x18 -> FV 6x9 (odd -> stop)
+    assert [lv.num_solpts for lv in mg.levels] == [3, 1, 1]
+    mg.prepare(dt, q)
+
+    shape = q.shape
+
+    def apply_A(v):
+        vq = jnp.asarray(v.reshape(shape))
+        out = vq - 0.5 * dt * jax.jvp(rhs, (q,), (vq,))[1]
+        return np.asarray(out).ravel()
+
+    b = np.asarray(rhs(q)).ravel() * dt
+    _, r_plain, _, it_plain, _, _ = fgmres(apply_A, b, tol=1e-7, restart=30, maxiter=2)
+    _, r_mg, _, it_mg, _, _ = fgmres(apply_A, b, tol=1e-7, restart=30, maxiter=2, preconditioner=mg)
+    assert r_mg <= r_plain * 1.05, (r_mg, r_plain)
+    assert it_mg <= it_plain, (it_mg, it_plain)

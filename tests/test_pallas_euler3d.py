@@ -178,3 +178,44 @@ def test_balanced_offset_restores_base_state_rhs():
     err_bal = np.abs((np.asarray(balanced(q32)) - truth) / sc).max()
     assert err_bal < 1e-2, err_bal
     assert err_bal < err_plain * 1e-3, (err_bal, err_plain)
+
+
+@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 8, 2), (6, 4, 3)])
+def test_generic_shapes_match_xla(nel_h, nel_v, s):
+    """The generalized pipeline (num_solpts 2..5, g|nel_h row packings with
+    NaN-safe lane padding) at the canonical dcmip31 discretization (12x12x3,
+    s=2 — config/dcmip31.ini:58-65) and other non-s=4 shapes."""
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
+                                planet_scaling_factor=125.0, planet_is_rotating=False)
+    ops = make_dfr_operators(s, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    q = jnp.asarray(dcmip_gravity_wave(geom))
+    assert pe3.supported(s, nel_h, nel_v, 5, jnp.float64)
+
+    rhs_x = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float64, interior="xla")
+    rhs_p = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float64, interior="pallas")
+    assert hasattr(rhs_p, "pack")
+    ref = np.asarray(rhs_x(q))
+    out = np.asarray(rhs_p(q))
+    scale = np.abs(ref).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=5e-11)
+
+
+def test_generic_chained_stage_s2():
+    nel_h, nel_v, s = 12, 3, 2
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
+                                planet_scaling_factor=125.0, planet_is_rotating=False)
+    ops = make_dfr_operators(s, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    q = jnp.asarray(dcmip_gravity_wave(geom))
+    rhs = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float64, interior="pallas")
+    qp = rhs.pack(q)
+    dt = jnp.asarray(0.5, qp.dtype)
+
+    q1 = rhs.packed_stage(qp, qp, 0.0, 1.0, dt)
+    ref1 = qp + dt * rhs.packed(qp)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(ref1), rtol=1e-12, atol=1e-12)
+
+    y, slabs = qp, rhs.packed_slabs(qp)
+    y1, _ = rhs.packed_stage_chained(qp, y, slabs, 0.0, 1.0, dt)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(q1), rtol=1e-12, atol=1e-12)

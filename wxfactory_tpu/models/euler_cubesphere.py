@@ -402,14 +402,14 @@ def make_rhs_euler_cubesphere(
     if not pe3.supported(s, nel_h, nel_v, num_vars, dtype):
         return rhs
 
-    con = pe3.build_constants(ops, metric, nel_h, nel_v, dtype=dtype)
-    hops = pe3.build_halo_ops(ops, topology, dtype=dtype)
-    ty = pe3.pick_ty(nel_h, nel_v)
+    con = pe3.build_constants(ops, metric, nel_h, nel_v, s, dtype=dtype)
+    hops = pe3.build_halo_ops(ops, topology, s, dtype=dtype)
+    ty = pe3.pick_ty(s, nel_h, nel_v)
     interp = jax.default_backend() != "tpu"
 
     def _raw_packed(qp, **kw):
-        hwe, hs, hn = pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty)
-        return pe3.km3_fused(qp, hwe, hs, hn, con, nel_h, nel_v, ty, interpret=interp, **kw)
+        hwe, hs, hn = pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
+        return pe3.km3_fused(qp, hwe, hs, hn, con, nel_h, nel_v, ty, s, interpret=interp, **kw)
 
     bal = None
     if base_state is not None:
@@ -418,8 +418,8 @@ def make_rhs_euler_cubesphere(
             geom, ops, metric, topology=topology, advection_only=advection_only,
             extra_forcing=extra_forcing, dtype=jnp.float64, interior="xla",
         )
-        c64 = pe3.pack_rows_jnp(rhs64(q0.astype(jnp.float64)), nel_h, nel_v)
-        k0 = _raw_packed(pe3.pack_rows_jnp(q0.astype(dtype), nel_h, nel_v))
+        c64 = pe3.pack_rows_jnp(rhs64(q0.astype(jnp.float64)), nel_h, nel_v, s)
+        k0 = _raw_packed(pe3.pack_state_jnp(q0.astype(dtype), nel_h, nel_v, s))
         bal = (c64 - k0.astype(jnp.float64)).astype(dtype)
 
     def rhs_packed(qp: jnp.ndarray) -> jnp.ndarray:
@@ -435,7 +435,7 @@ def make_rhs_euler_cubesphere(
         For the 3D pipeline the chained carry IS the formatted halo triple
         (hwe, hs, hn); the in-loop stages rebuild it from kernel-emitted
         edge slabs instead of slicing the big state in XLA."""
-        return pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty)
+        return pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
 
     def packed_stage_chained(x, y, slabs, a: float, b: float, cdt):
         """Chained explicit-RK stage: consumes y's halo triple (from
@@ -445,17 +445,17 @@ def make_rhs_euler_cubesphere(
         edge-sized halo exchange per stage."""
         hwe, hs, hn = slabs
         o, we = pe3.km3_fused(
-            y, hwe, hs, hn, con, nel_h, nel_v, ty,
+            y, hwe, hs, hn, con, nel_h, nel_v, ty, s,
             x=x, cdt=cdt, stage_a=float(a), stage_b=float(b), bal=bal,
             emit_slabs=True, interpret=interp,
         )
-        return o, pe3.halo_from_slabs(we, o, topology, hops, nel_h, nel_v, ty)
+        return o, pe3.halo_from_slabs(we, o, topology, hops, nel_h, nel_v, ty, s)
 
     # pallas_call has no AD rule; exponential/implicit integrators need
     # jvp(rhs) for their matrix-free Jacobian action, so route tangents
     # through the XLA path (exact same operator up to roundoff).
     _rhs_cj = jax.custom_jvp(
-        lambda q: pe3.unpack_rows_jnp(rhs_packed(pe3.pack_rows_jnp(q, nel_h, nel_v)), nel_h, nel_v)
+        lambda q: pe3.unpack_rows_jnp(rhs_packed(pe3.pack_state_jnp(q, nel_h, nel_v, s)), nel_h, nel_v, s)
     )
 
     @_rhs_cj.defjvp
@@ -472,7 +472,7 @@ def make_rhs_euler_cubesphere(
     rhs_pallas.packed_stage = packed_stage
     rhs_pallas.packed_stage_chained = packed_stage_chained
     rhs_pallas.packed_slabs = packed_slabs
-    rhs_pallas.pack = lambda q: pe3.pack_rows_jnp(q, nel_h, nel_v)
-    rhs_pallas.unpack = lambda qp: pe3.unpack_rows_jnp(qp, nel_h, nel_v)
+    rhs_pallas.pack = lambda q: pe3.pack_state_jnp(q, nel_h, nel_v, s)
+    rhs_pallas.unpack = lambda qp: pe3.unpack_rows_jnp(qp, nel_h, nel_v, s)
     rhs_pallas.xla = rhs
     return rhs_pallas

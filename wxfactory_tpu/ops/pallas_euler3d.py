@@ -53,11 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..common.constants import CPD, CVD, GRAVITY, P0, RD
 
-G2 = 2  # elements per packed row
-S = 4  # num_solpts this pipeline is specialized for
-SS = S * S  # 16 face points
-S3 = S * S * S  # 64 volume points
-LANES = G2 * S3  # 128
+LANES = 128
 
 GAMMA = CPD / CVD
 
@@ -68,71 +64,113 @@ IDX_RHO_W = 3
 IDX_RHO_THETA = 4
 
 
+def pick_g3(num_solpts: int, nel_h: int):
+    """Largest elements-per-row packing g with g | nel_h that fits the state
+    (g*s^3 <= 128) and the split trace layout (g*2*s^2 <= 64)."""
+    s = num_solpts
+    if s**3 > 128:
+        return None
+    cap = min(128 // s**3, 64 // (2 * s * s))
+    for g in range(min(cap, nel_h), 0, -1):
+        if nel_h % g == 0:
+            return g
+    return None
+
+
 def supported(num_solpts: int, nel_h: int, nel_v: int, nvar: int, dtype) -> bool:
     """Shapes/dtypes the fused 3D pipeline handles; others fall back to XLA.
 
-    Requires s=4 (s^3=64 points, two elements per 128-lane row), an even
-    horizontal element count, and slab row counts that tile the f32 (8,128)
-    layout. float64 only off-TPU (interpret mode)."""
-    if num_solpts != S or nvar != 5:
+    Needs a row packing g | nel_h with g*s^3 <= 128 and g*2s^2 <= 64, plus
+    a y-slab height ty | nel_h whose block rows ty*nel_v*(nel_h/g) tile the
+    (8, 128) layout. float64 only off-TPU (interpret mode)."""
+    if nvar != 5 or not (2 <= num_solpts <= 5):
         return False
-    if nel_h % 2 != 0:
-        return False
-    nxp = nel_h // 2
-    if (nel_v * nxp) % 8 != 0:
+    g = pick_g3(num_solpts, nel_h)
+    if g is None or pick_ty(num_solpts, nel_h, nel_v) is None:
         return False
     if dtype in (jnp.float32, np.float32):
         return True
     return dtype in (jnp.float64, np.float64) and jax.default_backend() != "tpu"
 
 
-def pick_ty(nel_h: int, nel_v: int, vmem_budget_rows: int = 128) -> int:
-    """Largest y-slab height that divides ny and keeps the block under a
-    row budget (VMEM: ~40 constant fields + state per row)."""
-    nxp = nel_h // 2
-    best = 1
+def pick_ty(num_solpts: int, nel_h: int, nel_v: int, vmem_budget_rows: int = 128):
+    """Largest y-slab height ty | ny with Mosaic-legal block rows
+    (ty*nk*nxp % 8 == 0) under a VMEM row budget; None if none exists."""
+    g = pick_g3(num_solpts, nel_h)
+    if g is None:
+        return None
+    nxp = nel_h // g
+    nkxp = nel_v * nxp
+    best = None
     for ty in range(1, nel_h + 1):
-        if nel_h % ty == 0 and ty * nel_v * nxp <= vmem_budget_rows:
+        if nel_h % ty or (ty * nkxp) % 8:
+            continue
+        if ty * nkxp <= vmem_budget_rows or best is None:
             best = ty
-        if ty * nel_v * nxp > vmem_budget_rows:
+        if ty * nkxp > vmem_budget_rows and best is not None:
             break
     return best
 
 
 # ---------------------------------------------------------------------------
-# Host-side packing helpers
+# Host-side packing helpers. Lane pads (when g*s^3 < 128) are NaN-safe by
+# construction: rho and rho*theta pads carry 1.0 (their logs are 0, and the
+# trace-GEMM rows for pad lanes are zero so nothing propagates), momenta 0.
 
 
-def pack_rows(a: np.ndarray, nel_h: int, nel_v: int) -> np.ndarray:
+def _pk(num_solpts: int, nel_h: int):
+    s = num_solpts
+    g = pick_g3(s, nel_h)
+    return s, g, s**3, nel_h // g
+
+
+def pack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4) -> np.ndarray:
     """Model layout (..., 6, nk, ny, nx, s^3) -> packed (..., R, 128)."""
-    nxp = nel_h // 2
+    s, g, s3, nxp = _pk(s, nel_h)
     lead = a.shape[:-5]
     b = np.moveaxis(a, -4, -3)  # (..., 6, ny, nk, nx, s3)
-    b = b.reshape(lead + (6, nel_h, nel_v, nxp, G2 * S3))
-    return b.reshape(lead + (6 * nel_h * nel_v * nxp, LANES))
+    b = b.reshape(lead + (6, nel_h, nel_v, nxp, g * s3))
+    pad = np.zeros(lead + (6, nel_h, nel_v, nxp, 128 - g * s3), b.dtype)
+    return np.concatenate([b, pad], axis=-1).reshape(lead + (6 * nel_h * nel_v * nxp, LANES))
 
 
-def unpack_rows(a: np.ndarray, nel_h: int, nel_v: int) -> np.ndarray:
+def unpack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4) -> np.ndarray:
     """Packed (..., R, 128) -> model layout (..., 6, nk, ny, nx, s^3)."""
-    nxp = nel_h // 2
+    s, g, s3, nxp = _pk(s, nel_h)
     lead = a.shape[:-2]
-    b = a.reshape(lead + (6, nel_h, nel_v, nxp * G2, S3))
-    return np.moveaxis(b, -3, -4) if isinstance(a, np.ndarray) else jnp.moveaxis(b, -3, -4)
+    b = a.reshape(lead + (6, nel_h, nel_v, nxp, LANES))[..., : g * s3]
+    b = b.reshape(lead + (6, nel_h, nel_v, nxp * g, s3))
+    b = np.moveaxis(b, -3, -4) if isinstance(a, np.ndarray) else jnp.moveaxis(b, -3, -4)
+    return b
 
 
-def pack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int) -> jnp.ndarray:
-    nxp = nel_h // 2
+def pack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
+    s, g, s3, nxp = _pk(s, nel_h)
     lead = a.shape[:-5]
-    b = jnp.moveaxis(a, -4, -3)
-    return b.reshape(lead + (6 * nel_h * nel_v * nxp, LANES))
+    b = jnp.moveaxis(a, -4, -3).reshape(lead + (6, nel_h, nel_v, nxp, g * s3))
+    pad = jnp.zeros(lead + (6, nel_h, nel_v, nxp, 128 - g * s3), b.dtype)
+    return jnp.concatenate([b, pad], axis=-1).reshape(lead + (6 * nel_h * nel_v * nxp, LANES))
 
 
-def unpack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int) -> jnp.ndarray:
-    nxp = nel_h // 2
+def pack_state_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
+    """pack_rows_jnp for a (5, ...) STATE: pads filled NaN-safely
+    (rho/rho*theta = 1, momenta = 0)."""
+    s_, g, s3, nxp = _pk(s, nel_h)
+    qp = pack_rows_jnp(a, nel_h, nel_v, s)
+    if g * s3 == 128:
+        return qp
+    lane = jnp.arange(LANES) >= g * s3
+    fill = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0], qp.dtype)[:, None, None]
+    return jnp.where(lane[None, None, :], fill, qp)
+
+
+def unpack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
+    s, g, s3, nxp = _pk(s, nel_h)
     lead = a.shape[:-2]
-    b = a.reshape(lead + (6, nel_h, nel_v, nxp, G2, S3))
-    b = b.reshape(lead + (6, nel_h, nel_v, nel_h, S3))
-    return jnp.moveaxis(b, -3, -4).reshape(lead + (6, nel_v, nel_h, nel_h, S3))
+    b = a.reshape(lead + (6, nel_h, nel_v, nxp, LANES))[..., : g * s3]
+    b = b.reshape(lead + (6, nel_h, nel_v, nxp, g, s3))
+    b = b.reshape(lead + (6, nel_h, nel_v, nel_h, s3))
+    return jnp.moveaxis(b, -3, -4).reshape(lead + (6, nel_v, nel_h, nel_h, s3))
 
 
 class E3Constants(NamedTuple):
@@ -166,18 +204,21 @@ class E3Constants(NamedTuple):
     hfk: jnp.ndarray  # (128, 128) block-diag highfilter_k (gravity)
 
 
-def _bd2(a: np.ndarray) -> np.ndarray:
-    """Block-diagonal over the two elements of a row."""
+def _bdg(a: np.ndarray, g: int, lanes: int = LANES) -> np.ndarray:
+    """Block-diagonal over the g elements of a row, zero-padded to lanes."""
     r, c = a.shape
-    out = np.zeros((G2 * r, G2 * c), a.dtype)
-    out[:r, :c] = a
-    out[r:, c:] = a
+    out = np.zeros((lanes, lanes), a.dtype)
+    for k in range(g):
+        out[k * r : (k + 1) * r, k * c : (k + 1) * c] = a
     return out
 
 
-def build_constants(ops, metric, nel_h: int, nel_v: int, dtype=jnp.float32) -> E3Constants:
+def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.float32) -> E3Constants:
     """Precompute every constant array of the fused 3D pipeline (host)."""
-    nxp = nel_h // 2
+    G = pick_g3(s, nel_h)
+    SS, S3 = s * s, s**3
+    TSS = 2 * SS  # trace lanes per element per family
+    nxp = nel_h // G
     rows6 = nel_h * nel_v * nxp  # rows per panel
     f64 = lambda a: np.asarray(a, np.float64)
 
@@ -188,19 +229,19 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, dtype=jnp.float32) -> E
 
     e_xy = np.zeros((LANES, LANES))
     e_z = np.zeros((LANES, LANES))
-    for g in range(G2):
+    for g in range(G):
         sl = slice(g * S3, (g + 1) * S3)
-        e_xy[sl, g * 32 : (g + 1) * 32] = ex3  # west|east
-        e_xy[sl, 64 + g * 32 : 64 + (g + 1) * 32] = ey3  # south|north
-        e_z[sl, g * 32 : (g + 1) * 32] = ez3  # down|up
+        e_xy[sl, g * TSS : (g + 1) * TSS] = ex3  # west|east
+        e_xy[sl, 64 + g * TSS : 64 + (g + 1) * TSS] = ey3  # south|north
+        e_z[sl, g * TSS : (g + 1) * TSS] = ez3  # down|up
 
     dd = np.zeros((3 * LANES, LANES))
-    for g in range(G2):
+    for g in range(G):
         for d, m in enumerate((dx3, dy3, dz3)):
             dd[d * LANES + g * S3 : d * LANES + (g + 1) * S3, g * S3 : (g + 1) * S3] = m
 
     dlp = np.zeros((LANES, 3 * LANES))
-    for g in range(G2):
+    for g in range(G):
         for d, m in enumerate((dx3, dy3, dz3)):
             dlp[g * S3 : (g + 1) * S3, d * LANES + g * S3 : d * LANES + (g + 1) * S3] = m
 
@@ -208,16 +249,16 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, dtype=jnp.float32) -> E
     corr = np.zeros((2 * LANES, LANES))
     lfc_xy = np.zeros((LANES, 3 * LANES))
     lfc_z = np.zeros((LANES, 3 * LANES))
-    for g in range(G2):
+    for g in range(G):
         out = slice(g * S3, (g + 1) * S3)
-        corr[g * 32 : (g + 1) * 32, out] = cwe
-        corr[64 + g * 32 : 64 + (g + 1) * 32, out] = csn
-        corr[LANES + g * 32 : LANES + (g + 1) * 32, out] = cdu
-        lfc_xy[g * 32 : (g + 1) * 32, 0 * LANES + g * S3 : 0 * LANES + (g + 1) * S3] = cwe
-        lfc_xy[64 + g * 32 : 64 + (g + 1) * 32, 1 * LANES + g * S3 : 1 * LANES + (g + 1) * S3] = csn
-        lfc_z[g * 32 : (g + 1) * 32, 2 * LANES + g * S3 : 2 * LANES + (g + 1) * S3] = cdu
+        corr[g * TSS : (g + 1) * TSS, out] = cwe
+        corr[64 + g * TSS : 64 + (g + 1) * TSS, out] = csn
+        corr[LANES + g * TSS : LANES + (g + 1) * TSS, out] = cdu
+        lfc_xy[g * TSS : (g + 1) * TSS, 0 * LANES + g * S3 : 0 * LANES + (g + 1) * S3] = cwe
+        lfc_xy[64 + g * TSS : 64 + (g + 1) * TSS, 1 * LANES + g * S3 : 1 * LANES + (g + 1) * S3] = csn
+        lfc_z[g * TSS : (g + 1) * TSS, 2 * LANES + g * S3 : 2 * LANES + (g + 1) * S3] = cdu
 
-    hfk = _bd2(f64(ops.highfilter_k))
+    hfk = _bdg(f64(ops.highfilter_k), G)
 
     # --- interior fields, single panel -------------------------------------
     def panel0(a, scale=None):
@@ -226,7 +267,7 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, dtype=jnp.float32) -> E
         # (~5e-13 relative to the field scale). `scale` lets a family of
         # fields share one magnitude so identically-zero members (pure
         # rounding noise) pass.
-        full = pack_rows(f64(a), nel_h, nel_v)
+        full = pack_rows(f64(a), nel_h, nel_v, s)
         one = full[:rows6]
         tol = 1e-10 * max(np.abs(full).max() if scale is None else scale, 1e-300)
         if np.abs(full.reshape(6, rows6, LANES) - one).max() > tol:
@@ -249,7 +290,7 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, dtype=jnp.float32) -> E
         tch = None
     else:
         tch = tuple(
-            jnp.asarray(pack_rows(tch_np[a, b], nel_h, nel_v), dtype=dtype)
+            jnp.asarray(pack_rows(tch_np[a, b], nel_h, nel_v, s), dtype=dtype)
             for a in range(3)
             for b in range(3)
         )
@@ -268,32 +309,34 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, dtype=jnp.float32) -> E
         panel 0 -> (rows6, 128) slot layout. Every element's west/south slot
         carries its west/south interface metric, its east/north ("h2") slot
         the east/north one — panel edges AND interior y-slab boundaries read
-        the h2 slots."""
-        out = np.ones((nel_h, nel_v, nxp, G2, 2, 2, SS))  # (ky,kz,x2,g,fam,half,k)
+        the h2 slots. Pads stay 1.0 (safe under sqrt/divide)."""
+        out = np.ones((rows6, LANES))
         for ky in range(nel_h):
             for kz in range(nel_v):
                 for x2 in range(nxp):
-                    for g in range(G2):
-                        ex = 2 * x2 + g
-                        out[ky, kz, x2, g, 0, 0] = m_i[kz, ky, ex]  # west itf
-                        out[ky, kz, x2, g, 0, 1] = m_i[kz, ky, ex + 1]  # east itf
-                        out[ky, kz, x2, g, 1, 0] = m_j[kz, ky, ex]  # south itf
-                        out[ky, kz, x2, g, 1, 1] = m_j[kz, ky + 1, ex]  # north itf
-        # slot lane = fam*64 + g*32 + half*16 + k
-        return np.moveaxis(out, 4, 3).reshape(rows6, LANES)
+                    row = (ky * nel_v + kz) * nxp + x2
+                    for g in range(G):
+                        ex = G * x2 + g
+                        b = g * TSS
+                        out[row, b : b + SS] = m_i[kz, ky, ex]  # west itf
+                        out[row, b + SS : b + TSS] = m_i[kz, ky, ex + 1]  # east itf
+                        out[row, 64 + b : 64 + b + SS] = m_j[kz, ky, ex]  # south
+                        out[row, 64 + b + SS : 64 + b + TSS] = m_j[kz, ky + 1, ex]  # north
+        return out
 
     def slot_z(m_k):
-        """m_k: (nk+1, ny, nx, ss) -> (rows6, 128), lanes g*32+[d|u]*16+k."""
-        out = np.ones((nel_h, nel_v, nxp, G2, 2, SS))
+        """m_k: (nk+1, ny, nx, ss) -> (rows6, 128), lanes g*2ss+[d|u]*ss+k."""
+        out = np.ones((rows6, LANES))
         for ky in range(nel_h):
             for kz in range(nel_v):
                 for x2 in range(nxp):
-                    for g in range(G2):
-                        ex = 2 * x2 + g
-                        out[ky, kz, x2, g, 0] = m_k[kz, ky, ex]  # down itf (incl. ground)
-                        out[ky, kz, x2, g, 1] = m_k[kz + 1, ky, ex]  # up itf (incl. lid)
-        z = out.reshape(rows6, 64)
-        return np.concatenate([z, np.ones((rows6, 64))], axis=1)
+                    row = (ky * nel_v + kz) * nxp + x2
+                    for g in range(G):
+                        ex = G * x2 + g
+                        b = g * TSS
+                        out[row, b : b + SS] = m_k[kz, ky, ex]  # down (incl. ground)
+                        out[row, b + SS : b + TSS] = m_k[kz + 1, ky, ex]  # up (incl. lid)
+        return out
 
     def p0_itf(a, scale=None):
         a = f64(a)
@@ -358,6 +401,10 @@ def _km3_body(
     con: dict of constant blocks. Returns the 5 output rows (5, Rb, 128).
     """
     nk, nxp, ty = dims["nk"], dims["nxp"], dims["ty"]
+    s = dims["s"]
+    SS, G = s * s, dims["g"]
+    TSS = 2 * SS
+    T = G * TSS  # used trace lanes per family
     nkxp = nk * nxp
     Rb = ty * nkxp
     dtype = q.dtype
@@ -369,18 +416,21 @@ def _km3_body(
     i32 = jnp.int32
     lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Rb, LANES), 0)
-    half = jax.lax.rem(jax.lax.div(jax.lax.rem(lane, i32(32)), i32(16)), i32(2))
     is_x = lane < 64
-    lo_half = half == 0
+    # Face parity on HALF-relative lanes (the y family starts at lane 64,
+    # a multiple of 2*s^2 only for s in {2, 4}).
+    lrel = jnp.where(is_x, lane, lane - 64)
+    lo_half = jax.lax.rem(lrel, i32(TSS)) < SS
     x2 = jax.lax.rem(row, i32(nxp))
     kz = jax.lax.rem(jax.lax.div(row, i32(nxp)), i32(nk))
     kyl = jax.lax.div(row, i32(nkxp))
 
-    xw = is_x & lo_half
-    xe = is_x & ~lo_half
-    ys = (~is_x) & lo_half
-    yn = (~is_x) & ~lo_half
-    g1 = jax.lax.rem(lane, jnp.int32(64)) >= 32
+    in_fam = lrel < T  # used trace lanes (the rest is zero padding)
+    xw = is_x & lo_half & in_fam
+    xe = is_x & ~lo_half & in_fam
+    ys = (~is_x) & lo_half & in_fam
+    yn = (~is_x) & ~lo_half & in_fam
+    g1 = (lrel >= (G - 1) * TSS) & in_fam  # last element group of the row
 
     first_ky = kyl == 0
     last_ky = kyl == ty - 1
@@ -421,17 +471,20 @@ def _km3_body(
     rep = lambda a: jnp.repeat(a, nxp, axis=0)  # (ty*nk, 128) -> (Rb, 128)
 
     # --- L/R interface states ---------------------------------------------
+    b80 = np.int32((128 - (T - SS)) % 128)  # prev-row last-group east -> g0 west
+    bss = np.int32(SS)
+    mss = np.int32((128 - SS) % 128)
     L_xy, R_xy, L_z, R_z = [], [], [], []
     for v in range(5):
         t = tr[v]
-        lx = jnp.where(lane < 16, roll(roll(t, 1, 0), 80, 1), roll(t, 16, 1))
-        ly = roll(roll(t, nkxp, 0), 112, 1)
-        ly = jnp.where(first_ky, pad_lead(roll(trp[v], 112, 1)), ly)
+        lx = jnp.where(lrel < SS, roll(roll(t, 1, 0), b80, 1), roll(t, bss, 1))
+        ly = roll(roll(t, nkxp, 0), mss, 1)
+        ly = jnp.where(first_ky, pad_lead(roll(trp[v], mss, 1)), ly)
         l = jnp.where(is_x, lx, ly)
         hwe_v = rep(hwe[v])
-        # Only the g0 element's west slot (lanes 0..15) sits on the panel
-        # boundary; g1's west interface is interior to the row.
-        l = jnp.where((lane < 16) & west_col, hwe_v, l)
+        # Only the g0 element's west slot (lanes 0..ss-1) sits on the panel
+        # boundary; the other groups' west interfaces are row-interior.
+        l = jnp.where(is_x & (lrel < SS) & west_col, hwe_v, l)
         l = jnp.where(ys & south_edge, pad_lead(hs[v]), l)
         # h2 slots: east/north boundary interfaces — L is the element's own
         # east/north face (already in place).
@@ -440,13 +493,13 @@ def _km3_body(
         l = jnp.where(east_b | north_b, t, l)
         r = t
         r = jnp.where(east_b, hwe_v, r)
-        rn = pad_tail(roll(trn[v], 16, 1))
+        rn = pad_tail(roll(trn[v], bss, 1))
         r = jnp.where(north_b, jnp.where(north_edge, pad_tail(hn[v]), rn), r)
         L_xy.append(l)
         R_xy.append(r)
 
         tz = trz[v]
-        lz = roll(roll(tz, nxp, 0), 112, 1)
+        lz = roll(roll(tz, nxp, 0), mss, 1)
         # Ground mirror (kz=0 down slots) and rigid-lid h2 (kz=nk-1 up
         # slots): L is the element's own face; the flipped normal speed is
         # applied below (reference pde_euler_cubesphere.py:150-156).
@@ -454,8 +507,8 @@ def _km3_body(
         L_z.append(lz)
         R_z.append(tz)
 
-    zd = is_x & lo_half
-    zu = is_x & ~lo_half
+    zd = is_x & lo_half & in_fam
+    zu = is_x & ~lo_half & in_fam
 
     # --- Rusanov at every slot (both xy families in one pass; z its own) ---
     def rusanov(L, R, msg, mhd, mh0, mh1, mh2, vnL, vnR):
@@ -496,16 +549,18 @@ def _km3_body(
     keep_yn = last_ky
     keep_zu = kztop
 
+    b48 = np.int32(T - SS)
+
     def fill_xy(a):
-        f_g0 = roll(a, 112, 1)
-        f_g1 = roll(roll(a, Rb - 1, 0), 48, 1)
+        f_g0 = roll(a, mss, 1)
+        f_g1 = roll(roll(a, Rb - 1, 0), b48, 1)
         fe = jnp.where(g1, f_g1, f_g0)
-        fn = roll(roll(a, Rb - nkxp, 0), 16, 1)
+        fn = roll(roll(a, Rb - nkxp, 0), bss, 1)
         out = jnp.where(xe & ~keep_xe, fe, a)
         return jnp.where(yn & ~keep_yn, fn, out)
 
     def fill_z(a):
-        fu = roll(roll(a, Rb - nxp, 0), 16, 1)
+        fu = roll(roll(a, Rb - nxp, 0), bss, 1)
         return jnp.where(zu & ~keep_zu, fu, a)
 
     Fxy = [fill_xy(a) if v != 3 else a for v, a in enumerate(Fxy)]
@@ -641,7 +696,7 @@ def _km3_body(
         wtr, etr = cv_[:tynk], cv_[tynk:]
         we_rows.append(
             jnp.where(lane_w < SS, wtr, f(0.0))
-            + jnp.where((lane_w >= 48) & (lane_w < 64), etr, f(0.0))
+            + jnp.where((lane_w >= T - SS) & (lane_w < T), etr, f(0.0))
         )
     return out, we_rows
 
@@ -662,7 +717,8 @@ class HaloOps(NamedTuple):
     conv: jnp.ndarray  # (4, 6, nk?, ...) momentum rotation, from topology
 
 
-def build_halo_ops(ops, topology, dtype=jnp.float32) -> HaloOps:
+def build_halo_ops(ops, topology, s: int = 4, dtype=jnp.float32) -> HaloOps:
+    SS = s * s
     f64 = lambda a: np.asarray(a, np.float64)
     ex3, ey3 = f64(ops.extrap_x3), f64(ops.extrap_y3)
     c = lambda a: jnp.asarray(a, dtype=dtype)
@@ -670,22 +726,17 @@ def build_halo_ops(ops, topology, dtype=jnp.float32) -> HaloOps:
     return HaloOps(c(ex3[:, :SS]), c(ex3[:, SS:]), c(ey3[:, :SS]), c(ey3[:, SS:]), c(conv))
 
 
-def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
+def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: int = 4):
     """qp: (5, R, 128) packed state -> (hwe, hs, hn) kernel halo inputs.
 
-    hwe: (6*n_ytiles, tynk_pad, 128) west halo at lanes 0..15, east at
-    48..63, rows (ky_local, kz) per (panel, ytile) chunk; hs/hn:
+    hwe: (6*n_ytiles, tynk_pad, 128) west halo at lanes [0, ss), east at
+    [T-ss, T), rows (ky_local, kz) per (panel, ytile) chunk; hs/hn:
     (6, nkxp, 128) south/north halo faces in ys/yn slot lanes."""
-    nxp = nel_h // 2
+    s, G, S3, nxp = _pk(s, nel_h)
+    SS = s * s
     nk, ny = nel_v, nel_h
-    nkxp = nk * nxp
-    n_ytiles = ny // ty
-    tynk = ty * nk
-    tynk_pad = -(-tynk // 8) * 8
-    s = S
-    dtype = qp.dtype
 
-    qv = qp.reshape(5, 6, ny, nk, nxp, LANES)
+    qv = qp.reshape(5, 6, ny, nk, nxp, LANES)[..., : G * S3]
 
     def logged(strip):
         # rows (rho, u1, u2, w, rho*theta) -> log on rows 0 and 4
@@ -701,23 +752,25 @@ def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
     # Outward faces of the four panel edges (reference new-layout face
     # index kz_s*s+ky_s for x, kz_s*s+kx_s for y).
     wst = expd(logged(qv[:, :, :, :, 0, :S3]) @ hops.exw)  # (5,6,ny,nk,ss)
-    est = expd(logged(qv[:, :, :, :, -1, S3:]) @ hops.exe)
-    sst = qv[:, :, 0].reshape(5, 6, nk, nxp, 2, S3)
-    nst = qv[:, :, -1].reshape(5, 6, nk, nxp, 2, S3)
-    sth = expd(logged(sst) @ hops.eys).reshape(5, 6, nk, 2 * nxp, SS)
-    nth = expd(logged(nst) @ hops.eyn).reshape(5, 6, nk, 2 * nxp, SS)
+    est = expd(logged(qv[:, :, :, :, -1, (G - 1) * S3 :]) @ hops.exe)
+    sst = qv[:, :, 0].reshape(5, 6, nk, nxp, G, S3)
+    nst = qv[:, :, -1].reshape(5, 6, nk, nxp, G, S3)
+    sth = expd(logged(sst) @ hops.eys).reshape(5, 6, nk, G * nxp, SS)
+    nth = expd(logged(nst) @ hops.eyn).reshape(5, 6, nk, G * nxp, SS)
 
     pool = jnp.stack(
         [sth, nth, jnp.moveaxis(wst, 2, 3), jnp.moveaxis(est, 2, 3)], axis=1
     )  # (5, 4, 6, nk, nh, ss)
-    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty)
+    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty, s)
 
 
-def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
+def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: int = 4):
     """Neighbour exchange + momentum rotation + kernel-input formatting on
     an outgoing trace pool (5, 4[S,N,W,E], 6, nk, nh, ss)."""
-    s = S
-    nxp = nel_h // 2
+    s, G, _S3, nxp = _pk(s, nel_h)
+    SS = s * s
+    TSS = 2 * SS
+    T = G * TSS
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
     n_ytiles = ny // ty
@@ -740,40 +793,43 @@ def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, 
     halo = jnp.stack([ex[0], b1, b2, ex[3], ex[4]])  # (5, 4, 6, nk, nh, ss)
 
     z = lambda n, shape: jnp.zeros(shape[:-1] + (n,), dtype)
-    # hwe rows (p, ky, kz): west at lanes 0..15, east at 48..63.
+    # hwe rows (p, ky, kz): west at lanes [0, ss), east at [T-ss, T).
     wr = jnp.moveaxis(halo[:, 2], 2, 3).reshape(5, 6, ny, nk, SS)
     er = jnp.moveaxis(halo[:, 3], 2, 3).reshape(5, 6, ny, nk, SS)
-    hwe = jnp.concatenate([wr, z(32, wr.shape), er, z(64, er.shape)], axis=-1)
+    hwe = jnp.concatenate([wr, z(T - 2 * SS, wr.shape), er, z(LANES - T, er.shape)], axis=-1)
     hwe = hwe.reshape(5, 6, n_ytiles, tynk, LANES)
     hwe = jnp.pad(hwe, ((0, 0), (0, 0), (0, 0), (0, tynk_pad - tynk), (0, 0)))
     hwe = jnp.moveaxis(hwe, 0, 2).reshape(6 * n_ytiles, 5, tynk_pad, LANES)
 
-    # hs rows (p, kz, x2): lanes 64 + g*32 + [0..15] (ys slots).
-    sr = halo[:, 0].reshape(5, 6, nk, nxp, 2, SS)
-    hs = jnp.concatenate(
-        [z(64, sr.shape[:-2] + (SS,)), sr[..., 0, :], z(16, sr.shape[:-2] + (SS,)),
-         sr[..., 1, :], z(16, sr.shape[:-2] + (SS,))],
-        axis=-1,
-    ).reshape(5, 6, nkxp, LANES)
-    nr = halo[:, 1].reshape(5, 6, nk, nxp, 2, SS)
-    hn = jnp.concatenate(
-        [z(80, nr.shape[:-2] + (SS,)), nr[..., 0, :], z(16, nr.shape[:-2] + (SS,)),
-         nr[..., 1, :]],
-        axis=-1,
-    ).reshape(5, 6, nkxp, LANES)
+    # hs rows (p, kz, x2): lanes 64 + g*2ss + [0, ss) (ys slots); hn the
+    # matching yn slots (+ss).
+    sr = halo[:, 0].reshape(5, 6, nk, nxp, G, SS)
+    hs_parts = [z(64, sr.shape[:-2] + (SS,))]
+    for g in range(G):
+        hs_parts += [sr[..., g, :], z(SS, sr.shape[:-2] + (SS,))]
+    hs_parts.append(z(LANES - 64 - T, sr.shape[:-2] + (SS,)))
+    hs = jnp.concatenate(hs_parts, axis=-1).reshape(5, 6, nkxp, LANES)
+    nr = halo[:, 1].reshape(5, 6, nk, nxp, G, SS)
+    hn_parts = [z(64, nr.shape[:-2] + (SS,))]
+    for g in range(G):
+        hn_parts += [z(SS, nr.shape[:-2] + (SS,)), nr[..., g, :]]
+    hn_parts.append(z(LANES - 64 - T, nr.shape[:-2] + (SS,)))
+    hn = jnp.concatenate(hn_parts, axis=-1).reshape(5, 6, nkxp, LANES)
     return hwe, jnp.moveaxis(hs, 0, 1), jnp.moveaxis(hn, 0, 1)
 
 
-def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int):
+def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: int = 4):
     """Panel-edge halo stage from the kernel-emitted west/east slabs plus
     the packed state (chained mode).
 
     we: (6*n_ytiles, 5, tynk_pad, 128) chunks in hwe chunk order
-    (p*n_ytiles + i), rows (ky_local, kz), west face at lanes 0..15 / east
-    at 48..63 — the strided big-state gathers that make XLA extraction
-    expensive. The south/north grid rows are contiguous row slices of
-    ``qp``, so their (edge-sized) extrapolation stays here in XLA."""
-    nxp = nel_h // 2
+    (p*n_ytiles + i), rows (ky_local, kz), west face at lanes [0, ss) /
+    east at [T-ss, T) — the strided big-state gathers that make XLA
+    extraction expensive. The south/north grid rows are contiguous row
+    slices of ``qp``, so their (edge-sized) extrapolation stays in XLA."""
+    s, G, S3, nxp = _pk(s, nel_h)
+    SS = s * s
+    T = G * 2 * SS
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
     n_ytiles = ny // ty
@@ -781,22 +837,22 @@ def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty:
     tynk_pad = we.shape[-2]
     wec = we.reshape(6, n_ytiles, 5, tynk_pad, LANES)[:, :, :, :tynk]
     wst = wec[..., 0:SS].reshape(6, n_ytiles, 5, ty, nk, SS)
-    est = wec[..., 48:64].reshape(6, n_ytiles, 5, ty, nk, SS)
+    est = wec[..., T - SS : T].reshape(6, n_ytiles, 5, ty, nk, SS)
     # (6, i, 5, ty, nk, ss) -> (5, 6, nk, ny, ss) with ky = i*ty + ky_local
     fmt = lambda a: jnp.transpose(a, (2, 0, 4, 1, 3, 5)).reshape(5, 6, nk, ny, SS)
     w_pool = fmt(wst)
     e_pool = fmt(est)
 
-    qv = qp.reshape(5, 6, ny, nkxp, LANES)
-    logged = lambda s: jnp.concatenate([jnp.log(s[0:1]), s[1:4], jnp.log(s[4:5])], axis=0)
-    expd = lambda s: jnp.concatenate([jnp.exp(s[0:1]), s[1:4], jnp.exp(s[4:5])], axis=0)
-    sst = qv[:, :, 0].reshape(5, 6, nk, nxp, 2, S3)
-    nst = qv[:, :, -1].reshape(5, 6, nk, nxp, 2, S3)
-    s_pool = expd(logged(sst) @ hops.eys).reshape(5, 6, nk, 2 * nxp, SS)
-    n_pool = expd(logged(nst) @ hops.eyn).reshape(5, 6, nk, 2 * nxp, SS)
+    qv = qp.reshape(5, 6, ny, nkxp, LANES)[..., : G * S3]
+    logged = lambda a: jnp.concatenate([jnp.log(a[0:1]), a[1:4], jnp.log(a[4:5])], axis=0)
+    expd = lambda a: jnp.concatenate([jnp.exp(a[0:1]), a[1:4], jnp.exp(a[4:5])], axis=0)
+    sst = qv[:, :, 0].reshape(5, 6, nk, nxp, G, S3)
+    nst = qv[:, :, -1].reshape(5, 6, nk, nxp, G, S3)
+    s_pool = expd(logged(sst) @ hops.eys).reshape(5, 6, nk, G * nxp, SS)
+    n_pool = expd(logged(nst) @ hops.eyn).reshape(5, 6, nk, G * nxp, SS)
 
     pool = jnp.stack([s_pool, n_pool, w_pool, e_pool], axis=1)
-    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty)
+    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty, s)
 
 
 def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
@@ -818,18 +874,18 @@ def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
 
 
 def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
-                    nel_h: int, nel_v: int, ty: int):
+                    nel_h: int, nel_v: int, ty: int, s: int = 4):
     """Reference driver: run the kernel body block-by-block with jnp.roll.
     Bit-identical semantics to the pallas path; used by the parity tests."""
-    nxp = nel_h // 2
+    s, G, _S3, nxp = _pk(s, nel_h)
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
     rows6 = ny * nkxp
     n_ytiles = ny // ty
     Rb = ty * nkxp
-    dims = {"nk": nk, "nxp": nxp, "ty": ty}
+    dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G}
 
-    hwe, hs, hn = edge_halo(qp, topology, hops, nel_h, nel_v, ty)
+    hwe, hs, hn = edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
     out = []
     for p in range(6):
         pan = []
@@ -861,6 +917,7 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
 
 def km3_fused(
     qp, hwe, hs, hn, con: E3Constants, nel_h: int, nel_v: int, ty: int,
+    s: int = 4,
     x=None, cdt=None, stage_a=None, stage_b=None, bal=None,
     emit_slabs: bool = False, interpret: bool = False,
 ):
@@ -871,7 +928,7 @@ def km3_fused(
     the slabs are log-extrapolated from the OUTPUT state) also returns the
     (we, ssl, nsl) edge-trace slabs for ``halo_from_slabs`` so the next
     stage needs no XLA extraction over the big state."""
-    nxp = nel_h // 2
+    s, G, _S3, nxp = _pk(s, nel_h)
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
     rows6 = ny * nkxp
@@ -879,7 +936,8 @@ def km3_fused(
     Rb = ty * nkxp
     tynk = ty * nk
     tynk_pad = hwe.shape[-2]
-    dims = {"nk": nk, "nxp": nxp, "ty": ty}
+    dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G}
+    slim_neighbors = (nkxp % 8) == 0  # neighbor-sliver blocks are Mosaic-legal
     with_stage = stage_a is not None
     with_x = with_stage and (stage_a != 0.0)
     with_bal = bal is not None
@@ -909,11 +967,23 @@ def km3_fused(
         x_ref = next(it) if with_x else None
         cdt_ref = next(it) if with_stage else None
         lwe_ref = next(it) if emit_slabs else None
+        sel_prev_ref = next(it) if not slim_neighbors else None
+        sel_next_ref = next(it) if not slim_neighbors else None
         o_ref = next(it)
         if emit_slabs:
             owe_ref = next(it)
 
         rd = lambda r: r[...]
+        if slim_neighbors:
+            qprev = qprev_ref[...]
+            qnext = qnext_ref[...]
+        else:
+            # Neighbor boundary rows via one-hot row-select GEMMs (a
+            # (5, nkxp, 128) block is Mosaic-illegal when nkxp % 8 != 0).
+            sp, sn_ = sel_prev_ref[...], sel_next_ref[...]
+            mmsel = lambda m, a: jax.lax.dot(m, a, preferred_element_type=dtype)
+            qprev = jnp.stack([mmsel(sp, qprev_ref[v]) for v in range(5)])
+            qnext = jnp.stack([mmsel(sn_, qnext_ref[v]) for v in range(5)])
         cblk = {
             "sqrtg": rd(sqrtg), "inv_sqrtg": rd(inv_sqrtg),
             "inv_dzdeta": rd(inv_dzdeta),
@@ -931,7 +1001,7 @@ def km3_fused(
         # which tpu.dynamic_rotate rejects)
         roll = lambda a, shift, axis: pltpu.roll(a, np.int32(shift), axis)
         out = _km3_body(
-            q_ref[...], qprev_ref[...], qnext_ref[...],
+            q_ref[...], qprev, qnext,
             hwe_ref[0][:, :tynk], hs_ref[0], hn_ref[0],
             cblk, dims, pl.program_id(0), n_ytiles, roll,
             x=(x_ref[...] if with_x else None),
@@ -948,9 +1018,17 @@ def km3_fused(
             o_ref[v] = out[v]
 
     blk5 = pl.BlockSpec((5, Rb, LANES), lambda i, p: (zero, p * n_ytiles + i, zero))
-    slab = lambda rowsel: pl.BlockSpec((5, nkxp, LANES), rowsel)
-    prev_spec = slab(lambda i, p: (zero, p * ny + jnp.maximum(i * ty - 1, 0), zero))
-    next_spec = slab(lambda i, p: (zero, p * ny + jnp.minimum(i * ty + ty, ny - 1), zero))
+    if slim_neighbors:
+        slab = lambda rowsel: pl.BlockSpec((5, nkxp, LANES), rowsel)
+        prev_spec = slab(lambda i, p: (zero, p * ny + jnp.maximum(i * ty - 1, 0), zero))
+        next_spec = slab(lambda i, p: (zero, p * ny + jnp.minimum(i * ty + ty, ny - 1), zero))
+    else:
+        prev_spec = pl.BlockSpec(
+            (5, Rb, LANES), lambda i, p: (zero, p * n_ytiles + jnp.maximum(i - 1, 0), zero)
+        )
+        next_spec = pl.BlockSpec(
+            (5, Rb, LANES), lambda i, p: (zero, p * n_ytiles + jnp.minimum(i + 1, n_ytiles - 1), zero)
+        )
     hwe_spec = pl.BlockSpec((1, 5, tynk_pad, LANES), lambda i, p: (p * n_ytiles + i, zero, zero, zero))
     edge_spec = pl.BlockSpec((1, 5, nkxp, LANES), lambda i, p: (p, zero, zero, zero))
     pan = lambda: pl.BlockSpec((Rb, LANES), lambda i, p: (i, zero))
@@ -988,6 +1066,15 @@ def km3_fused(
             lwe_np[tynk + r, r * nxp + nxp - 1] = 1.0
         in_specs.append(pl.BlockSpec((2 * tynk, Rb), lambda i, p: (zero, zero)))
         args.append(jnp.asarray(lwe_np, dtype=dtype))
+    if not slim_neighbors:
+        sel_p = np.zeros((nkxp, Rb), np.float64)
+        sel_n = np.zeros((nkxp, Rb), np.float64)
+        for j in range(nkxp):
+            sel_p[j, (ty - 1) * nkxp + j] = 1.0
+            sel_n[j, j] = 1.0
+        for m_ in (sel_p, sel_n):
+            in_specs.append(pl.BlockSpec((nkxp, Rb), lambda i, p: (zero, zero)))
+            args.append(jnp.asarray(m_, dtype=dtype))
 
     out_specs = [blk5]
     out_shapes = [jax.ShapeDtypeStruct(qp.shape, dtype)]
@@ -1005,6 +1092,11 @@ def km3_fused(
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 20000))
     try:
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
         res = pl.pallas_call(
             kernel,
             grid=(n_ytiles, 6),
@@ -1012,6 +1104,7 @@ def km3_fused(
             out_specs=out_specs if emit_slabs else out_specs[0],
             out_shape=out_shapes if emit_slabs else out_shapes[0],
             interpret=interpret,
+            **kwargs,
         )(*args)
         return tuple(res) if emit_slabs else res
     finally:

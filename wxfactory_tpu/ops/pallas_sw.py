@@ -980,7 +980,9 @@ def kr_run(
     dt_ = qp.dtype
     c = lambda a_: jnp.asarray(a_, dtype=dt_)
     full = lambda shape: pl.BlockSpec(shape, lambda t, s, p: tuple(zero for _ in shape))
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # The index map must return i32 even under x64 (Mosaic rejects an i64
+    # func.return); the default (no-map) SMEM spec would produce i64 zeros.
+    smem = pl.BlockSpec((3, 3), lambda t, s, p: (zero, zero), memory_space=pltpu.SMEM)
 
     in_specs = (
         [full((3, rows, LANES)), full((3, 6 * nel, LANES)),
@@ -1013,6 +1015,12 @@ def kr_run(
         pltpu.VMEM((3, 6, 1, npl), dt_),  # halo south
         pltpu.VMEM((3, 6, 1, npl), dt_),  # halo north
     ]
+    kwargs = {}
+    if not interpret:
+        # The whole-run kernel keeps both RK registers + slabs + halos in
+        # VMEM scratch (~30 MB at nel=64) — beyond the default 16 MB
+        # scoped budget; v5e has 128 MB.
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         _make_kr(rpr, prows, nel, npl, nsteps),
         grid=(nsteps, 3, 6),
@@ -1021,4 +1029,5 @@ def kr_run(
         out_shape=jax.ShapeDtypeStruct((3, rows, LANES), dt_),
         scratch_shapes=scratch,
         interpret=interpret,
+        **kwargs,
     )(*args)

@@ -36,6 +36,33 @@ def _remesh_nd(src_pts, dst_pts, dim: int) -> np.ndarray:
     return out.T  # applied as q @ op
 
 
+def dg_fv_interpolators(num_solpts: int):
+    """1D DG<->FV transfer pair for one element (reference Interpolator,
+    common/interpolation.py:154-289, 'modal'/'lagrange' flavor): M maps the
+    s Lagrange nodal values to the s cell MEANS of the interpolant on an
+    equal subdivision of [-1, 1]; its inverse reconstructs the nodal values
+    exactly (both square, so the round trip is exact)."""
+    s = num_solpts
+    _, pts, _ = gauss_legendre(s)
+    qx, qw = np.polynomial.legendre.leggauss(s + 2)
+
+    def lagrange(j, x):
+        out = np.ones_like(x)
+        for m in range(s):
+            if m != j:
+                out *= (x - pts[m]) / (pts[j] - pts[m])
+        return out
+
+    h = 2.0 / s
+    M = np.zeros((s, s))
+    for i in range(s):
+        a = -1.0 + i * h
+        xq = a + 0.5 * h * (qx + 1.0)
+        for j in range(s):
+            M[i, j] = 0.5 * np.sum(qw * lagrange(j, xq))  # (1/h)*integral
+    return M, np.linalg.inv(M)
+
+
 def cartesian_euler_levels(geom) -> tuple:
     """(factory, transfer_dim, min_order) for the 2D Cartesian Euler model;
     order 1 runs the finite-volume RHS (the reference's FV-MG bottom)."""
@@ -91,9 +118,80 @@ def cubed_sphere_euler3d_levels(geom) -> tuple:
     return make, 3, 2
 
 
+def cartesian_fv_mg_levels(geom, num_solpts: int, max_levels: int = 8):
+    """FV-agglomeration multigrid family for the 2D Cartesian Euler system
+    (reference precondition/multigrid.py:38-165, discretization 'fv'):
+
+    * level 0: the DG(p) operator on the element grid;
+    * level 1: an FV operator on the (nel*p) sub-cell grid, reached through
+      the per-element DG->FV cell-mean transfer (dg_fv_interpolators —
+      the reference's Interpolator role);
+    * level k>=2: FV with 2x element agglomeration per level (cell means
+      down, constant injection up) while the cell counts stay even.
+
+    Returns (levels, restricts, prolongs) for Multigrid(level_spec=...).
+    """
+    from ..geometry.cartesian import make_cartesian_2d
+    from ..models.euler_cartesian import make_rhs_euler_cartesian
+    from ..models.euler_cartesian_fv import make_rhs_euler_cartesian_fv
+
+    s = num_solpts
+    nelx, nelz = geom.num_elements_x, geom.num_elements_z
+
+    def fv_rhs(ncx, ncz):
+        g = make_cartesian_2d(geom.domain_x, geom.domain_z, ncx, ncz, 1)
+        base = make_rhs_euler_cartesian_fv(g)
+        return lambda q: base(q[..., 0])[..., None]
+
+    levels = []
+    restricts = []
+    prolongs = []
+    if s >= 2:
+        levels.append(MultigridLevel(make_rhs_euler_cartesian(geom, make_dfr_operators(s)), s))
+        m1, m1inv = dg_fv_interpolators(s)
+        dg2fv = jnp.asarray(np.kron(m1, m1).T)  # trailing (z, x) point order
+        fv2dg = jnp.asarray(np.kron(m1inv, m1inv).T)
+
+        def to_cells(a, dg2fv=dg2fv):
+            # (nv, nelz, nelx, s^2) -> (nv, nelz*s, nelx*s, 1)
+            c = (a @ dg2fv).reshape(a.shape[:-1] + (s, s))
+            c = jnp.moveaxis(c, -2, -3)  # (nv, nelz, s, nelx, s)
+            return c.reshape(a.shape[0], nelz * s, nelx * s, 1)
+
+        def to_nodes(a, fv2dg=fv2dg):
+            c = a.reshape(a.shape[0], nelz, s, nelx, s)
+            c = jnp.moveaxis(c, 2, 3).reshape(a.shape[0], nelz, nelx, s * s)
+            return c @ fv2dg
+
+        restricts.append(to_cells)
+        prolongs.append(to_nodes)
+
+    ncx, ncz = nelx * s, nelz * s
+    levels.append(MultigridLevel(fv_rhs(ncx, ncz), 1, tau_scale=4.0 * max(ncx, ncz)))
+    while len(levels) < max_levels and ncx % 2 == 0 and ncz % 2 == 0 and min(ncx, ncz) >= 4:
+        ncx //= 2
+        ncz //= 2
+        levels.append(MultigridLevel(fv_rhs(ncx, ncz), 1, tau_scale=4.0 * max(ncx, ncz)))
+
+        def agg(a):
+            nv, nz, nx, _ = a.shape
+            return a.reshape(nv, nz // 2, 2, nx // 2, 2, 1).mean(axis=(2, 4))
+
+        def inj(a, nz=ncz, nx=ncx):
+            return jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+
+        restricts.append(agg)
+        prolongs.append(inj)
+    return levels, restricts, prolongs
+
+
 class MultigridLevel:
-    def __init__(self, rhs: Callable, num_solpts: int):
+    def __init__(self, rhs: Callable, num_solpts: int, tau_scale: Optional[float] = None):
         self.num_solpts = num_solpts
+        # Pseudo-time-step scale override: 4*nel*p^2 equivalent. FV levels
+        # set it to 4*(cell count) — their resolution is nel*p cells, which
+        # the (element count, order) formula under-counts.
+        self.tau_scale = tau_scale
         self.rhs = rhs
 
         @jax.jit
@@ -128,15 +226,6 @@ class Multigrid:
         spectral_radii=None,
         num_elements_pseudo: Optional[int] = None,
     ):
-        factory, dim, min_order = level_spec
-        p0 = num_solpts
-        orders = []
-        for i in range(num_levels):
-            p = p0 - i
-            if p < min_order:
-                break
-            orders.append(p)
-        self.levels: List[MultigridLevel] = [MultigridLevel(factory(p), p) for p in orders]
         self.num_pre = num_pre_smoothe
         self.num_post = num_post_smoothe
         self.pseudo_cfl = pseudo_cfl
@@ -146,26 +235,50 @@ class Multigrid:
         # Element count entering the pseudo-time-step CFL estimate.
         self.num_elements_pseudo = num_elements_pseudo or 16
 
-        # Transfer operators between consecutive levels (trailing s^dim axis).
-        self.restrict_ops = []
-        self.prolong_ops = []
-        for fine, coarse in zip(self.levels[:-1], self.levels[1:]):
-            _, fine_pts, _ = gauss_legendre(fine.num_solpts)
-            _, coarse_pts, _ = gauss_legendre(coarse.num_solpts)
-            self.restrict_ops.append(jnp.asarray(_remesh_nd(fine_pts, coarse_pts, dim)))
-            self.prolong_ops.append(jnp.asarray(_remesh_nd(coarse_pts, fine_pts, dim)))
+        if isinstance(level_spec, tuple) and len(level_spec) == 3 and callable(level_spec[0]):
+            # p-MG family: (factory, transfer_dim, min_order); transfers are
+            # modal remesh matrices on the trailing s^dim axis.
+            factory, dim, min_order = level_spec
+            orders = []
+            for i in range(num_levels):
+                p = num_solpts - i
+                if p < min_order:
+                    break
+                orders.append(p)
+            self.levels: List[MultigridLevel] = [MultigridLevel(factory(p), p) for p in orders]
+            self.restricts = []
+            self.prolongs = []
+            for fine, coarse in zip(self.levels[:-1], self.levels[1:]):
+                _, fine_pts, _ = gauss_legendre(fine.num_solpts)
+                _, coarse_pts, _ = gauss_legendre(coarse.num_solpts)
+                r = jnp.asarray(_remesh_nd(fine_pts, coarse_pts, dim))
+                p_ = jnp.asarray(_remesh_nd(coarse_pts, fine_pts, dim))
+                self.restricts.append(lambda a, r=r: a @ r)
+                self.prolongs.append(lambda a, p_=p_: a @ p_)
+        else:
+            # Prebuilt family (FV agglomeration): (levels, restricts, prolongs).
+            self.levels, self.restricts, self.prolongs = level_spec
+            self.levels = list(self.levels[:num_levels])
+            self.restricts = list(self.restricts[: len(self.levels) - 1])
+            self.prolongs = list(self.prolongs[: len(self.levels) - 1])
 
         self.shape = None
 
     @classmethod
-    def for_geometry(cls, geom, **kwargs):
-        """Pick the level family from the geometry type."""
+    def for_geometry(cls, geom, kind: str = "p-mg", **kwargs):
+        """Pick the level family from the geometry type. ``kind``: "p-mg"
+        (order coarsening) or "fv-mg" (DG->FV + 2x element agglomeration —
+        Cartesian Euler only, like the reference's FV discretization gate)."""
         from ..geometry.cartesian import Cartesian2D
         from ..geometry.cubed_sphere import CubedSphere2D
         from ..geometry.cubed_sphere_3d import CubedSphere3D
 
         if isinstance(geom, Cartesian2D):
-            spec = cartesian_euler_levels(geom)
+            if kind == "fv-mg":
+                nlev = kwargs.get("num_levels", 2)
+                spec = cartesian_fv_mg_levels(geom, geom.num_solpts, max_levels=max(nlev, 2))
+            else:
+                spec = cartesian_euler_levels(geom)
             nel = max(geom.num_elements_x, geom.num_elements_z)
         elif isinstance(geom, CubedSphere2D):
             spec = cubed_sphere_sw_levels(geom)
@@ -186,8 +299,8 @@ class Multigrid:
         for i, level in enumerate(self.levels):
             level.state = state
             level.half_dt = 0.5 * dt
-            if i < len(self.restrict_ops):
-                state = state @ self.restrict_ops[i]
+            if i < len(self.restricts):
+                state = self.restricts[i](state)
 
     def _smooth(self, level: MultigridLevel, x, b, iterations: int):
         """Smoothing of A x = b. Schemes mirror the reference smoother family
@@ -195,7 +308,8 @@ class Multigrid:
         iteration over an estimated spectral interval, 'kiops' exponential
         pseudo-time step; 'ark3' runs as erk3 (the additive splitting the
         reference uses there has no separate stiff part in this operator)."""
-        tau = self.pseudo_cfl / (4.0 * self.num_elements_pseudo * max(level.num_solpts, 1) ** 2)
+        scale = level.tau_scale or (4.0 * self.num_elements_pseudo * max(level.num_solpts, 1) ** 2)
+        tau = self.pseudo_cfl / scale
 
         if self.smoother == "exp":
             # Chebyshev smoothing on [lmin, lmax] of A (A = I - dt/2 J is
@@ -255,9 +369,9 @@ class Multigrid:
 
         if idx + 1 < len(self.levels):
             residual = b - level.apply_A(x)
-            b_coarse = residual @ self.restrict_ops[idx]
+            b_coarse = self.restricts[idx](residual)
             x_coarse = self._cycle(idx + 1, b_coarse)
-            x = x + x_coarse @ self.prolong_ops[idx]
+            x = x + self.prolongs[idx](x_coarse)
         elif self.solve_coarsest:
             x = self._smooth(level, x, b, 10 * max(self.num_pre, 1))
 

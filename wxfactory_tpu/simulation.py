@@ -219,6 +219,7 @@ class Simulation:
 
             return Multigrid.for_geometry(
                 self.geom,
+                kind=c.preconditioner,
                 num_levels=c.num_mg_levels,
                 num_pre_smoothe=c.num_pre_smoothe,
                 num_post_smoothe=c.num_post_smoothe,

@@ -26,6 +26,26 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _expm_taylor(A: jnp.ndarray, order: int = 20, max_squarings: int = 48) -> jnp.ndarray:
+    """Matrix exponential via scaling-and-squaring + Taylor/Horner.
+
+    Solve-free on purpose: jax.scipy.linalg.expm's Pade form needs an LU
+    solve, and TPU implements LuDecomposition only for f32/c64 — this runs
+    in any dtype with matmuls only. With the norm scaled below 1/2, a
+    20-term Taylor series is accurate to ~1e-16; squarings restore scale."""
+    dtype = A.dtype
+    norm = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    k = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-300)) + 1.0), 0, max_squarings
+    ).astype(jnp.int32)
+    B = A / (2.0 ** k.astype(dtype))
+    eye = jnp.eye(A.shape[0], dtype=dtype)
+    E = eye
+    for i in range(order, 0, -1):
+        E = eye + (B @ E) / jnp.asarray(float(i), dtype)
+    return lax.fori_loop(0, max_squarings, lambda i, M: jnp.where(i < k, M @ M, M), E)
+
+
 class KiopsJitStats(NamedTuple):
     krylov_steps: jnp.ndarray
     substeps: jnp.ndarray
@@ -172,7 +192,7 @@ def kiops_jit(
         nrm_keep = lax.dynamic_slice(H, (j, j - 1), (1, 1))[0, 0]
         Hexp = jnp.where((ridx[:, None] <= j) & (ridx[None, :] <= j), H, 0.0)
         Hexp = lax.dynamic_update_slice(Hexp, jnp.zeros((1, 1), dtype), (j, j - 1))
-        F = jax.scipy.linalg.expm(sgn * s.tau * Hexp)
+        F = _expm_taylor(sgn * s.tau * Hexp)
         nexpm = s.nexpm + 1
 
         fj = lax.dynamic_slice(F, (j - 1, j), (1, 1))[0, 0]
