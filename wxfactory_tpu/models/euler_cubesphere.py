@@ -40,6 +40,257 @@ IDX_RHO_THETA = 4
 HEAT_CAPACITY_RATIO = CPD / CVD
 
 
+def _pressure_of(rho_theta):
+    return P0 * jnp.exp(HEAT_CAPACITY_RATIO * jnp.log((RD / P0) * rho_theta))
+
+
+def build_euler3d_constants(ops: DFROperators, metric: Metric3D, dtype=jnp.float64) -> dict:
+    """Global constant arrays of the 3D Euler spatial operator, keyed for
+    `_euler3d_rhs_core`. Grid fields keep their full (6, nk, ny, nx, ...)
+    shape; the shard_map path slices them per tile and passes the slices as
+    operands to the same core."""
+    c = lambda a: jnp.asarray(a, dtype=dtype)
+    npE = lambda a: np.asarray(a, dtype=np.float64)
+    s = ops.num_solpts
+    ss = s * s
+    s3 = s**3
+
+    ccb = np.zeros((6 * ss, 3 * s3))
+    for k, cm in enumerate((ops.correction_WE3, ops.correction_SN3, ops.correction_DU3)):
+        ccb[2 * ss * k : 2 * ss * (k + 1), s3 * k : s3 * (k + 1)] = npE(cm)
+
+    _np_wpres = (
+        npE(metric.sqrtG) * npE(metric.h_contra[0, 2]) @ npE(ops.derivative_x3)
+        + npE(metric.sqrtG) * npE(metric.h_contra[1, 2]) @ npE(ops.derivative_y3)
+        + npE(metric.sqrtG) * npE(metric.h_contra[2, 2]) @ npE(ops.derivative_z3)
+    )
+
+    return {
+        "EE": c(np.concatenate([npE(ops.extrap_x3), npE(ops.extrap_y3), npE(ops.extrap_z3)], axis=1)),
+        "DD": c(np.concatenate([npE(ops.derivative_x3), npE(ops.derivative_y3), npE(ops.derivative_z3)], axis=0)),
+        "DD3": c(np.concatenate([npE(ops.derivative_x3), npE(ops.derivative_y3), npE(ops.derivative_z3)], axis=1)),
+        "CC": c(np.concatenate([npE(ops.correction_WE3), npE(ops.correction_SN3), npE(ops.correction_DU3)], axis=0)),
+        "CCb": c(ccb),
+        "hfk": c(ops.highfilter_k),
+        "sqrtG": c(metric.sqrtG),
+        "inv_sqrtG": c(metric.inv_sqrtG),
+        "inv_dzdeta": c(metric.inv_dzdeta),
+        "hc": c(metric.h_contra),  # (3, 3) + grid
+        "chr": c(metric.christoffel),  # (3, 9) + grid
+        "wpres_int": c(_np_wpres),
+        "sg_i": c(metric.sqrtG_itf_i),
+        "sg_j": c(metric.sqrtG_itf_j),
+        "sg_k": c(metric.sqrtG_itf_k),
+        "hr_i": c(metric.h_contra_itf_i[0]),  # (3,) + itf grid: h^{1,k}
+        "hr_j": c(metric.h_contra_itf_j[1]),
+        "hr_k": c(metric.h_contra_itf_k[2]),
+    }
+
+
+def _euler3d_rhs_core(q, cst: dict, halo_fn, ss: int, advection_only: bool = False,
+                      extra_forcing=None):
+    """The whole 3D Euler spatial operator on arrays of ANY grid shape
+    (global (nv, 6, nk, ny, nx, s^3) or one shard_map tile
+    (nv, nk, nyt, nxt, s^3)); `halo_fn(q_itf_i, q_itf_j)` supplies the four
+    horizontal halo traces (S, N, W, E) in local orientation. All metric
+    constants come from `cst` (build_euler3d_constants or per-tile slices
+    of it)."""
+    nv = q.shape[0]
+    sqrtG, inv_sqrtG = cst["sqrtG"], cst["inv_sqrtG"]
+    h = {(a, b): cst["hc"][a, b] for a in range(3) for b in range(3)}
+    rho = q[IDX_RHO]
+    u1 = q[IDX_RHO_U1] / rho
+    u2 = q[IDX_RHO_U2] / rho
+    w = q[IDX_RHO_W] / rho
+
+    # --- 1. Extrapolation to all six faces in ONE GEMM; rho and rho*theta
+    # travel in log space (reference rhs_dfr.py:62-71).
+    log_rho = jnp.log(rho)
+    log_rt = jnp.log(q[IDX_RHO_THETA])
+    q_ext = jnp.concatenate(
+        [log_rho[None], q[IDX_RHO_U1:IDX_RHO_THETA], log_rt[None], q[IDX_RHO_THETA + 1 :]]
+    )
+    itf = q_ext @ cst["EE"]
+    itf = jnp.concatenate(
+        [
+            jnp.exp(itf[IDX_RHO : IDX_RHO + 1]),
+            itf[IDX_RHO_U1:IDX_RHO_THETA],
+            jnp.exp(itf[IDX_RHO_THETA : IDX_RHO_THETA + 1]),
+            itf[IDX_RHO_THETA + 1 :],
+        ]
+    )
+    q_itf_i = itf[..., : 2 * ss]
+    q_itf_j = itf[..., 2 * ss : 4 * ss]
+    q_itf_k = itf[..., 4 * ss :]
+
+    # --- 2. Panel-edge halos (pooled exchange or tile ppermutes).
+    halo_s_, halo_n_, halo_w_, halo_e_ = halo_fn(q_itf_i, q_itf_j)
+
+    # --- 3+4. Pointwise fluxes + interior derivatives (see the factory
+    # docstring and reference pde_euler_cubesphere.py:72-124).
+    pressure = _pressure_of(q[IDX_RHO_THETA])
+    logp = jnp.log(pressure)
+    sgp = sqrtG * pressure
+    mom = slice(IDX_RHO_U1, IDX_RHO_W + 1)
+
+    bund = []
+    for un, d in ((u1, 0), (u2, 1), (w, 2)):
+        flux = sqrtG * un * q
+        wadv = flux[IDX_RHO_W]
+        flux = flux.at[mom].add(jnp.stack([sgp * h[(d, 0)], sgp * h[(d, 1)], sgp * h[(d, 2)]]))
+        bund.append(jnp.concatenate([flux, wadv[None]], axis=0))
+    interior = jnp.concatenate(bund, axis=-1) @ cst["DD"]
+    df_sum = interior[:nv]
+    w_adv_sum = interior[nv]
+    dlogp = logp @ cst["DD3"]
+
+    # --- 5. Per-interface left/right states.
+    east = q_itf_i[..., ss:]
+    west = q_itf_i[..., :ss]
+    qL_x = jnp.concatenate([halo_w_[..., None, :], east], axis=-2)
+    qR_x = jnp.concatenate([west, halo_e_[..., None, :]], axis=-2)
+
+    north = q_itf_j[..., ss:]
+    south = q_itf_j[..., :ss]
+    qL_y = jnp.concatenate([halo_s_[..., None, :, :], north], axis=-3)
+    qR_y = jnp.concatenate([south, halo_n_[..., None, :, :]], axis=-3)
+
+    top = q_itf_k[..., ss:]
+    bot = q_itf_k[..., :ss]
+    qL_z = jnp.concatenate([bot[..., 0:1, :, :, :], top], axis=-4)  # ground mirror
+    qR_z = jnp.concatenate([bot, top[..., -1:, :, :, :]], axis=-4)
+
+    vL_x = qL_x[IDX_RHO_U1] / qL_x[IDX_RHO]
+    vR_x = qR_x[IDX_RHO_U1] / qR_x[IDX_RHO]
+    vL_y = qL_y[IDX_RHO_U2] / qL_y[IDX_RHO]
+    vR_y = qR_y[IDX_RHO_U2] / qR_y[IDX_RHO]
+    w_bot = bot[IDX_RHO_W] / bot[IDX_RHO]
+    w_top = top[IDX_RHO_W] / top[IDX_RHO]
+    vL_z = jnp.concatenate([-w_bot[..., 0:1, :, :, :], w_top], axis=-4)
+    vR_z = jnp.concatenate([w_bot, -w_top[..., -1:, :, :, :]], axis=-4)
+
+    # One merged Rusanov pass over all three interface families.
+    _flat = lambda a: a.reshape(-1, ss)
+    sg_cat = jnp.concatenate([_flat(cst["sg_i"]), _flat(cst["sg_j"]), _flat(cst["sg_k"])])
+    h_row_cat = tuple(
+        jnp.concatenate([_flat(cst["hr_i"][k]), _flat(cst["hr_j"][k]), _flat(cst["hr_k"][k])])
+        for k in range(3)
+    )
+    h_diag_cat = jnp.concatenate(
+        [_flat(cst["hr_i"][0]), _flat(cst["hr_j"][1]), _flat(cst["hr_k"][2])]
+    )
+
+    xsh, ysh, zsh = qL_x.shape[1:], qL_y.shape[1:], qL_z.shape[1:]
+    NX = int(np.prod(xsh[:-1]))
+    NY = int(np.prod(ysh[:-1]))
+    fl = lambda a: a.reshape(a.shape[: a.ndim - len(xsh)] + (-1, ss))
+    qL = jnp.concatenate([fl(qL_x), fl(qL_y), fl(qL_z)], axis=-2)
+    qR = jnp.concatenate([fl(qR_x), fl(qR_y), fl(qR_z)], axis=-2)
+    vL = jnp.concatenate([fl(vL_x), fl(vL_y), fl(vL_z)], axis=-2)
+    vR = jnp.concatenate([fl(vR_x), fl(vR_y), fl(vR_z)], axis=-2)
+
+    pL_c = _pressure_of(qL[IDX_RHO_THETA])
+    pR_c = _pressure_of(qR[IDX_RHO_THETA])
+    if advection_only:
+        eig = jnp.maximum(jnp.abs(vL), jnp.abs(vR))
+    else:
+        eig_l = jnp.abs(vL) + jnp.sqrt(h_diag_cat * HEAT_CAPACITY_RATIO * pL_c / qL[IDX_RHO])
+        eig_r = jnp.abs(vR) + jnp.sqrt(h_diag_cat * HEAT_CAPACITY_RATIO * pR_c / qR[IDX_RHO])
+        eig = jnp.maximum(eig_l, eig_r)
+    flux_l = sg_cat * vL * qL
+    flux_r = sg_cat * vR * qR
+    wadv_c = 0.5 * (flux_l[IDX_RHO_W] + flux_r[IDX_RHO_W]
+                    - eig * sg_cat * (qR[IDX_RHO_W] - qL[IDX_RHO_W]))
+    h0, h1, h2 = h_row_cat
+    flux_l = flux_l.at[IDX_RHO_U1 : IDX_RHO_W + 1].add(
+        jnp.stack([sg_cat * h0 * pL_c, sg_cat * h1 * pL_c, sg_cat * h2 * pL_c])
+    )
+    flux_r = flux_r.at[IDX_RHO_U1 : IDX_RHO_W + 1].add(
+        jnp.stack([sg_cat * h0 * pR_c, sg_cat * h1 * pR_c, sg_cat * h2 * pR_c])
+    )
+    f_c = 0.5 * (flux_l + flux_r - eig * sg_cat * (qR - qL))
+    wpres_c = 0.5 * (sg_cat * h2 * pL_c + sg_cat * h2 * pR_c)
+
+    sx = lambda a: a[..., :NX, :].reshape(a.shape[: a.ndim - 2] + xsh)
+    sy = lambda a: a[..., NX : NX + NY, :].reshape(a.shape[: a.ndim - 2] + ysh)
+    sz = lambda a: a[..., NX + NY :, :].reshape(a.shape[: a.ndim - 2] + zsh)
+    f_x, f_y, f_z = sx(f_c), sy(f_c), sz(f_c)
+    wadv_x, wadv_y, wadv_z = sx(wadv_c), sy(wadv_c), sz(wadv_c)
+    wpres_x, wpres_y, wpres_z = sx(wpres_c), sy(wpres_c), sz(wpres_c)
+    pLx, pLy, pLz = sx(pL_c), sy(pL_c), sz(pL_c)
+    pRx, pRy, pRz = sx(pR_c), sy(pR_c), sz(pR_c)
+
+    # --- 6. Boundary corrections (factory docstring).
+    faces_x = lambda a: jnp.concatenate([a[..., :-1, :], a[..., 1:, :]], axis=-1)
+    faces_y = lambda a: jnp.concatenate([a[..., :-1, :, :], a[..., 1:, :, :]], axis=-1)
+    faces_z = lambda a: jnp.concatenate([a[..., :-1, :, :, :], a[..., 1:, :, :, :]], axis=-1)
+
+    def face_parts(f_itf, wadv, wpres, p_w, p_e, sl_w, sl_e, faces):
+        wpres_faces = jnp.concatenate([sl_w(wpres) / p_w, sl_e(wpres) / p_e], axis=-1)
+        logp_faces = jnp.concatenate([jnp.log(p_w), jnp.log(p_e)], axis=-1)
+        bundle = jnp.concatenate([faces(f_itf), faces(wadv[None]), wpres_faces[None]], axis=0)
+        return bundle, logp_faces
+
+    sxw = lambda a: a[..., :-1, :]
+    sxe = lambda a: a[..., 1:, :]
+    syw = lambda a: a[..., :-1, :, :]
+    sye = lambda a: a[..., 1:, :, :]
+    szw = lambda a: a[..., :-1, :, :, :]
+    sze = lambda a: a[..., 1:, :, :, :]
+    fb_x, lpf_x = face_parts(f_x, wadv_x, wpres_x, sxw(pRx), sxe(pLx), sxw, sxe, faces_x)
+    fb_y, lpf_y = face_parts(f_y, wadv_y, wpres_y, syw(pRy), sye(pLy), syw, sye, faces_y)
+    fb_z, lpf_z = face_parts(f_z, wadv_z, wpres_z, szw(pRz), sze(pLz), szw, sze, faces_z)
+
+    corr = jnp.concatenate([fb_x, fb_y, fb_z], axis=-1) @ cst["CC"]
+    dlp = dlogp + jnp.concatenate([lpf_x, lpf_y, lpf_z], axis=-1) @ cst["CCb"]
+
+    df = df_sum + corr[:nv]
+    s3_ = dlp.shape[-1] // 3
+    w_df = (
+        w_adv_sum
+        + corr[nv]
+        + (cst["wpres_int"] + corr[nv + 1]) * pressure
+        + pressure
+        * (
+            sqrtG * h[(0, 2)] * dlp[..., :s3_]
+            + sqrtG * h[(1, 2)] * dlp[..., s3_ : 2 * s3_]
+            + sqrtG * h[(2, 2)] * dlp[..., 2 * s3_ :]
+        )
+    )
+
+    out = -inv_sqrtG * df
+    out = out.at[IDX_RHO_W].set(-inv_sqrtG * w_df)
+
+    # --- 7. Forcing (pde_euler_cubesphere.py:12-53, :279-281).
+    chr_ = cst["chr"]
+
+    def forcing_row(a):
+        ch = chr_[a]
+        return (
+            2.0 * rho * (ch[0] * u1 + ch[1] * u2 + ch[2] * w)
+            + ch[3] * (rho * u1 * u1 + h[(0, 0)] * pressure)
+            + 2.0 * ch[4] * (rho * u1 * u2 + h[(0, 1)] * pressure)
+            + 2.0 * ch[5] * (rho * u1 * w + h[(0, 2)] * pressure)
+            + ch[6] * (rho * u2 * u2 + h[(1, 1)] * pressure)
+            + 2.0 * ch[7] * (rho * u2 * w + h[(1, 2)] * pressure)
+            + ch[8] * (rho * w * w + h[(2, 2)] * pressure)
+        )
+
+    f1, f2 = forcing_row(0), forcing_row(1)
+    gravity_term = cst["inv_dzdeta"] * GRAVITY * inv_sqrtG * ((sqrtG * rho) @ cst["hfk"])
+    f3 = forcing_row(2) + gravity_term
+    if extra_forcing is not None:
+        e1, e2, e3 = extra_forcing(rho, u1, u2, w)
+        f1, f2, f3 = f1 + e1, f2 + e2, f3 + e3
+    out = out.at[IDX_RHO_U1].add(-f1)
+    out = out.at[IDX_RHO_U2].add(-f2)
+    out = out.at[IDX_RHO_W].add(-f3)
+
+    if advection_only:
+        out = out.at[:5].set(0.0)
+    return out
+
+
 def make_rhs_euler_cubesphere(
     geom: CubedSphere3D,
     ops: DFROperators,
@@ -76,314 +327,16 @@ def make_rhs_euler_cubesphere(
     ss = s * s
     nel_h, nel_v = geom.nel_h, geom.nel_v
 
-    c = lambda a: jnp.asarray(a, dtype=dtype)
+    cst = build_euler3d_constants(ops, metric, dtype=dtype)
 
-    Ex, Ey, Ez = c(ops.extrap_x3), c(ops.extrap_y3), c(ops.extrap_z3)
-    Dx, Dy, Dz = c(ops.derivative_x3), c(ops.derivative_y3), c(ops.derivative_z3)
-    Cx, Cy, Cz = c(ops.correction_WE3), c(ops.correction_SN3), c(ops.correction_DU3)
-    highfilter_k = c(ops.highfilter_k)
-
-    # Fused operator blocks: the three directional GEMMs of each stage
-    # collapse into ONE batched GEMM (XLA cannot reassociate across separate
-    # dots itself). EE extrapolates to all 6 faces at once; DD/CC contract a
-    # direction-concatenated input straight into the x+y+z SUM; DD3/CCb keep
-    # the three directional outputs separate (needed for the w pressure
-    # split, whose per-direction factor sqrtG*h^{d3} differs).
-    npE = lambda a: np.asarray(a, dtype=np.float64)
-    EE = c(np.concatenate([npE(ops.extrap_x3), npE(ops.extrap_y3), npE(ops.extrap_z3)], axis=1))
-    DD = c(np.concatenate([npE(ops.derivative_x3), npE(ops.derivative_y3), npE(ops.derivative_z3)], axis=0))
-    DD3 = c(np.concatenate([npE(ops.derivative_x3), npE(ops.derivative_y3), npE(ops.derivative_z3)], axis=1))
-    CC = c(np.concatenate([npE(ops.correction_WE3), npE(ops.correction_SN3), npE(ops.correction_DU3)], axis=0))
-    s3 = s * s * s
-    ccb = np.zeros((6 * ss, 3 * s3))
-    for k, cm in enumerate((ops.correction_WE3, ops.correction_SN3, ops.correction_DU3)):
-        ccb[2 * ss * k : 2 * ss * (k + 1), s3 * k : s3 * (k + 1)] = npE(cm)
-    CCb = c(ccb)
-
-    sqrtG = c(metric.sqrtG)
-    inv_sqrtG = c(metric.inv_sqrtG)
-    inv_dzdeta = c(metric.inv_dzdeta)
-    h = {(a, b): c(metric.h_contra[a, b]) for a in range(3) for b in range(3)}
-    chr_ = c(metric.christoffel)  # (3, 9, ...)
-
-    # Interface metric, concatenated over the three interface families so the
-    # Riemann stage runs as ONE vectorized pass over every interface of the
-    # grid (x: normal row h^{1*}, y: h^{2*}, z: h^{3*}).
-    _flat = lambda a: np.asarray(a, np.float64).reshape(-1, ss)
-    sg_cat = c(np.concatenate([_flat(metric.sqrtG_itf_i), _flat(metric.sqrtG_itf_j), _flat(metric.sqrtG_itf_k)]))
-    h_row_cat = tuple(
-        c(
-            np.concatenate(
-                [
-                    _flat(metric.h_contra_itf_i[0, k]),
-                    _flat(metric.h_contra_itf_j[1, k]),
-                    _flat(metric.h_contra_itf_k[2, k]),
-                ]
-            )
-        )
-        for k in range(3)
-    )
-    h_diag_cat = c(
-        np.concatenate(
-            [
-                _flat(metric.h_contra_itf_i[0, 0]),
-                _flat(metric.h_contra_itf_j[1, 1]),
-                _flat(metric.h_contra_itf_k[2, 2]),
-            ]
-        )
-    )
-
-    # The interior derivative of the w pressure-split weight
-    # sum_d (sqrtG*h^{d3}) @ D_d is state-independent: precompute it host-side
-    # (the reference recomputes it every RHS call, rhs_dfr.py:89-104).
-    _np_wpres = (
-        np.asarray(metric.sqrtG, np.float64) * np.asarray(metric.h_contra[0, 2], np.float64) @ npE(ops.derivative_x3)
-        + np.asarray(metric.sqrtG, np.float64) * np.asarray(metric.h_contra[1, 2], np.float64) @ npE(ops.derivative_y3)
-        + np.asarray(metric.sqrtG, np.float64) * np.asarray(metric.h_contra[2, 2], np.float64) @ npE(ops.derivative_z3)
-    )
-    w_presa_interior = c(_np_wpres)
-
-    def pressure_of(rho_theta):
-        return P0 * jnp.exp(HEAT_CAPACITY_RATIO * jnp.log((RD / P0) * rho_theta))
-
-    def rusanov(qL, qR, vL, vR, sqrtG_itf, h_row, h_diag, adv_only):
-        """Rusanov common flux at a set of interfaces.
-
-        qL/qR: (nv, ..., s^2) face states; vL/vR: normal advection speed.
-        h_row: tuple of metric row components (h^{n,0}, h^{n,1}, h^{n,2}) at
-        the interfaces; h_diag: h^{nn}. Returns (flux, wflux_adv,
-        wflux_pres_sum, pL, pR). Reference pde/fluxes.py:150-560.
-        """
-        pL = pressure_of(qL[IDX_RHO_THETA])
-        pR = pressure_of(qR[IDX_RHO_THETA])
-
-        if adv_only:
-            eig = jnp.maximum(jnp.abs(vL), jnp.abs(vR))
-        else:
-            eig_l = jnp.abs(vL) + jnp.sqrt(h_diag * HEAT_CAPACITY_RATIO * pL / qL[IDX_RHO])
-            eig_r = jnp.abs(vR) + jnp.sqrt(h_diag * HEAT_CAPACITY_RATIO * pR / qR[IDX_RHO])
-            eig = jnp.maximum(eig_l, eig_r)
-
-        flux_l = sqrtG_itf * vL * qL
-        flux_r = sqrtG_itf * vR * qR
-        wflux_adv_l = flux_l[IDX_RHO_W]
-        wflux_adv_r = flux_r[IDX_RHO_W]
-
-        h0, h1, h2 = h_row
-        pres_l = jnp.stack([sqrtG_itf * h0 * pL, sqrtG_itf * h1 * pL, sqrtG_itf * h2 * pL])
-        pres_r = jnp.stack([sqrtG_itf * h0 * pR, sqrtG_itf * h1 * pR, sqrtG_itf * h2 * pR])
-        flux_l = flux_l.at[IDX_RHO_U1:IDX_RHO_W + 1].add(pres_l)
-        flux_r = flux_r.at[IDX_RHO_U1:IDX_RHO_W + 1].add(pres_r)
-
-        wflux_pres_l = sqrtG_itf * h2 * pL
-        wflux_pres_r = sqrtG_itf * h2 * pR
-
-        flux = 0.5 * (flux_l + flux_r - eig * sqrtG_itf * (qR - qL))
-        wflux_adv = 0.5 * (
-            wflux_adv_l + wflux_adv_r - eig * sqrtG_itf * (qR[IDX_RHO_W] - qL[IDX_RHO_W])
-        )
-        wflux_pres_sum = 0.5 * (wflux_pres_l + wflux_pres_r)
-        return flux, wflux_adv, wflux_pres_sum, pL, pR
-
-    def faces_x(itf):
-        return jnp.concatenate([itf[..., :-1, :], itf[..., 1:, :]], axis=-1)
-
-    def faces_y(itf):
-        return jnp.concatenate([itf[..., :-1, :, :], itf[..., 1:, :, :]], axis=-1)
-
-    def faces_z(itf):
-        return jnp.concatenate([itf[..., :-1, :, :, :], itf[..., 1:, :, :, :]], axis=-1)
+    def halo_fn(q_itf_i, q_itf_j):
+        halo = topology.halo_state_3d(q_itf_i, q_itf_j, (IDX_RHO_U1, IDX_RHO_U2))
+        return halo[:, SOUTH], halo[:, NORTH], halo[:, WEST], halo[:, EAST]
 
     def rhs(q: jnp.ndarray) -> jnp.ndarray:
-        nv = q.shape[0]
-        rho = q[IDX_RHO]
-        u1 = q[IDX_RHO_U1] / rho
-        u2 = q[IDX_RHO_U2] / rho
-        w = q[IDX_RHO_W] / rho
-
-        # --- 1. Extrapolation to all six faces in ONE GEMM; rho and
-        # rho*theta travel in log space (rhs_dfr.py:62-71) so the interface
-        # states stay positive — the log rows are built into the GEMM input
-        # instead of re-running the extrapolation on them afterwards.
-        log_rho = jnp.log(rho)
-        log_rt = jnp.log(q[IDX_RHO_THETA])
-        q_ext = jnp.concatenate(
-            [log_rho[None], q[IDX_RHO_U1:IDX_RHO_THETA], log_rt[None], q[IDX_RHO_THETA + 1 :]]
+        return _euler3d_rhs_core(
+            q, cst, halo_fn, ss, advection_only=advection_only, extra_forcing=extra_forcing
         )
-        itf = q_ext @ EE  # (nv, 6, nk, ny, nx, 6s^2)
-        itf = jnp.concatenate(
-            [
-                jnp.exp(itf[IDX_RHO : IDX_RHO + 1]),
-                itf[IDX_RHO_U1:IDX_RHO_THETA],
-                jnp.exp(itf[IDX_RHO_THETA : IDX_RHO_THETA + 1]),
-                itf[IDX_RHO_THETA + 1 :],
-            ]
-        )
-        q_itf_i = itf[..., : 2 * ss]
-        q_itf_j = itf[..., 2 * ss : 4 * ss]
-        q_itf_k = itf[..., 4 * ss :]
-
-        # --- 2. Panel-edge halos: one pooled exchange for the whole state;
-        # the horizontal momentum pair gets the 2x2 panel-basis rotation,
-        # everything else (rho, rho*w, rho*theta, tracers) passes through.
-        halo = topology.halo_state_3d(q_itf_i, q_itf_j, (IDX_RHO_U1, IDX_RHO_U2))
-        halo_s_ = halo[:, SOUTH]
-        halo_n_ = halo[:, NORTH]
-        halo_w_ = halo[:, WEST]
-        halo_e_ = halo[:, EAST]
-
-        # --- 3+4. Pointwise fluxes (pde_euler_cubesphere.py:72-124) and
-        # interior derivatives. The three directional flux families are
-        # concatenated on the solution-point axis and contracted by the
-        # stacked [Dx; Dy; Dz] operator, producing the x+y+z divergence SUM
-        # in one GEMM; the w advective flux rides along as an extra row.
-        # The w pressure-split interior term sum_d (sqrtG*h^{d3}) @ D_d is a
-        # constant (precomputed above); the d(log p) interior gradients come
-        # from one [Dx|Dy|Dz] GEMM since each direction keeps its own factor.
-        pressure = pressure_of(q[IDX_RHO_THETA])
-        logp = jnp.log(pressure)
-        sgp = sqrtG * pressure
-        mom = slice(IDX_RHO_U1, IDX_RHO_W + 1)
-
-        bund = []
-        for un, d in ((u1, 0), (u2, 1), (w, 2)):
-            flux = sqrtG * un * q
-            wadv = flux[IDX_RHO_W]
-            flux = flux.at[mom].add(jnp.stack([sgp * h[(d, 0)], sgp * h[(d, 1)], sgp * h[(d, 2)]]))
-            bund.append(jnp.concatenate([flux, wadv[None]], axis=0))
-        interior = jnp.concatenate(bund, axis=-1) @ DD  # (nv+1, ..., s^3)
-        df_sum = interior[:nv]
-        w_adv_sum = interior[nv]
-        dlogp = logp @ DD3  # (..., 3s^3): interior d(logp)/dx^d per direction
-
-        wflux_pres_x1 = sqrtG * h[(0, 2)]
-        wflux_pres_x2 = sqrtG * h[(1, 2)]
-        wflux_pres_x3 = sqrtG * h[(2, 2)]
-
-        # --- 5. Per-interface left/right states.
-        east = q_itf_i[..., ss:]
-        west = q_itf_i[..., :ss]
-        qL_x = jnp.concatenate([halo_w_[..., None, :], east], axis=-2)  # (nv, 6, nk, ny, nx+1, s^2)
-        qR_x = jnp.concatenate([west, halo_e_[..., None, :]], axis=-2)
-
-        north = q_itf_j[..., ss:]
-        south = q_itf_j[..., :ss]
-        qL_y = jnp.concatenate([halo_s_[..., None, :, :], north], axis=-3)
-        qR_y = jnp.concatenate([south, halo_n_[..., None, :, :]], axis=-3)
-
-        top = q_itf_k[..., ss:]
-        bot = q_itf_k[..., :ss]
-        qL_z = jnp.concatenate([bot[..., 0:1, :, :, :], top], axis=-4)  # ground: mirror state
-        qR_z = jnp.concatenate([bot, top[..., -1:, :, :, :]], axis=-4)
-
-        # Normal speeds; vertical uses physical w with odd symmetry at the
-        # rigid boundaries (pde_euler_cubesphere.py:150-156).
-        vL_x = qL_x[IDX_RHO_U1] / qL_x[IDX_RHO]
-        vR_x = qR_x[IDX_RHO_U1] / qR_x[IDX_RHO]
-        vL_y = qL_y[IDX_RHO_U2] / qL_y[IDX_RHO]
-        vR_y = qR_y[IDX_RHO_U2] / qR_y[IDX_RHO]
-        w_bot = bot[IDX_RHO_W] / bot[IDX_RHO]
-        w_top = top[IDX_RHO_W] / top[IDX_RHO]
-        vL_z = jnp.concatenate([-w_bot[..., 0:1, :, :, :], w_top], axis=-4)
-        vR_z = jnp.concatenate([w_bot, -w_top[..., -1:, :, :, :]], axis=-4)
-
-        # One merged Rusanov pass over all three interface families: flatten
-        # each family's grid dims, concatenate, solve, split back. Cuts the
-        # elementwise-op dispatch count of the Riemann stage by 3x; the
-        # concatenated interface metric is precomputed above.
-        xsh, ysh, zsh = qL_x.shape[1:], qL_y.shape[1:], qL_z.shape[1:]
-        NX = int(np.prod(xsh[:-1]))
-        NY = int(np.prod(ysh[:-1]))
-        fl = lambda a: a.reshape(a.shape[: a.ndim - 5] + (-1, ss))
-        qL = jnp.concatenate([fl(qL_x), fl(qL_y), fl(qL_z)], axis=-2)
-        qR = jnp.concatenate([fl(qR_x), fl(qR_y), fl(qR_z)], axis=-2)
-        vL = jnp.concatenate([fl(vL_x), fl(vL_y), fl(vL_z)], axis=-2)
-        vR = jnp.concatenate([fl(vR_x), fl(vR_y), fl(vR_z)], axis=-2)
-        f_c, wadv_c, wpres_c, pL_c, pR_c = rusanov(
-            qL, qR, vL, vR, sg_cat, h_row_cat, h_diag_cat, advection_only
-        )
-        sx = lambda a: a[..., :NX, :].reshape(a.shape[: a.ndim - 2] + xsh)
-        sy = lambda a: a[..., NX : NX + NY, :].reshape(a.shape[: a.ndim - 2] + ysh)
-        sz = lambda a: a[..., NX + NY :, :].reshape(a.shape[: a.ndim - 2] + zsh)
-        f_x, f_y, f_z = sx(f_c), sy(f_c), sz(f_c)
-        wadv_x, wadv_y, wadv_z = sx(wadv_c), sy(wadv_c), sz(wadv_c)
-        wpres_x, wpres_y, wpres_z = sx(wpres_c), sy(wpres_c), sz(wpres_c)
-        pLx, pLy, pLz = sx(pL_c), sy(pL_c), sz(pL_c)
-        pRx, pRy, pRz = sx(pR_c), sy(pR_c), sz(pR_c)
-
-        # --- 6. Boundary corrections, all three directions in two GEMMs.
-        # Per direction the face bundle stacks the nv interface-flux rows,
-        # the w advective flux and the w pressure-split flux (divided by the
-        # local face pressure, fluxes.py:215-217); the direction-concatenated
-        # bundle contracts against [Cx; Cy; Cz] into the x+y+z correction
-        # SUM. The face log-pressures (rhs_dfr.py:113-136) go through the
-        # block-diagonal [Cx, Cy, Cz] since each direction keeps its own
-        # sqrtG*h^{d3} factor.
-        def face_parts(f_itf, wadv, wpres, p_w, p_e, sl_w, sl_e, faces):
-            # Face-located division: the west face of an element is the R
-            # side of its interface; the east face is the L side of the next.
-            wpres_faces = jnp.concatenate([sl_w(wpres) / p_w, sl_e(wpres) / p_e], axis=-1)
-            logp_faces = jnp.concatenate([jnp.log(p_w), jnp.log(p_e)], axis=-1)
-            bundle = jnp.concatenate([faces(f_itf), faces(wadv[None]), wpres_faces[None]], axis=0)
-            return bundle, logp_faces
-
-        sxw = lambda a: a[..., :-1, :]
-        sxe = lambda a: a[..., 1:, :]
-        syw = lambda a: a[..., :-1, :, :]
-        sye = lambda a: a[..., 1:, :, :]
-        szw = lambda a: a[..., :-1, :, :, :]
-        sze = lambda a: a[..., 1:, :, :, :]
-        fb_x, lpf_x = face_parts(f_x, wadv_x, wpres_x, sxw(pRx), sxe(pLx), sxw, sxe, faces_x)
-        fb_y, lpf_y = face_parts(f_y, wadv_y, wpres_y, syw(pRy), sye(pLy), syw, sye, faces_y)
-        fb_z, lpf_z = face_parts(f_z, wadv_z, wpres_z, szw(pRz), sze(pLz), szw, sze, faces_z)
-
-        corr = jnp.concatenate([fb_x, fb_y, fb_z], axis=-1) @ CC  # (nv+2, ..., s^3)
-        dlp = dlogp + jnp.concatenate([lpf_x, lpf_y, lpf_z], axis=-1) @ CCb  # (..., 3s^3)
-
-        df = df_sum + corr[:nv]
-        s3_ = dlp.shape[-1] // 3
-        w_df = (
-            w_adv_sum
-            + corr[nv]
-            + (w_presa_interior + corr[nv + 1]) * pressure
-            + pressure
-            * (
-                wflux_pres_x1 * dlp[..., :s3_]
-                + wflux_pres_x2 * dlp[..., s3_ : 2 * s3_]
-                + wflux_pres_x3 * dlp[..., 2 * s3_ :]
-            )
-        )
-
-        out = -inv_sqrtG * df
-        out = out.at[IDX_RHO_W].set(-inv_sqrtG * w_df)
-
-        # --- 7. Forcing: Christoffel/Coriolis contraction
-        # (pde_euler_cubesphere.py:12-53) + filtered gravity (:279-281).
-        def forcing_row(a):
-            ch = chr_[a]
-            return (
-                2.0 * rho * (ch[0] * u1 + ch[1] * u2 + ch[2] * w)
-                + ch[3] * (rho * u1 * u1 + h[(0, 0)] * pressure)
-                + 2.0 * ch[4] * (rho * u1 * u2 + h[(0, 1)] * pressure)
-                + 2.0 * ch[5] * (rho * u1 * w + h[(0, 2)] * pressure)
-                + ch[6] * (rho * u2 * u2 + h[(1, 1)] * pressure)
-                + 2.0 * ch[7] * (rho * u2 * w + h[(1, 2)] * pressure)
-                + ch[8] * (rho * w * w + h[(2, 2)] * pressure)
-            )
-
-        f1, f2 = forcing_row(0), forcing_row(1)
-        gravity_term = inv_dzdeta * GRAVITY * inv_sqrtG * ((sqrtG * rho) @ highfilter_k)
-        f3 = forcing_row(2) + gravity_term
-        if extra_forcing is not None:
-            e1, e2, e3 = extra_forcing(rho, u1, u2, w)
-            f1, f2, f3 = f1 + e1, f2 + e2, f3 + e3
-        out = out.at[IDX_RHO_U1].add(-f1)
-        out = out.at[IDX_RHO_U2].add(-f2)
-        out = out.at[IDX_RHO_W].add(-f3)
-
-        if advection_only:
-            out = out.at[:5].set(0.0)
-        return out
 
     # --- Pallas fast path (ops/pallas_euler3d.py): the whole spatial
     # operator as one mega kernel per (y-slab, panel) block; only the tiny
