@@ -181,3 +181,53 @@ def test_shard_map_euler3d_tiles_match_global(n):
     got = np.asarray(step(step(jax.device_put(q, sharding))))
     scale = np.abs(want).max(axis=(1, 2, 3, 4, 5), keepdims=True)
     np.testing.assert_allclose(got / scale, want / scale, atol=1e-12)
+
+
+def test_perturbation_form_f32_accuracy():
+    """Perturbation-form (base-state-split) 3D Euler: term-level expansion
+    around the balanced base state (models/euler_cubesphere.py
+    _euler3d_rhs_core_pert). In f64 it must reproduce the absolute operator
+    exactly; in f32, stepping the CARRIED perturbation must beat the
+    absolute-state f32 trajectory error by >= 2 orders of magnitude
+    against the f64 truth (the hydrostatic cancellation never crosses
+    float32)."""
+    nel_h, nel_v, s = 8, 3, 2
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, 10000.0, planet_scaling_factor=125.0,
+                                planet_is_rotating=False)
+    ops = make_dfr_operators(s, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    q0 = jnp.asarray(dcmip_gravity_wave(geom))
+
+    rhs64 = jax.jit(make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float64, interior="xla"))
+    pert64 = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float64, interior="xla",
+                                       perturbation_base=q0)
+    truth0 = np.asarray(rhs64(q0))
+    scale0 = np.abs(truth0).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+    # exact (to reassociation roundoff) at the base state; matches the
+    # absolute operator nearby
+    np.testing.assert_allclose(np.asarray(pert64(q0)) / scale0, truth0 / scale0, atol=1e-13)
+    rng = np.random.default_rng(0)
+    qp = q0 * (1.0 + 1e-3 * rng.standard_normal(q0.shape))
+    tp = np.asarray(rhs64(qp))
+    sp = np.abs(tp).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+    assert np.abs((np.asarray(pert64(qp)) - tp) / sp).max() < 1e-11
+
+    rhs32 = jax.jit(make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float32, interior="xla"))
+    pert32 = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float32, interior="xla",
+                                       perturbation_base=q0)
+    delta = jax.jit(pert32.delta)
+
+    def run(rhs, q, dt, n):
+        for _ in range(n):
+            q1 = q + rhs(q) * dt
+            q2 = 0.75 * q + 0.25 * (q1 + rhs(q1) * dt)
+            q = q / 3.0 + 2.0 / 3.0 * (q2 + rhs(q2) * dt)
+        return q
+
+    dt, n = 0.5, 25
+    truth = np.asarray(run(rhs64, q0, dt, n))
+    dev_scale = np.abs(truth - np.asarray(q0)).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+    err_abs = np.abs((np.asarray(run(rhs32, q0.astype(jnp.float32), dt, n)) - truth) / dev_scale).max()
+    qprime = np.asarray(run(delta, jnp.zeros_like(q0, dtype=jnp.float32), dt, n))
+    err_pert = np.abs((np.asarray(q0) + qprime - truth) / dev_scale).max()
+    assert err_pert < err_abs / 50.0, (err_pert, err_abs)

@@ -291,6 +291,338 @@ def _euler3d_rhs_core(q, cst: dict, halo_fn, ss: int, advection_only: bool = Fal
     return out
 
 
+def _euler3d_base_intermediates(q0, cst: dict, halo_fn, ss: int) -> dict:
+    """Base-state intermediates for the perturbation-form RHS, computed once
+    (in float64 at factory time) and closed over as constants."""
+    rho0 = q0[IDX_RHO]
+    log_rho = jnp.log(rho0)
+    log_rt = jnp.log(q0[IDX_RHO_THETA])
+    q_ext = jnp.concatenate([log_rho[None], q0[1:4], log_rt[None]])
+    itf = q_ext @ cst["EE"]
+    itf = jnp.concatenate(
+        [jnp.exp(itf[0:1]), itf[1:4], jnp.exp(itf[4:5])]
+    )
+    itf_i, itf_j, itf_k = itf[..., : 2 * ss], itf[..., 2 * ss : 4 * ss], itf[..., 4 * ss :]
+    hs0, hn0, hw0, he0 = halo_fn(itf_i, itf_j)
+    p0 = _pressure_of(q0[IDX_RHO_THETA])
+    logp0 = jnp.log(p0)
+    dlogp0 = logp0 @ cst["DD3"]
+
+    # Base face pressures / w-split pieces (mirror the absolute core's
+    # stage 5-6 plumbing) for dlp0 and the base wpres/p face correction.
+    east, west = itf_i[..., ss:], itf_i[..., :ss]
+    qL_x = jnp.concatenate([hw0[..., None, :], east], axis=-2)
+    qR_x = jnp.concatenate([west, he0[..., None, :]], axis=-2)
+    north, south = itf_j[..., ss:], itf_j[..., :ss]
+    qL_y = jnp.concatenate([hs0[..., None, :, :], north], axis=-3)
+    qR_y = jnp.concatenate([south, hn0[..., None, :, :]], axis=-3)
+    top, bot = itf_k[..., ss:], itf_k[..., :ss]
+    qL_z = jnp.concatenate([bot[..., 0:1, :, :, :], top], axis=-4)
+    qR_z = jnp.concatenate([bot, top[..., -1:, :, :, :]], axis=-4)
+
+    pf = _pressure_of
+    pLx, pRx = pf(qL_x[IDX_RHO_THETA]), pf(qR_x[IDX_RHO_THETA])
+    pLy, pRy = pf(qL_y[IDX_RHO_THETA]), pf(qR_y[IDX_RHO_THETA])
+    pLz, pRz = pf(qL_z[IDX_RHO_THETA]), pf(qR_z[IDX_RHO_THETA])
+    sxw = lambda a: a[..., :-1, :]
+    sxe = lambda a: a[..., 1:, :]
+    syw = lambda a: a[..., :-1, :, :]
+    sye = lambda a: a[..., 1:, :, :]
+    szw = lambda a: a[..., :-1, :, :, :]
+    sze = lambda a: a[..., 1:, :, :, :]
+    lpf_x = jnp.concatenate([jnp.log(sxw(pRx)), jnp.log(sxe(pLx))], axis=-1)
+    lpf_y = jnp.concatenate([jnp.log(syw(pRy)), jnp.log(sye(pLy))], axis=-1)
+    lpf_z = jnp.concatenate([jnp.log(szw(pRz)), jnp.log(sze(pLz))], axis=-1)
+    dlp0 = dlogp0 + jnp.concatenate([lpf_x, lpf_y, lpf_z], axis=-1) @ cst["CCb"]
+
+    # wpres0/p0 face correction: sum over the three families through CC
+    # (rows laid out [x faces | y faces | z faces], like the core's bundle).
+    def wp0(sg, h2, pLf, pRf, sw, se):
+        wp = 0.5 * sg * h2 * (pLf + pRf)
+        return jnp.concatenate([sw(wp) / sw(pRf), se(wp) / se(pLf)], axis=-1)
+
+    wpf_x = wp0(cst["sg_i"], cst["hr_i"][2], pLx, pRx, sxw, sxe)
+    wpf_y = wp0(cst["sg_j"], cst["hr_j"][2], pLy, pRy, syw, sye)
+    wpf_z = wp0(cst["sg_k"], cst["hr_k"][2], pLz, pRz, szw, sze)
+    wcorr0 = jnp.concatenate([wpf_x, wpf_y, wpf_z], axis=-1) @ cst["CC"]
+
+    return {
+        "q0": q0, "u0": q0[1:4] / rho0, "p0": p0, "dlogp0": dlogp0,
+        "itf_i0": itf_i, "itf_j0": itf_j, "itf_k0": itf_k,
+        "halo0": (hs0, hn0, hw0, he0),
+        "dlp0": dlp0, "wcorr0": wcorr0,
+    }
+
+
+def _euler3d_rhs_core_pert(q, cst: dict, base: dict, halo_fn, ss: int,
+                           delta_input: bool = False):
+    """Perturbation-form (base-state-split) RHS: returns
+    ``RHS(q) = rhs0 + [RHS(q) - RHS(q0)]`` with the bracket computed by
+    TERM-LEVEL expansion around the balanced base state q0 — every linear
+    stage (GEMMs) acts on differences directly and every nonlinear site
+    (log-space extrapolation, pressure, Riemann, w split, forcing) is
+    expanded exactly via expm1/log1p and product rules, so the hydrostatic
+    cancellation (pressure gradient vs gravity, ~1e-9 relative in absolute
+    form) never has to survive float32 rounding. ``rhs0`` (the f64 base
+    RHS, cast) rides in ``base["rhs0"]``. Five dynamical variables only.
+
+    This is the standard NWP perturbation formulation (the reference keeps
+    absolute variables in float64 instead; pde_euler_cubesphere.py:72-124).
+    """
+    nv = 5
+    sqrtG, inv_sqrtG = cst["sqrtG"], cst["inv_sqrtG"]
+    h = {(a, b): cst["hc"][a, b] for a in range(3) for b in range(3)}
+    q0 = base["q0"]
+    if delta_input:
+        dq = q  # the caller carries the perturbation itself (full f32 resolution)
+        q = q0 + dq
+    else:
+        dq = q - q0
+    rho = q[IDX_RHO]
+    rho0 = q0[IDX_RHO]
+    u0 = base["u0"]  # (3, grid)
+    # du = (d(rho u) - u0 * d(rho)) / rho  — exact algebra, small result.
+    du = (dq[1:4] - u0 * dq[IDX_RHO]) / rho
+    u = u0 + du
+
+    # --- 1. extrapolation: d(tr) for momenta is linear; for the log-space
+    # rows d(tr) = tr0 * expm1(E . log1p(d/base)).
+    dlog_rho = jnp.log1p(dq[IDX_RHO] / rho0)
+    dlog_rt = jnp.log1p(dq[IDX_RHO_THETA] / q0[IDX_RHO_THETA])
+    d_ext = jnp.concatenate([dlog_rho[None], dq[1:4], dlog_rt[None]])
+    ditf = d_ext @ cst["EE"]
+    itf_cat0 = jnp.concatenate(
+        [base["itf_i0"], base["itf_j0"], base["itf_k0"]], axis=-1
+    )
+    expand = lambda d_log, t0: t0 * jnp.expm1(d_log)
+    ditf = jnp.concatenate(
+        [
+            expand(ditf[0:1], itf_cat0[0:1]),
+            ditf[1:4],
+            expand(ditf[4:5], itf_cat0[4:5]),
+        ]
+    )
+    d_itf_i = ditf[..., : 2 * ss]
+    d_itf_j = ditf[..., 2 * ss : 4 * ss]
+    d_itf_k = ditf[..., 4 * ss :]
+
+    # --- 2. halos of the perturbation traces (exchange is linear).
+    dhs, dhn, dhw, dhe = halo_fn(d_itf_i, d_itf_j)
+    hs0, hn0, hw0, he0 = base["halo0"]
+
+    # --- 3+4. pointwise flux differences + interior GEMMs on deltas.
+    p0 = base["p0"]
+    dp = p0 * jnp.expm1(HEAT_CAPACITY_RATIO * dlog_rt)
+    pressure = p0 + dp
+    dlogp = jnp.log1p(dp / p0)
+    mom = slice(IDX_RHO_U1, IDX_RHO_W + 1)
+
+    bund = []
+    for d in range(3):
+        # d(u_d q_v) = u0_d dq_v + du_d q_v  (q absolute — exact product rule)
+        dflux = sqrtG * (u0[d] * dq + du[d] * q)
+        dwadv = dflux[IDX_RHO_W]
+        dflux = dflux.at[mom].add(
+            jnp.stack([sqrtG * dp * h[(d, 0)], sqrtG * dp * h[(d, 1)], sqrtG * dp * h[(d, 2)]])
+        )
+        bund.append(jnp.concatenate([dflux, dwadv[None]], axis=0))
+    interior = jnp.concatenate(bund, axis=-1) @ cst["DD"]
+    ddf_sum = interior[:nv]
+    dw_adv_sum = interior[nv]
+    ddlogp = dlogp @ cst["DD3"]
+
+    # --- 5. interface L/R deltas + base values.
+    def lr(i0, j0, k0, hw_, he_, hs_, hn_):
+        east, west = i0[..., ss:], i0[..., :ss]
+        qlx = jnp.concatenate([hw_[..., None, :], east], axis=-2)
+        qrx = jnp.concatenate([west, he_[..., None, :]], axis=-2)
+        north, south = j0[..., ss:], j0[..., :ss]
+        qly = jnp.concatenate([hs_[..., None, :, :], north], axis=-3)
+        qry = jnp.concatenate([south, hn_[..., None, :, :]], axis=-3)
+        top, bot = k0[..., ss:], k0[..., :ss]
+        qlz = jnp.concatenate([bot[..., 0:1, :, :, :], top], axis=-4)
+        qrz = jnp.concatenate([bot, top[..., -1:, :, :, :]], axis=-4)
+        return (qlx, qrx, qly, qry, qlz, qrz)
+
+    L0x, R0x, L0y, R0y, L0z, R0z = lr(base["itf_i0"], base["itf_j0"], base["itf_k0"],
+                                      hw0, he0, hs0, hn0)
+    dLx, dRx, dLy, dRy, dLz, dRz = lr(d_itf_i, d_itf_j, d_itf_k, dhw, dhe, dhs, dhn)
+
+    _flat = lambda a: a.reshape(-1, ss)
+    sg_cat = jnp.concatenate([_flat(cst["sg_i"]), _flat(cst["sg_j"]), _flat(cst["sg_k"])])
+    h_row_cat = tuple(
+        jnp.concatenate([_flat(cst["hr_i"][k]), _flat(cst["hr_j"][k]), _flat(cst["hr_k"][k])])
+        for k in range(3)
+    )
+    h_diag_cat = jnp.concatenate(
+        [_flat(cst["hr_i"][0]), _flat(cst["hr_j"][1]), _flat(cst["hr_k"][2])]
+    )
+
+    xsh, ysh, zsh = L0x.shape[1:], L0y.shape[1:], L0z.shape[1:]
+    NX = int(np.prod(xsh[:-1]))
+    NY = int(np.prod(ysh[:-1]))
+    fl = lambda a: a.reshape(a.shape[: a.ndim - len(xsh)] + (-1, ss))
+    cat3 = lambda x, y, z: jnp.concatenate([fl(x), fl(y), fl(z)], axis=-2)
+    qL0, qR0 = cat3(L0x, L0y, L0z), cat3(R0x, R0y, R0z)
+    dqL, dqR = cat3(dLx, dLy, dLz), cat3(dRx, dRy, dRz)
+    qL, qR = qL0 + dqL, qR0 + dqR
+
+    # normal speeds: base + full, delta by subtraction (v is a smooth ratio
+    # of states, so its difference carries no large-term cancellation).
+    def vfam(Lx, Ly, Lz, left: bool):
+        vx = Lx[IDX_RHO_U1] / Lx[IDX_RHO]
+        vy = Ly[IDX_RHO_U2] / Ly[IDX_RHO]
+        wz = Lz[IDX_RHO_W] / Lz[IDX_RHO]
+        if left:
+            sign = jnp.concatenate(
+                [-jnp.ones_like(wz[..., 0:1, :, :, :]), jnp.ones_like(wz[..., 1:, :, :, :])],
+                axis=-4,
+            )
+        else:
+            sign = jnp.concatenate(
+                [jnp.ones_like(wz[..., :-1, :, :, :]), -jnp.ones_like(wz[..., -1:, :, :, :])],
+                axis=-4,
+            )
+        return jnp.concatenate([fl(vx), fl(vy), fl(sign * wz)], axis=-2)
+
+    vL0 = vfam(L0x, L0y, L0z, True)
+    vR0 = vfam(R0x, R0y, R0z, False)
+    vL = vfam(L0x + dLx, L0y + dLy, L0z + dLz, True)
+    vR = vfam(R0x + dRx, R0y + dRy, R0z + dRz, False)
+    dvL, dvR = vL - vL0, vR - vR0  # small: v is a smooth ratio of states
+
+    pL0 = _pressure_of(qL0[IDX_RHO_THETA])
+    pR0 = _pressure_of(qR0[IDX_RHO_THETA])
+    dpL = pL0 * jnp.expm1(
+        HEAT_CAPACITY_RATIO * jnp.log1p(dqL[IDX_RHO_THETA] / qL0[IDX_RHO_THETA])
+    )
+    dpR = pR0 * jnp.expm1(
+        HEAT_CAPACITY_RATIO * jnp.log1p(dqR[IDX_RHO_THETA] / qR0[IDX_RHO_THETA])
+    )
+    pL, pR = pL0 + dpL, pR0 + dpR
+
+    eig = jnp.maximum(
+        jnp.abs(vL) + jnp.sqrt(h_diag_cat * HEAT_CAPACITY_RATIO * pL / qL[IDX_RHO]),
+        jnp.abs(vR) + jnp.sqrt(h_diag_cat * HEAT_CAPACITY_RATIO * pR / qR[IDX_RHO]),
+    )
+    eig0 = jnp.maximum(
+        jnp.abs(vL0) + jnp.sqrt(h_diag_cat * HEAT_CAPACITY_RATIO * pL0 / qL0[IDX_RHO]),
+        jnp.abs(vR0) + jnp.sqrt(h_diag_cat * HEAT_CAPACITY_RATIO * pR0 / qR0[IDX_RHO]),
+    )
+    deig = eig - eig0
+
+    # d[flux] expansions (the dissipation term multiplies jumps, which are
+    # small for the smooth base, so deig may be formed by subtraction).
+    dflux_l = sg_cat * (vL0 * dqL + dvL * qL)
+    dflux_r = sg_cat * (vR0 * dqR + dvR * qR)
+    dwadv_c = 0.5 * (
+        dflux_l[IDX_RHO_W] + dflux_r[IDX_RHO_W]
+        - sg_cat * (eig * (dqR[IDX_RHO_W] - dqL[IDX_RHO_W])
+                    + deig * (qR0[IDX_RHO_W] - qL0[IDX_RHO_W]))
+    )
+    h0c, h1c, h2c = h_row_cat
+    dflux_l = dflux_l.at[IDX_RHO_U1 : IDX_RHO_W + 1].add(
+        jnp.stack([sg_cat * h0c * dpL, sg_cat * h1c * dpL, sg_cat * h2c * dpL])
+    )
+    dflux_r = dflux_r.at[IDX_RHO_U1 : IDX_RHO_W + 1].add(
+        jnp.stack([sg_cat * h0c * dpR, sg_cat * h1c * dpR, sg_cat * h2c * dpR])
+    )
+    df_c = 0.5 * (dflux_l + dflux_r - sg_cat * (eig * (dqR - dqL) + deig * (qR0 - qL0)))
+    wpres_c0 = 0.5 * sg_cat * h2c * (pL0 + pR0)
+    dwpres_c = 0.5 * sg_cat * h2c * (dpL + dpR)
+
+    sx = lambda a: a[..., :NX, :].reshape(a.shape[: a.ndim - 2] + xsh)
+    sy = lambda a: a[..., NX : NX + NY, :].reshape(a.shape[: a.ndim - 2] + ysh)
+    sz = lambda a: a[..., NX + NY :, :].reshape(a.shape[: a.ndim - 2] + zsh)
+
+    # --- 6. corrections on deltas; the w pressure split expands as
+    # d[(W + c) p] = (W + c0) dp + dc p  and  d[p sgh dlp] = p0 ddlp + dp dlp.
+    faces_x = lambda a: jnp.concatenate([a[..., :-1, :], a[..., 1:, :]], axis=-1)
+    faces_y = lambda a: jnp.concatenate([a[..., :-1, :, :], a[..., 1:, :, :]], axis=-1)
+    faces_z = lambda a: jnp.concatenate([a[..., :-1, :, :, :], a[..., 1:, :, :, :]], axis=-1)
+    sxw = lambda a: a[..., :-1, :]
+    sxe = lambda a: a[..., 1:, :]
+    syw = lambda a: a[..., :-1, :, :]
+    sye = lambda a: a[..., 1:, :, :]
+    szw = lambda a: a[..., :-1, :, :, :]
+    sze = lambda a: a[..., 1:, :, :, :]
+
+    def face_parts_pert(df_f, dwadv_f, wpres0_f, dwpres_f, p0w, p0e, dpw, dpe, sw, se, faces):
+        pw, pe = p0w + dpw, p0e + dpe
+        # d[wpres/p] = dwpres/p - (wpres0/p0)(dp/p)  (denominator absolute)
+        dwp_w = sw(dwpres_f) / pw - (sw(wpres0_f) / p0w) * (dpw / pw)
+        dwp_e = se(dwpres_f) / pe - (se(wpres0_f) / p0e) * (dpe / pe)
+        dwp = jnp.concatenate([dwp_w, dwp_e], axis=-1)
+        dlogp_faces = jnp.concatenate([jnp.log1p(dpw / p0w), jnp.log1p(dpe / p0e)], axis=-1)
+        bundle = jnp.concatenate([faces(df_f), faces(dwadv_f[None]), dwp[None]], axis=0)
+        return bundle, dlogp_faces
+
+    fb_x, dlpf_x = face_parts_pert(
+        sx(df_c), sx(dwadv_c), sx(wpres_c0), sx(dwpres_c),
+        sxw(sx(pR0)), sxe(sx(pL0)), sxw(sx(dpR)), sxe(sx(dpL)), sxw, sxe, faces_x,
+    )
+    fb_y, dlpf_y = face_parts_pert(
+        sy(df_c), sy(dwadv_c), sy(wpres_c0), sy(dwpres_c),
+        syw(sy(pR0)), sye(sy(pL0)), syw(sy(dpR)), sye(sy(dpL)), syw, sye, faces_y,
+    )
+    fb_z, dlpf_z = face_parts_pert(
+        sz(df_c), sz(dwadv_c), sz(wpres_c0), sz(dwpres_c),
+        szw(sz(pR0)), sze(sz(pL0)), szw(sz(dpR)), sze(sz(dpL)), szw, sze, faces_z,
+    )
+
+    corr = jnp.concatenate([fb_x, fb_y, fb_z], axis=-1) @ cst["CC"]
+    ddlp = ddlogp + jnp.concatenate([dlpf_x, dlpf_y, dlpf_z], axis=-1) @ cst["CCb"]
+    dlp_abs = base["dlp0"] + ddlp
+
+    ddf = ddf_sum + corr[:nv]
+    s3_ = ddlp.shape[-1] // 3
+    dw_df = (
+        dw_adv_sum
+        + corr[nv]
+        + (cst["wpres_int"] + base["wcorr0"]) * dp
+        + corr[nv + 1] * pressure
+        + sqrtG * h[(0, 2)] * (p0 * ddlp[..., :s3_] + dp * dlp_abs[..., :s3_])
+        + sqrtG * h[(1, 2)] * (p0 * ddlp[..., s3_ : 2 * s3_] + dp * dlp_abs[..., s3_ : 2 * s3_])
+        + sqrtG * h[(2, 2)] * (p0 * ddlp[..., 2 * s3_ :] + dp * dlp_abs[..., 2 * s3_ :])
+    )
+
+    out = -inv_sqrtG * ddf
+    out = out.at[IDX_RHO_W].set(-inv_sqrtG * dw_df)
+
+    # --- 7. forcing deltas: linear Coriolis part directly; quadratics by
+    # the product rule with absolute second factors; gravity is linear.
+    chr_ = cst["chr"]
+
+    def dforcing_row(a):
+        ch = chr_[a]
+        lin = 2.0 * (ch[0] * dq[IDX_RHO_U1] + ch[1] * dq[IDX_RHO_U2] + ch[2] * dq[IDX_RHO_W])
+
+        def dprod(i, j):
+            # d[q_i q_j / rho]
+            return (dq[i] * q0[j] + q[i] * dq[j]) / rho - (q0[i] * q0[j] / rho0) * (
+                dq[IDX_RHO] / rho
+            )
+
+        return (
+            lin
+            + ch[3] * (dprod(1, 1) + h[(0, 0)] * dp)
+            + 2.0 * ch[4] * (dprod(1, 2) + h[(0, 1)] * dp)
+            + 2.0 * ch[5] * (dprod(1, 3) + h[(0, 2)] * dp)
+            + ch[6] * (dprod(2, 2) + h[(1, 1)] * dp)
+            + 2.0 * ch[7] * (dprod(2, 3) + h[(1, 2)] * dp)
+            + ch[8] * (dprod(3, 3) + h[(2, 2)] * dp)
+        )
+
+    df1, df2 = dforcing_row(0), dforcing_row(1)
+    dgrav = cst["inv_dzdeta"] * GRAVITY * inv_sqrtG * ((sqrtG * dq[IDX_RHO]) @ cst["hfk"])
+    df3 = dforcing_row(2) + dgrav
+    out = out.at[IDX_RHO_U1].add(-df1)
+    out = out.at[IDX_RHO_U2].add(-df2)
+    out = out.at[IDX_RHO_W].add(-df3)
+
+    return base["rhs0"] + out
+
+
 def make_rhs_euler_cubesphere(
     geom: CubedSphere3D,
     ops: DFROperators,
@@ -302,6 +634,7 @@ def make_rhs_euler_cubesphere(
     interior: Optional[str] = None,
     num_vars: int = 5,
     base_state: Optional[jnp.ndarray] = None,
+    perturbation_base: Optional[jnp.ndarray] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """`extra_forcing(rho, u1, u2, w)` may return momentum-forcing additions
     (f1, f2, f3) — used for the DCMIP 21/22 Rayleigh damping
@@ -337,6 +670,37 @@ def make_rhs_euler_cubesphere(
         return _euler3d_rhs_core(
             q, cst, halo_fn, ss, advection_only=advection_only, extra_forcing=extra_forcing
         )
+
+    if perturbation_base is not None:
+        # Perturbation-form (base-state-split) operator: term-level
+        # expansion around the balanced base state with the f64 base RHS
+        # folded in (see _euler3d_rhs_core_pert). XLA path; callers still
+        # pass the ABSOLUTE state. Requires the 5 dynamical variables.
+        if num_vars != 5 or advection_only or extra_forcing is not None:
+            raise ValueError("perturbation_base supports the plain 5-variable system")
+        q0_64 = jnp.asarray(perturbation_base, jnp.float64)
+        cst64 = build_euler3d_constants(ops, metric, dtype=jnp.float64)
+        base64 = _euler3d_base_intermediates(q0_64, cst64, halo_fn, ss)
+        base64["rhs0"] = _euler3d_rhs_core(q0_64, cst64, halo_fn, ss)
+        cast = lambda a: jnp.asarray(a, dtype=dtype)
+        base = {
+            k: (tuple(cast(x) for x in v) if isinstance(v, tuple) else cast(v))
+            for k, v in base64.items()
+        }
+
+        def rhs_pert(q: jnp.ndarray) -> jnp.ndarray:
+            return _euler3d_rhs_core_pert(q, cst, base, halo_fn, ss)
+
+        def rhs_delta(qprime: jnp.ndarray) -> jnp.ndarray:
+            """RHS evaluated at q0 + qprime with qprime passed DIRECTLY, for
+            integrations that carry the perturbation as the state (the full
+            f32-accuracy mode: no absolute-state quantization)."""
+            return _euler3d_rhs_core_pert(qprime, cst, base, halo_fn, ss, delta_input=True)
+
+        rhs_pert.xla = rhs
+        rhs_pert.delta = rhs_delta
+        rhs_pert.base_state = base["q0"]
+        return rhs_pert
 
     # --- Pallas fast path (ops/pallas_euler3d.py): the whole spatial
     # operator as one mega kernel per (y-slab, panel) block; only the tiny
