@@ -228,6 +228,38 @@ def bench_dcmip31_epi2(baselines, steps=3):
          note="EPI2 + device-resident KIOPS (one XLA program per step), f64, dt=30")
 
 
+def emit_roofline():
+    """FLOP-count + HBM-byte accounting for the measured SW kernels
+    (BASELINE.md asks for a roofline/MFU line; reference rhs/rhs.py:190-213
+    only records stage TIMES — FLOP accounting is new here).
+
+    Per packed row (g=8 elements, 128 lanes, s=4) and RK stage the s=4
+    pipeline runs, per variable: the (128,128) extrapolation GEMM, the
+    (256,128) divergence GEMM and the (128,128) correction GEMM, plus the
+    ~130-op/lane elementwise flux/forcing math; the chained-mode slab/halo
+    GEMMs add ~15%. Steady-state HBM traffic of the whole-run kernel is
+    only the initial state + final state + constants (everything else lives
+    in VMEM), so the kernel is MXU-bound by construction.
+    """
+    s4 = next((r for r in RESULTS if r["metric"] == "sw_s4_rhs_gridpoints_per_s"), None)
+    if s4 is None or s4["value"] == 0.0:
+        return
+    # FLOPs per gridpoint (s=4 layout: 16 gridpoints/element, 8 elements/row)
+    gp_per_row = 128.0
+    gemm_flops_per_row = 3 * (2 * 128 * 128 + 2 * 256 * 128 + 2 * 128 * 128)  # eexy+dd+wmat
+    elementwise_per_row = 130 * 128.0
+    flops_per_gp = 1.15 * (gemm_flops_per_row + elementwise_per_row) / gp_per_row
+    flops_per_s = s4["value"] * flops_per_gp
+    # v5e peak: 197 TFLOP/s bf16 MXU; f32 operands halve the issue rate.
+    peak_f32 = 197e12 / 2.0
+    emit(
+        "sw_s4_kernel_mxu_flops_per_s", flops_per_s, "FLOP/s",
+        note=f"{flops_per_gp:.0f} FLOP/gridpoint counted from operator shapes; "
+             f"~{100 * flops_per_s / peak_f32:.1f}% of the ~98 TFLOP/s f32 MXU peak; "
+             "steady-state HBM ~0 (whole-run kernel keeps state in VMEM)",
+    )
+
+
 def main():
     baselines = load_baselines()
     sw_b = baselines.get("sw_case6_rhs", {}).get("gridpoints_per_s")
@@ -242,6 +274,8 @@ def main():
     bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None)
     bench_dcmip31_rhs(baselines)
     bench_dcmip31_epi2(baselines)
+
+    emit_roofline()
 
     headline = next(r for r in RESULTS if r["metric"] == "sw_case6_rhs_gridpoints_per_s")
     final = dict(headline)
