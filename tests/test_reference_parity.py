@@ -123,6 +123,31 @@ def test_vortex_ic_matches_reference_formulas():
     np.testing.assert_allclose(np.asarray(v), v_ref, atol=1e-9)
 
 
+def test_sw_multistep_trajectory_matches_reference():
+    """Multi-step golden test: 3 TVD-RK3 steps of case 6 must track the
+    reference's own stepping (tools/ref_harness.reference_sw_steps running
+    its integrators/tvdrk3.py) pointwise at every step."""
+    from ref_harness import reference_sw_steps  # noqa: PLC0415
+
+    from wxfactory_tpu.integrators import Tvdrk3  # noqa: PLC0415
+
+    nel, s, dt, nsteps = 3, 3, 300.0, 3
+    ref_states = reference_sw_steps(6, nel, s, dt, nsteps)
+
+    geom = make_cubed_sphere_2d(nel, s)
+    ops = make_dfr_operators(s)
+    metric = make_metric_2d(geom)
+    rhs = make_rhs_shallow_water(geom, ops, metric)
+    integ = Tvdrk3(rhs)
+    q = jnp.asarray(williamson_case6(geom))
+    for k in range(nsteps):
+        q = integ.step(q, dt)
+        want = ref_states[k]
+        scale = np.abs(want).max(axis=(1, 2, 3, 4), keepdims=True)
+        err = np.abs((np.asarray(q) - want) / scale).max()
+        assert err < 1e-11, (k, err)
+
+
 def test_sw_case10_analytic_consistency():
     """Unsteady zonal flow (case 10, Laeuter et al. 2005): the reference's
     own builder is broken in this snapshot, so check against the analytic
