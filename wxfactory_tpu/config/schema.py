@@ -120,7 +120,7 @@ def _f(*args, **kwargs) -> Field:
 
 
 EXP_SOLVERS = [
-    "pmex", "kiops", "exode", "pmex_ne", "pmex_1s", "pmex_ne1s", "kiops_ne",
+    "pmex", "kiops", "kiops_jit", "exode", "pmex_ne", "pmex_1s", "pmex_ne1s", "kiops_ne",
     "cwy_1s", "cwy_ne", "cwy_ne1s", "dcgs2", "icwy_1s", "icwy_ne", "icwy_ne1s", "icwy_neiop",
 ]
 EXODE_METHODS = ["BS3(2)", "DP5(4)", "M4(3)", "KC3(2)", "EXLRK3(2)", "EXLRK4(3)", "F14(12)", "DP8(7)", "F10(8)"]
