@@ -18,7 +18,6 @@ roundoff on the same trajectory. Reductions are plain jnp dots — under
 GSPMD they lower to mesh collectives, 2 per iteration like the reference.
 """
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax
