@@ -5,10 +5,10 @@ EPI/SRERK/Ros2 hot paths use.
 The host-orchestrated variant (kiops.py) pays one device dispatch per Krylov
 iteration — 10-20 ms over the axon relay — so an EPI2 step with ~20
 iterations costs ~0.3 s of pure latency. Here the Arnoldi loop, the
-incomplete orthogonalization, the small-matrix exponential
-(jax.scipy.linalg.expm on the masked fixed-size H) and the tau/m adaptivity
-controller all run on device with fixed (mmax+1)-sized V/H buffers and
-masking, so one EPI step is one program.
+incomplete orthogonalization, the small-matrix exponential (solve-free
+scaling-squaring Taylor on the masked fixed-size H — see _expm_taylor) and
+the tau/m adaptivity controller all run on device with fixed (mmax+1)-sized
+V/H buffers and masking, so one EPI step is one program.
 
 Algorithm and controller semantics replicate kiops.py line for line
 (Gaudreault, Rainwater & Tokman 2018; reference solvers/kiops.py:152-338),
