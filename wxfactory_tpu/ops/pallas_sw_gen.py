@@ -345,13 +345,20 @@ def _expand_halo(hw, he, hs, hn, con: GenConstants, dtype):
     """Flat panel-edge halo rows (each (P, npl), P = panels in the block)
     -> one (B, 128) array with the west/south values in their qL slots and
     east/north in the h2 slots, via one-hot GEMMs (layout-safe everywhere;
-    see module docstring)."""
+    see module docstring). The four row placements run as ONE stacked GEMM
+    (the placement matrices dominate the expansion's MXU cost: each is
+    (B, ~nel) against the slot results' (~nel, 128))."""
     mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=dtype)
-    ew = mm(con.pw, mm(con.m1w * mm(con.p6w, hw), con.kw))
-    ee = mm(con.pe, mm(con.m1w * mm(con.p6w, he), con.ke))
-    es = mm(con.ps, mm(con.m1s * mm(con.p6s, hs), con.ks))
-    en = mm(con.pn, mm(con.m1s * mm(con.p6s, hn), con.kn))
-    return ew + ee + es + en
+    bw = mm(con.p6w, hw)
+    be = mm(con.p6w, he)
+    bs = mm(con.p6s, hs)
+    bn = mm(con.p6s, hn)
+    slots = jnp.concatenate(
+        [mm(con.m1w * bw, con.kw), mm(con.m1w * be, con.ke),
+         mm(con.m1s * bs, con.ks), mm(con.m1s * bn, con.kn)]
+    )
+    pall = jnp.concatenate([con.pw, con.pe, con.ps, con.pn], axis=1)
+    return mm(pall, slots)
 
 
 def _interface_flux(A, E, msg, mhd, mho, m, roll):
