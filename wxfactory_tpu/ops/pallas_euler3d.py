@@ -798,29 +798,31 @@ def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, 
     b2 = (coef(1, 0) * v1 + coef(1, 1) * v2).reshape(ex.shape[1:])
     halo = jnp.stack([ex[0], b1, b2, ex[3], ex[4]])  # (5, 4, 6, nk, nh, ss)
 
-    z = lambda n, shape: jnp.zeros(shape[:-1] + (n,), dtype)
+    # Lane-placement via ONE one-hot GEMM per output (this stage is bound
+    # by XLA per-op overhead at small shapes, not data — see the module
+    # note above; GEMMs replace the former zero-concat chains).
     # hwe rows (p, ky, kz): west at lanes [0, ss), east at [T-ss, T).
-    wr = jnp.moveaxis(halo[:, 2], 2, 3).reshape(5, 6, ny, nk, SS)
-    er = jnp.moveaxis(halo[:, 3], 2, 3).reshape(5, 6, ny, nk, SS)
-    hwe = jnp.concatenate([wr, z(T - 2 * SS, wr.shape), er, z(LANES - T, er.shape)], axis=-1)
+    kwe = np.zeros((2 * SS, LANES))
+    kwe[np.arange(SS), np.arange(SS)] = 1.0
+    kwe[SS + np.arange(SS), T - SS + np.arange(SS)] = 1.0
+    wr = jnp.moveaxis(halo[:, 2], 2, 3)  # (5, 6, ny, nk, SS)
+    er = jnp.moveaxis(halo[:, 3], 2, 3)
+    hwe = jnp.concatenate([wr, er], axis=-1) @ jnp.asarray(kwe, dtype=dtype)
     hwe = hwe.reshape(5, 6, n_ytiles, tynk, LANES)
     hwe = jnp.pad(hwe, ((0, 0), (0, 0), (0, 0), (0, tynk_pad - tynk), (0, 0)))
     hwe = jnp.moveaxis(hwe, 0, 2).reshape(6 * n_ytiles, 5, tynk_pad, LANES)
 
-    # hs rows (p, kz, x2): lanes 64 + g*2ss + [0, ss) (ys slots); hn the
-    # matching yn slots (+ss).
-    sr = halo[:, 0].reshape(5, 6, nk, nxp, G, SS)
-    hs_parts = [z(64, sr.shape[:-2] + (SS,))]
+    # hs rows (p, kz, x2): group g's face lanes go to 64 + g*2ss + [0, ss)
+    # (ys slots); hn to the matching yn slots (+ss).
+    ks = np.zeros((G * SS, LANES))
+    kn = np.zeros((G * SS, LANES))
     for g in range(G):
-        hs_parts += [sr[..., g, :], z(SS, sr.shape[:-2] + (SS,))]
-    hs_parts.append(z(LANES - 64 - T, sr.shape[:-2] + (SS,)))
-    hs = jnp.concatenate(hs_parts, axis=-1).reshape(5, 6, nkxp, LANES)
-    nr = halo[:, 1].reshape(5, 6, nk, nxp, G, SS)
-    hn_parts = [z(64, nr.shape[:-2] + (SS,))]
-    for g in range(G):
-        hn_parts += [z(SS, nr.shape[:-2] + (SS,)), nr[..., g, :]]
-    hn_parts.append(z(LANES - 64 - T, nr.shape[:-2] + (SS,)))
-    hn = jnp.concatenate(hn_parts, axis=-1).reshape(5, 6, nkxp, LANES)
+        ks[g * SS + np.arange(SS), 64 + g * TSS + np.arange(SS)] = 1.0
+        kn[g * SS + np.arange(SS), 64 + g * TSS + SS + np.arange(SS)] = 1.0
+    sr = halo[:, 0].reshape(5, 6, nkxp, G * SS)
+    nr = halo[:, 1].reshape(5, 6, nkxp, G * SS)
+    hs = sr @ jnp.asarray(ks, dtype=dtype)
+    hn = nr @ jnp.asarray(kn, dtype=dtype)
     return hwe, jnp.moveaxis(hs, 0, 1), jnp.moveaxis(hn, 0, 1)
 
 
