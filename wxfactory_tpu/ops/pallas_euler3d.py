@@ -708,11 +708,11 @@ def _km3_body(
 # formats the results into the kernel's hwe/hs/hn input arrays. Everything
 # here is edge-sized (~nv*6*nk*nh*s^2 values).
 #
-# Known optimization headroom: at small shapes this stage is bound by XLA
-# per-op overhead, not data (measured at canonical dcmip31: kernel 18 us,
-# halo glue ~50 us per stage). The SW pipeline's KH pattern applies here
-# too — collapsing exchange+flip+format into one-hot GEMMs (or one tiny
-# Pallas kernel) would roughly halve the per-stage time at dcmip31 size.
+# At small shapes this stage is bound by XLA per-op overhead, not data:
+# the lane placements therefore run as ONE one-hot GEMM per output (the
+# former zero-concat chains cost ~50 us of a 67 us stage at canonical
+# dcmip31 size; with the GEMMs the chained stage is ~14 us). Remaining
+# headroom: fold the exchange itself into the mega kernel (KR-style).
 
 
 class HaloOps(NamedTuple):
