@@ -162,7 +162,7 @@ def _e3_setup(nel_h=12, nel_v=3, s=2, ztop=10000.0):
     return geom, ops, metric, q0, make_rhs_euler_cubesphere
 
 
-def bench_dcmip31_rhs(baselines, reps=3, nsteps=30):
+def bench_dcmip31_rhs(baselines, reps=5, nsteps=150):
     """Canonical dcmip31 RHS through the generic fused 3D pipeline (s=2),
     f32 with the well-balanced base-state offset, chained TVD-RK3 stages."""
     base = baselines.get("euler3d_dcmip31_rhs", {}).get("gridpoints_per_s")
