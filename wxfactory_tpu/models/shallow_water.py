@@ -51,6 +51,7 @@ def make_rhs_shallow_water(
     topo: Optional[Topography] = None,
     dtype=jnp.float64,
     interior: Optional[str] = None,
+    perturbation_base: Optional[jnp.ndarray] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the jittable shallow-water RHS ``Q -> dQ/dt``.
 
@@ -63,6 +64,19 @@ def make_rhs_shallow_water(
     interior-derivative stage: ``"xla"`` (default; fused jnp, reference
     semantics, runs everywhere) or ``"pallas"`` (fused VMEM-resident Pallas
     kernel, f32, TPU; also honours ``WXF_USE_PALLAS=1``).
+
+    ``perturbation_base``: a balanced state (usually the initial condition)
+    that turns the operator into the perturbation (base-state-split) form
+    ``RHS(q) = RHS_f64(q0) + [RHS(q) - RHS(q0)]`` with the bracket expanded
+    term by term (see ``_sw_rhs_delta``), so the geostrophic-balance
+    cancellation (pressure-gradient flux divergence vs Christoffel/Coriolis
+    forcing, ~7-8 orders below the flux scale at Williamson case 6) never
+    has to survive float32 rounding. The reference sidesteps this by
+    computing absolute variables in float64 (rhs/rhs_sw.py:81-238); the
+    perturbation form is the standard NWP alternative and is what makes an
+    f32/TPU operating point numerically meaningful. The returned callable
+    takes the ABSOLUTE state and exposes ``.delta`` (perturbation in,
+    tendency out — full f32 resolution) and ``.base_state``.
     """
     s = ops.num_solpts
     nel = geom.num_elements
@@ -236,6 +250,191 @@ def make_rhs_shallow_water(
         forcing = jnp.stack([jnp.zeros_like(forcing_1), forcing_1, forcing_2])
 
         return inv_sqrtG * (-df) - forcing
+
+    if perturbation_base is not None:
+        # --- Perturbation-form (base-state-split) operator -----------------
+        # Base intermediates in float64 (one-time factory cost), cast to the
+        # working dtype; the runtime path evaluates only the TERM-LEVEL delta
+        # expansion below (see module docstring of the absolute form and the
+        # 3D twin models/euler_cubesphere.py _euler3d_rhs_core_pert).
+        f64 = jnp.float64
+        q0_64 = jnp.asarray(perturbation_base, f64)
+        EE64 = jnp.asarray(np.concatenate([ops.extrap_x, ops.extrap_z], axis=1), f64)
+        ny = nx = nel
+        h0_tot = q0_64[IDX_H] + jnp.asarray(topo.hsurf, f64) if topo is not None else q0_64[IDX_H]
+        itf0 = jnp.stack([h0_tot, q0_64[IDX_HU1], q0_64[IDX_HU2]]) @ EE64
+        itf_x0, itf_y0 = itf0[..., : 2 * s], itf0[..., 2 * s :]
+        hh0 = topology.halo_scalars(itf_x0[IDX_H], itf_y0[IDX_H])
+        uh0 = topology.halo_vectors(
+            itf_x0[IDX_HU1], itf_y0[IDX_HU1], itf_x0[IDX_HU2], itf_y0[IDX_HU2]
+        )
+
+        def halo_q0(side, shape):
+            return jnp.stack([hh0[side], uh0[side][0], uh0[side][1]]).reshape((3,) + shape)
+
+        qL_x0 = jnp.concatenate(
+            [halo_q0(WEST, (6, ny, 1, s)), itf_x0[..., s:].reshape(3, 6, ny, nx, s)], axis=-2
+        )
+        qR_x0 = jnp.concatenate(
+            [itf_x0[..., :s].reshape(3, 6, ny, nx, s), halo_q0(EAST, (6, ny, 1, s))], axis=-2
+        )
+        qL_y0 = jnp.concatenate(
+            [halo_q0(SOUTH, (6, 1, nx, s)), itf_y0[..., s:].reshape(3, 6, ny, nx, s)], axis=-3
+        )
+        qR_y0 = jnp.concatenate(
+            [itf_y0[..., :s].reshape(3, 6, ny, nx, s), halo_q0(NORTH, (6, 1, nx, s))], axis=-3
+        )
+        if topo is not None:
+            hs_ix = jnp.asarray(topo.hsurf_itf_x1, f64)
+            hs_jx = jnp.asarray(topo.hsurf_itf_x2, f64)
+            qL_x0 = qL_x0.at[IDX_H].add(-hs_ix)
+            qR_x0 = qR_x0.at[IDX_H].add(-hs_ix)
+            qL_y0 = qL_y0.at[IDX_H].add(-hs_jx)
+            qR_y0 = qR_y0.at[IDX_H].add(-hs_jx)
+
+        # f64 base RHS through the absolute operator (this factory, f64, XLA).
+        rhs64 = (
+            rhs
+            if dtype == f64
+            else make_rhs_shallow_water(geom, ops, metric, topo=topo, dtype=f64, interior="xla")
+        )
+        rhs0 = c(rhs64(q0_64))
+        q0c = c(q0_64)
+        h0 = q0c[IDX_H]
+        hu10, hu20 = q0c[IDX_HU1], q0c[IDX_HU2]
+        u10, u20 = c(q0_64[IDX_HU1] / q0_64[IDX_H]), c(q0_64[IDX_HU2] / q0_64[IDX_H])
+        Lx0, Rx0 = c(qL_x0), c(qR_x0)
+        Ly0, Ry0 = c(qL_y0), c(qR_y0)
+
+        def ausm_delta(qL0, qR0, dqL, dqR, sg, hd, ho, normal):
+            """Term-level delta of ``ausm_interface_flux`` around (qL0, qR0):
+            every product is expanded via d(ab) = da*b + a0*db (exact), the
+            sound speed via d(sqrt) = hd*g*dh/(a+a0), and the Mach ratios by
+            direct subtraction (smooth state ratios — no large-term
+            cancellation). Returns the interface-flux delta."""
+            hL0, hR0 = qL0[IDX_H], qR0[IDX_H]
+            dhL, dhR = dqL[IDX_H], dqR[IDX_H]
+            hL, hR = hL0 + dhL, hR0 + dhR
+            aL0 = jnp.sqrt(GRAVITY * hL0 * hd)
+            aR0 = jnp.sqrt(GRAVITY * hR0 * hd)
+            aL = jnp.sqrt(GRAVITY * hL * hd)
+            aR = jnp.sqrt(GRAVITY * hR * hd)
+            daL = jnp.where(aL + aL0 > 0.0, GRAVITY * hd * dhL / (aL + aL0), 0.0)
+            daR = jnp.where(aR + aR0 > 0.0, GRAVITY * hd * dhR / (aR + aR0), 0.0)
+            qn0L, qn0R = qL0[normal], qR0[normal]
+            tmpL0, tmpL = hL0 * aL0, hL * aL
+            tmpR0, tmpR = hR0 * aR0, hR * aR
+            mL0 = jnp.where(tmpL0 != 0.0, qn0L / tmpL0, 0.0)
+            mR0 = jnp.where(tmpR0 != 0.0, qn0R / tmpR0, 0.0)
+            mL = jnp.where(tmpL != 0.0, (qn0L + dqL[normal]) / tmpL, 0.0)
+            mR = jnp.where(tmpR != 0.0, (qn0R + dqR[normal]) / tmpR, 0.0)
+            dmL, dmR = mL - mL0, mR - mR0
+            M0 = 0.25 * ((mL0 + 1.0) ** 2 - (mR0 - 1.0) ** 2)
+            dM = 0.25 * ((mL + mL0 + 2.0) * dmL - (mR + mR0 - 2.0) * dmR)
+            M = M0 + dM
+            P0 = jnp.maximum(0.0, M0)
+            dP = jnp.maximum(0.0, M) - P0
+            N0 = jnp.minimum(0.0, M0)
+            dN = jnp.minimum(0.0, M) - N0
+            qL, qR = qL0 + dqL, qR0 + dqR
+            dflux = sg * (
+                dP * aL * qL + P0 * (daL * qL + aL0 * dqL)
+                + dN * aR * qR + N0 * (daR * qR + aR0 * dqR)
+            )
+            rows = (IDX_HU1, IDX_HU2) if normal == IDX_HU1 else (IDX_HU2, IDX_HU1)
+            dterm = (
+                dmL * hL**2 + (1.0 + mL0) * (hL + hL0) * dhL
+                - dmR * hR**2 + (1.0 - mR0) * (hR + hR0) * dhR
+            )
+            dpres = (0.25 * GRAVITY) * sg * dterm
+            dflux = dflux.at[rows[0]].add(hd * dpres)
+            dflux = dflux.at[rows[1]].add(ho * dpres)
+            return dflux
+
+        tz1 = dzdx1 if topo is not None else 0.0
+        tz2 = dzdx2 if topo is not None else 0.0
+
+        def rhs_delta_core(dq):
+            dh, dhu1, dhu2 = dq[IDX_H], dq[IDX_HU1], dq[IDX_HU2]
+            h = h0 + dh
+            du1 = (dhu1 - u10 * dh) / h
+            du2 = (dhu2 - u20 * dh) / h
+            u1, u2 = u10 + du1, u20 + du2
+
+            d_itf = dq @ EE  # extrapolation is linear; topography rides the base
+            d_itf_x, d_itf_y = d_itf[..., : 2 * s], d_itf[..., 2 * s :]
+            dhh = topology.halo_scalars(d_itf_x[IDX_H], d_itf_y[IDX_H])
+            duh = topology.halo_vectors(
+                d_itf_x[IDX_HU1], d_itf_y[IDX_HU1], d_itf_x[IDX_HU2], d_itf_y[IDX_HU2]
+            )
+
+            def dhalo(side, shape):
+                return jnp.stack([dhh[side], duh[side][0], duh[side][1]]).reshape((3,) + shape)
+
+            half_g = 0.5 * GRAVITY
+            hph0 = h + h0
+            dfx = jnp.stack(
+                [
+                    sqrtG * dhu1,
+                    sqrtG * (dhu1 * u1 + hu10 * du1 + half_g * h11 * hph0 * dh),
+                    sqrtG * (dhu2 * u1 + hu20 * du1 + half_g * h21 * hph0 * dh),
+                ]
+            )
+            dfy = jnp.stack(
+                [
+                    sqrtG * dhu2,
+                    sqrtG * (dhu1 * u2 + hu10 * du2 + half_g * h12 * hph0 * dh),
+                    sqrtG * (dhu2 * u2 + hu20 * du2 + half_g * h22 * hph0 * dh),
+                ]
+            )
+            ddf = jnp.concatenate([dfx, dfy], axis=-1) @ DD
+
+            dqL_x = jnp.concatenate(
+                [dhalo(WEST, (6, ny, 1, s)), d_itf_x[..., s:].reshape(3, 6, ny, nx, s)], axis=-2
+            )
+            dqR_x = jnp.concatenate(
+                [d_itf_x[..., :s].reshape(3, 6, ny, nx, s), dhalo(EAST, (6, ny, 1, s))], axis=-2
+            )
+            dqL_y = jnp.concatenate(
+                [dhalo(SOUTH, (6, 1, nx, s)), d_itf_y[..., s:].reshape(3, 6, ny, nx, s)], axis=-3
+            )
+            dqR_y = jnp.concatenate(
+                [d_itf_y[..., :s].reshape(3, 6, ny, nx, s), dhalo(NORTH, (6, 1, nx, s))], axis=-3
+            )
+
+            df_itf_x = ausm_delta(Lx0, Rx0, dqL_x, dqR_x, sqrtG_ix, h11_ix, h21_ix, IDX_HU1)
+            df_itf_y = ausm_delta(Ly0, Ry0, dqL_y, dqR_y, sqrtG_jx, h22_jx, h12_jx, IDX_HU2)
+            faces_x = jnp.concatenate([df_itf_x[..., :-1, :], df_itf_x[..., 1:, :]], axis=-1)
+            faces_y = jnp.concatenate([df_itf_y[..., :-1, :, :], df_itf_y[..., 1:, :, :]], axis=-1)
+            ddf = ddf + jnp.concatenate([faces_x, faces_y], axis=-1) @ CC
+
+            dforcing_1 = (
+                2.0 * (chr_1_01 * dhu1 + chr_1_02 * dhu2)
+                + chr_1_11 * (dhu1 * u1 + hu10 * du1)
+                + 2.0 * chr_1_12 * (dhu1 * u2 + hu10 * du2)
+                + GRAVITY * dh * (h11 * tz1 + h12 * tz2)
+            )
+            dforcing_2 = (
+                2.0 * (chr_2_01 * dhu1 + chr_2_02 * dhu2)
+                + 2.0 * chr_2_12 * (dhu1 * u2 + hu10 * du2)
+                + chr_2_22 * (dhu2 * u2 + hu20 * du2)
+                + GRAVITY * dh * (h21 * tz1 + h22 * tz2)
+            )
+            dforcing = jnp.stack([jnp.zeros_like(dforcing_1), dforcing_1, dforcing_2])
+            return inv_sqrtG * (-ddf) - dforcing
+
+        def rhs_pert(q: jnp.ndarray) -> jnp.ndarray:
+            return rhs0 + rhs_delta_core(q - q0c)
+
+        def rhs_delta(qprime: jnp.ndarray) -> jnp.ndarray:
+            """RHS at ``q0 + qprime`` with the perturbation passed directly
+            (full working-dtype resolution — no absolute-state quantization)."""
+            return rhs0 + rhs_delta_core(qprime)
+
+        rhs_pert.xla = rhs
+        rhs_pert.delta = rhs_delta
+        rhs_pert.base_state = q0c
+        return rhs_pert
 
     if not use_pallas or topo is not None:
         return rhs
