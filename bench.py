@@ -19,15 +19,18 @@ the REFERENCE's own RHS/integrator on this host (tools/measure_baseline.py;
 the reference targets CPU/CUDA and no CUDA device exists here, so the
 baseline is its canonical 6-worker CPU run).
 
-Mosaic parity gate: every Pallas-path number is reported only if the
-compiled f32 kernel's error against the on-chip f64 XLA truth is within 4x
-of the f32 XLA path's own roundoff (the same criterion the interpret-mode
-tests use) — a silent Mosaic lowering bug zeroes the metric instead of
-shipping a wrong-but-fast number.
+Accuracy gate (ABSOLUTE, round-3): every Pallas-path number is reported only
+if the compiled f32 production kernel's RHS error against on-chip f64 truth,
+at a 4-step drift state, stays under GATE_REL (5e-3) of the per-variable
+tendency scale. This certifies the number times output with real SNR on the
+physics: the round-2 operating point (absolute form, default single-bf16-pass
+TPU matmuls) measured 8-17x the tendency scale and would hard-fail this gate.
 
-float32 operating point; float64 is emulated ~40x slower on this chip and
-remains the parity reference. Timing is marginal ((1+reps) calls minus 1)
-so the ~10-20 ms axon relay dispatch latency cancels.
+float32 operating point = perturbation (base-state-split) form + full-f32
+multi-pass GEMMs (jax_default_matmul_precision=highest, set at package
+import); float64 is emulated ~40x slower on this chip and remains the parity
+reference. Timing is marginal ((1+reps) calls minus 1) so the ~10-20 ms axon
+relay dispatch latency cancels.
 """
 
 import json
@@ -90,31 +93,60 @@ def _sw_setup(nel, s):
     return geom, ops, metric, q64, make_rhs_shallow_water
 
 
-def sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs32):
-    """f32 Mosaic kernel vs on-chip f64 XLA truth; passes if within 4x of
-    the f32 XLA path's own roundoff (+ absolute floor)."""
-    truth = np.asarray(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")(q64))
+# ABSOLUTE accuracy gate (round-3 redesign; VERDICT r2 Weak #1): the f32
+# production kernel's RHS error against on-chip f64 truth, measured at a
+# DRIFT state (the IC advanced a few f64 TVD-RK3 steps, base = IC — the
+# honest operating condition of the perturbation form with periodic
+# re-basing), must stay under GATE_REL of the per-variable tendency scale.
+# A kernel whose output is tendency-scale noise (the round-2 default-precision
+# operating point measured 8-17x) can never report a number. Measured
+# r3 operating point (pert form + full-f32 GEMMs): ~2e-5..2e-4.
+GATE_REL = 5e-3
+
+
+def _rk3_steps(rhs64, q, dt, nsteps):
+    @jax.jit
+    def step(q):
+        k1 = q + dt * rhs64(q)
+        k2 = 0.75 * q + 0.25 * (k1 + dt * rhs64(k1))
+        return q / 3.0 + 2.0 / 3.0 * (k2 + dt * rhs64(k2))
+
+    for _ in range(nsteps):
+        q = step(q)
+    return q
+
+
+def sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs32, nel, s):
+    """f32 production kernel vs f64 XLA truth at a 4-step drift state;
+    absolute criterion GATE_REL on the per-variable tendency scale."""
+    rhs64 = jax.jit(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla"))
+    dt = 150.0 * (10.0 / nel) * (3.0 / s)  # ~half the explicit CFL
+    qt = _rk3_steps(rhs64, q64, dt, 4)
+    truth = np.asarray(rhs64(qt))
     scale = np.abs(truth).max(axis=(1, 2, 3, 4), keepdims=True)
-    q32 = q64.astype(jnp.float32)
-    xla32 = np.asarray(make_rhs(geom, ops, metric, dtype=jnp.float32, interior="xla")(q32))
-    fused32 = np.asarray(rhs32(q32))
-    err_xla = np.abs((xla32 - truth) / scale).max()
+    if hasattr(rhs32, "delta"):
+        fused32 = np.asarray(rhs32.delta((qt - rhs32.base_state).astype(jnp.float32)))
+    else:
+        fused32 = np.asarray(rhs32(qt.astype(jnp.float32)))
     err_fused = np.abs((fused32 - truth) / scale).max()
-    ok = bool(err_fused < max(4.0 * err_xla, 1e-5))
-    return ok, float(err_fused), float(err_xla)
+    return bool(err_fused < GATE_REL), float(err_fused)
 
 
 def bench_sw(nel, s, dt, metric_name, baseline_gps, nsteps=100, reps=3):
     geom, ops, metric, q64, make_rhs = _sw_setup(nel, s)
-    rhs = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="pallas")
+    # Production operating point: f32 perturbation (base-state-split) form,
+    # base = the initial condition (re-based periodically in long runs).
+    rhs = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="pallas",
+                   perturbation_base=q64)
     if not hasattr(rhs, "pack"):
         emit(metric_name, 0.0, "gridpoints/s", note="no fused pipeline for this shape")
         return
 
-    ok, err_fused, err_xla = sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs)
+    ok, err_fused = sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs, nel, s)
     if not ok:
         emit(metric_name, 0.0, "gridpoints/s",
-             note=f"PARITY GATE FAILED: kernel err {err_fused:.2e} vs xla32 {err_xla:.2e}")
+             note=f"ACCURACY GATE FAILED: kernel err {err_fused:.2e} "
+                  f"of tendency scale (absolute gate {GATE_REL:.0e})")
         return
 
     q = rhs.pack(q64.astype(jnp.float32))
@@ -144,7 +176,9 @@ def bench_sw(nel, s, dt, metric_name, baseline_gps, nsteps=100, reps=3):
     assert np.isfinite(np.asarray(final)).all(), "non-finite state after benchmark run"
     gps = 6 * nel * nel * s * s * reps * nsteps * 3 / elapsed
     emit(metric_name, gps, "gridpoints/s", baseline_gps,
-         note=f"parity gate: kernel {err_fused:.1e} vs xla32 {err_xla:.1e} (f64 truth)")
+         note=f"f32 perturbation form + full-f32 GEMMs; accuracy gate: kernel "
+              f"{err_fused:.1e} of tendency scale vs f64 truth at 4-step drift "
+              f"(absolute gate {GATE_REL:.0e})")
 
 
 def _e3_setup(nel_h=12, nel_v=3, s=2, ztop=10000.0):
@@ -175,17 +209,17 @@ def bench_dcmip31_rhs(baselines, reps=5, nsteps=150):
              note="no fused 3D pipeline for this shape")
         return
 
-    # Mosaic parity gate vs the on-chip f32 XLA path (same criterion as SW).
-    truth = np.asarray(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")(q0))
+    # ABSOLUTE accuracy gate at a 4-step drift state (same design as SW).
+    rhs64 = jax.jit(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla"))
+    qt = _rk3_steps(rhs64, q0, 0.5, 4)
+    truth = np.asarray(rhs64(qt))
     scale = np.abs(truth).max(axis=(1, 2, 3, 4, 5), keepdims=True)
-    q32 = q0.astype(jnp.float32)
-    xla32 = np.asarray(make_rhs(geom, ops, metric, dtype=jnp.float32, interior="xla")(q32))
-    fused32 = np.asarray(rhs32(q32))
-    err_xla = np.abs((xla32 - truth) / scale).max()
+    fused32 = np.asarray(rhs32(qt.astype(jnp.float32)))
     err_fused = np.abs((fused32 - truth) / scale).max()
-    if not (err_fused < max(4.0 * err_xla, 1e-5)):
+    if not (err_fused < GATE_REL):
         emit("euler3d_dcmip31_rhs_gp_per_s", 0.0, "gridpoints/s",
-             note=f"PARITY GATE FAILED: kernel {err_fused:.2e} vs xla32 {err_xla:.2e}")
+             note=f"ACCURACY GATE FAILED: kernel {err_fused:.2e} of tendency "
+                  f"scale (absolute gate {GATE_REL:.0e})")
         return
 
     qp = rhs32.pack(q32)
@@ -206,7 +240,8 @@ def bench_dcmip31_rhs(baselines, reps=5, nsteps=150):
     assert np.isfinite(np.asarray(out)).all()
     emit("euler3d_dcmip31_rhs_gp_per_s", gp * reps * nsteps * 3 / elapsed, "gridpoints/s", base,
          note=f"canonical dcmip31 (12x12x3, s=2) fused 3D pipeline f32+balance offset; "
-              f"gate kernel {err_fused:.1e} vs xla32 {err_xla:.1e}")
+              f"accuracy gate: kernel {err_fused:.1e} of tendency scale at 4-step drift "
+              f"(absolute gate {GATE_REL:.0e})")
 
 
 def bench_dcmip31_epi2(baselines, steps=3):
@@ -215,7 +250,15 @@ def bench_dcmip31_epi2(baselines, steps=3):
     base = baselines.get("euler3d_dcmip31_epi2", {}).get("steps_per_s")
     geom, ops, metric, q0, make_rhs = _e3_setup()
     rhs = make_rhs(geom, ops, metric)
-    epi = Epi(rhs, order=2, tolerance=1e-7, exponential_solver="kiops_jit", mmin=16, mmax=64)
+    # Mixed-precision device-resident stepping: the KIOPS Arnoldi matvec is
+    # the f32 perturbation-form jvp; basis/controller stay f64 with full
+    # CGS2 orthogonalization (required for inexact operators — see
+    # solvers/kiops_jit.py). Trajectory parity with the reference is gated
+    # by tests/test_euler3d.py::test_epi2_kiops_jit_mixed_precision_*.
+    rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="xla",
+                     perturbation_base=q0)
+    epi = Epi(rhs, order=2, tolerance=1e-7, exponential_solver="kiops_jit",
+              mmin=16, mmax=64, rhs32=rhs32)
     q = epi.step(q0, 30.0)  # warm-up/compile
     jax.block_until_ready(q)
     t0 = time.perf_counter()
@@ -225,9 +268,9 @@ def bench_dcmip31_epi2(baselines, steps=3):
     sec = (time.perf_counter() - t0) / steps
     assert np.isfinite(np.asarray(q)).all()
     emit("euler3d_dcmip31_epi2_steps_per_s", 1.0 / sec, "steps/s", base,
-         note="EPI2 + device-resident KIOPS (one XLA program per step), f64, dt=30; "
-              "3.1x the host-orchestrated KIOPS path on the same chip "
-              "(0.44 vs 0.14 steps/s measured)")
+         note="EPI2 + device-resident KIOPS, MIXED precision (f32 pert-form "
+              "Arnoldi matvec, f64 basis/controller, CGS2), dt=30; r2 full-f64 "
+              "path was 0.456 steps/s on this chip")
 
 
 def emit_roofline():
@@ -252,13 +295,16 @@ def emit_roofline():
     elementwise_per_row = 130 * 128.0
     flops_per_gp = 1.15 * (gemm_flops_per_row + elementwise_per_row) / gp_per_row
     flops_per_s = s4["value"] * flops_per_gp
-    # v5e peak: 197 TFLOP/s bf16 MXU; f32 operands halve the issue rate.
-    peak_f32 = 197e12 / 2.0
+    # v5e peak: 197 TFLOP/s bf16 MXU. Full-f32 GEMMs (precision=HIGHEST,
+    # the r3 operating point) issue 6 bf16 passes per algorithmic matmul,
+    # so the achievable peak is ~197/6 = 33 TFLOP/s of algorithmic FLOPs.
+    peak_f32 = 197e12 / 6.0
     emit(
         "sw_s4_kernel_mxu_flops_per_s", flops_per_s, "FLOP/s",
-        note=f"{flops_per_gp:.0f} FLOP/gridpoint counted from operator shapes; "
-             f"~{100 * flops_per_s / peak_f32:.1f}% of the ~98 TFLOP/s f32 MXU peak; "
-             "steady-state HBM ~0 (whole-run kernel keeps state in VMEM)",
+        note=f"{flops_per_gp:.0f} algorithmic FLOP/gridpoint from operator shapes; "
+             f"~{100 * flops_per_s / peak_f32:.1f}% of the ~33 TFLOP/s full-f32 "
+             "(6-pass) MXU peak; steady-state HBM ~0 (whole-run kernel keeps "
+             "state in VMEM)",
     )
 
 

@@ -101,6 +101,58 @@ def test_gen_tvdrk3_steps_match_xla():
     np.testing.assert_allclose(np.asarray(qa) / scale, w / scale, atol=1e-11)
 
 
+@pytest.mark.parametrize("nel,s", [(10, 3), (4, 6)])
+def test_gen_pert_pipeline_matches_xla_delta(nel, s):
+    """Perturbation-form kernel (base planes) vs the jnp perturbation form:
+    exact algebra in f64 (both are term-level expansions of the same
+    operator)."""
+    geom, ops, metric, q = _build(nel, s)
+    q0 = q
+    dq = 1e-3 * q0 * jnp.sin(jnp.arange(q0.size).reshape(q0.shape) * 0.37)
+    rp_xla = make_rhs_shallow_water(
+        geom, ops, metric, dtype=jnp.float64, interior="xla", perturbation_base=q0
+    )
+    rp_gen = make_rhs_shallow_water(
+        geom, ops, metric, dtype=jnp.float64, interior="pallas", perturbation_base=q0
+    )
+    assert hasattr(rp_gen, "packed_stage_chained")
+    a = np.asarray(rp_xla.delta(dq))
+    b = np.asarray(rp_gen.delta(dq))
+    scale = np.abs(a).reshape(3, -1).max(axis=1).reshape(3, 1, 1, 1, 1)
+    assert np.abs((b - a) / scale).max() < 1e-12
+
+
+def test_s4_pert_pipeline_and_stages():
+    """s=4-specialized pert kernel: f64 parity with the jnp pert form, and
+    delta-state RK stages reproduce the absolute-state trajectory (valid for
+    any a + b = 1 stage combination)."""
+    nel, s = 8, 4
+    geom, ops, metric, q0 = _build(nel, s)
+    dq = 1e-3 * q0 * jnp.sin(jnp.arange(q0.size).reshape(q0.shape) * 0.37)
+    rp_xla = make_rhs_shallow_water(
+        geom, ops, metric, dtype=jnp.float64, interior="xla", perturbation_base=q0
+    )
+    rp = make_rhs_shallow_water(
+        geom, ops, metric, dtype=jnp.float64, interior="pallas", perturbation_base=q0
+    )
+    a = np.asarray(rp_xla.delta(dq))
+    b = np.asarray(rp.delta(dq))
+    scale = np.abs(a).reshape(3, -1).max(axis=1).reshape(3, 1, 1, 1, 1)
+    assert np.abs((b - a) / scale).max() < 1e-12
+
+    dt = jnp.asarray(30.0, jnp.float64)
+    qp = rp.pack(q0 + dq)
+    y1 = rp.packed_stage(qp, qp, 0.0, 1.0, dt)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(qp + dt * rp.packed(qp)), rtol=1e-11, atol=1e-9
+    )
+    y, slabs = rp.packed_stage_chained(qp, qp, rp.packed_slabs(qp), 0.0, 1.0, dt)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y1), rtol=1e-11, atol=1e-9)
+    # unpacked delta trajectory == absolute Euler step
+    q_ref = (q0 + dq) + dt * rp_xla(q0 + dq)
+    np.testing.assert_allclose(np.asarray(rp.unpack(y1)), np.asarray(q_ref), rtol=1e-10, atol=1e-7)
+
+
 def test_pack_pads_are_nan_safe():
     # Pad lanes carry h=1, momentum=0 and stay exactly (a+b)=1 through a
     # consistent stage combination, so no 0/0 can ever form.

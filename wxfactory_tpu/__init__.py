@@ -31,4 +31,15 @@ import jax
 if not os.environ.get("WXF_DISABLE_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# On TPU the DEFAULT f32 matmul is a single bf16 MXU pass (~2e-3 relative
+# error) — at Williamson case 6 that alone makes the f32 RHS 8-17x the
+# tendency scale (pure noise; round-2 VERDICT Missing #1). "highest" forces
+# full-f32 multi-pass GEMMs (~1.3e-7) and is the only numerically defensible
+# default for a weather model. Override with WXF_MM_PRECISION=default/high
+# for speed experiments (in-kernel Pallas dots follow the same knob via
+# ops.kernel_precision()).
+jax.config.update(
+    "jax_default_matmul_precision", os.environ.get("WXF_MM_PRECISION", "highest")
+)
+
 __version__ = "0.1.0"

@@ -68,13 +68,26 @@ class Epi(Integrator):
         init_method: Optional[Integrator] = None,
         init_substeps: int = 1,
         jtv: Optional[Callable] = None,
+        rhs32: Optional[Callable] = None,
         **kwargs,
     ) -> None:
         """`jtv(v, dt, q, rhs_q)` optionally supplies a custom Jacobian action
         (the reference's Epi_others, integrators/epi_for_others.py, takes a
-        user JTV for the stiff-PDE lab); default is the exact jvp of `rhs`."""
+        user JTV for the stiff-PDE lab); default is the exact jvp of `rhs`.
+
+        ``rhs32``: optional float32 companion RHS (ideally the
+        perturbation-form XLA operator, e.g. ``make_rhs_*(...,
+        perturbation_base=q0).xla`` — it must be jax-differentiable) enabling
+        MIXED-PRECISION exponential stepping with the device-resident solver:
+        the KIOPS Arnoldi matvec (the hot loop, one RHS jvp per Krylov
+        iteration — reference solvers/kiops.py:152-338) runs in f32 while the
+        outer residuals, the Krylov basis/H and the adaptivity controller
+        stay f64. On TPU (f64 emulated in software) this removes the
+        dominant cost of the step; the Krylov recurrence tolerates the f32
+        operator like any inexact-Krylov method."""
         super().__init__(**kwargs)
         self.rhs = rhs
+        self.rhs32 = rhs32
         self.jtv = jtv
         self.tol = tolerance
         self.exponential_solver = exponential_solver
@@ -123,6 +136,7 @@ class Epi(Integrator):
         from ..solvers.kiops_jit import kiops_jit
 
         rhs = self.rhs
+        rhs32 = self.rhs32
         A_tbl = jnp.asarray(self.A) if self.A.size else None
         n_prev, max_phi, offset = self.n_prev, self.max_phi, self._phi_offset
         tol, mmin, mmax = self.tol, self.mmin, self.mmax
@@ -135,6 +149,15 @@ class Epi(Integrator):
             def jvp(v):
                 return jax.jvp(rhs, (q,), (v.reshape(q.shape),))[1].ravel()
 
+            if rhs32 is None:
+                kry_jvp = jvp
+            else:
+                q32 = q.astype(jnp.float32)
+
+                def kry_jvp(v):
+                    t = v.reshape(q.shape).astype(jnp.float32)
+                    return jax.jvp(rhs32, (q32,), (t,))[1].ravel().astype(fq.dtype)
+
             rows = [jnp.zeros_like(fq), fq] + [jnp.zeros_like(fq) for _ in range(max_phi - 1)]
             for i in range(n_prev):
                 dq = (prev_q[i] - q).ravel()
@@ -144,8 +167,11 @@ class Epi(Integrator):
             vec = jnp.stack(rows)
 
             w, stats = kiops_jit(
-                lambda v: dt * jvp(v), vec, tau_end=1.0, tol=tol,
+                lambda v: dt * kry_jvp(v), vec, tau_end=1.0, tol=tol,
                 m_init=m0, mmin=mmin, mmax=mmax,
+                # Inexact (f32) operators require a fully orthogonal basis;
+                # see kiops_jit's full_ortho docstring.
+                full_ortho=rhs32 is not None,
             )
             return q + w.reshape(q.shape) * dt, rhs_q, stats
 

@@ -298,7 +298,8 @@ def make_rhs_shallow_water(
             if dtype == f64
             else make_rhs_shallow_water(geom, ops, metric, topo=topo, dtype=f64, interior="xla")
         )
-        rhs0 = c(rhs64(q0_64))
+        rhs0_64 = rhs64(q0_64)
+        rhs0 = c(rhs0_64)
         q0c = c(q0_64)
         h0 = q0c[IDX_H]
         hu10, hu20 = q0c[IDX_HU1], q0c[IDX_HU2]
@@ -434,7 +435,49 @@ def make_rhs_shallow_water(
         rhs_pert.xla = rhs
         rhs_pert.delta = rhs_delta
         rhs_pert.base_state = q0c
-        return rhs_pert
+
+        from ..ops import pallas_sw as _psw
+
+        if not (use_pallas and topo is None):
+            return rhs_pert
+        if not _psw.supported(s, nel, dtype):
+            # Fused perturbation-form generic pipeline (pallas_sw_gen with
+            # base planes): packed states carry the PERTURBATION; pack/unpack
+            # shift by the base so integrators step the absolute trajectory
+            # (exact for any a + b = 1 stage combination).
+            from ..ops import pallas_sw_gen
+
+            genp = pallas_sw_gen.make_pipeline(
+                geom, ops, metric, topology, dtype=dtype,
+                perturbation=(q0_64, rhs0_64),
+            )
+            if genp is None:
+                return rhs_pert
+
+            def rhs_fast(q: jnp.ndarray) -> jnp.ndarray:
+                dqp = genp.pack((q - q0c).astype(dtype))
+                return genp.unpack(genp.packed(dqp)).reshape(q.shape)
+
+            def delta_fast(qprime: jnp.ndarray) -> jnp.ndarray:
+                return genp.unpack(genp.packed(genp.pack(qprime))).reshape(qprime.shape)
+
+            rhs_fast.xla = rhs_pert
+            rhs_fast.delta = delta_fast
+            rhs_fast.delta_xla = rhs_delta
+            rhs_fast.base_state = q0c
+            rhs_fast.pack = lambda q: genp.pack((q - q0c).astype(dtype))
+            rhs_fast.pack_delta = genp.pack
+            rhs_fast.unpack = lambda qp: q0c + genp.unpack(qp).reshape(q0c.shape)
+            rhs_fast.packed = genp.packed
+            rhs_fast.packed_stage = genp.packed_stage
+            rhs_fast.packed_stage_chained = genp.packed_stage_chained
+            rhs_fast.packed_slabs = genp.packed_slabs
+            return rhs_fast
+        # s=4-specialized shapes: fall through to the tuned pipeline below
+        # (km_fused / whole-run kr_run) with base planes threaded in.
+        pert = (q0_64, rhs0_64, q0c, rhs_pert, rhs_delta)
+    else:
+        pert = None
 
     if not use_pallas or topo is not None:
         return rhs
@@ -517,11 +560,19 @@ def make_rhs_shallow_water(
             hn = jnp.pad(halo[:, NORTH].reshape(3, 6, 1, npts), edge_pad)
         return hwe, hs, hn
 
+    bp = None
+    if pert is not None:
+        # Base planes for the perturbation-form kernels; the s=4/g=8 packing
+        # is identical to the generic pipeline's, so its builder serves both.
+        from ..ops import pallas_sw_gen as _psg
+
+        bp = _psg.build_base_planes(ops, metric, topology, pert[0], pert[1], nel, s, dtype)
+
     def _km(qp, hwe, hs, hn, **kw):
         return pallas_sw.km_fused(
             qp, hwe, hs, hn, consts.fields, consts.gridrot, consts.eexy,
             consts.dd, consts.m_sg, consts.m_hd, consts.m_ho, consts.wmat,
-            consts.spread, rpr=rpr, interpret=interp, **kw,
+            consts.spread, rpr=rpr, interpret=interp, bp=bp, **kw,
         )
 
     def packed_slabs(qp):
@@ -565,8 +616,35 @@ def make_rhs_shallow_water(
             qp, we0, s0, n0, consts.fields, consts.gridrot, consts.eexy,
             consts.dd, consts.m_sg, consts.m_hd, consts.m_ho, consts.wmat,
             consts.spread, halo_consts, abc, rpr=rpr, nsteps=nsteps,
-            interpret=interp,
+            interpret=interp, bp=bp,
         )
+
+    if pert is not None:
+        # Packed states carry the PERTURBATION (at s=4/g=8 packing is a pure
+        # reshape, so pack/unpack just shift by the base); packed() returns
+        # the full RHS rhs0 + delta.
+        q0c_, rhs_pert_, rhs_delta_ = pert[2], pert[3], pert[4]
+
+        def rhs_fast(q: jnp.ndarray) -> jnp.ndarray:
+            return rhs_packed((q - q0c_).astype(dtype).reshape(3, rows, 128)).reshape(q.shape)
+
+        def delta_fast(qprime: jnp.ndarray) -> jnp.ndarray:
+            return rhs_packed(qprime.reshape(3, rows, 128)).reshape(qprime.shape)
+
+        rhs_fast.xla = rhs_pert_
+        rhs_fast.delta = delta_fast
+        rhs_fast.delta_xla = rhs_delta_
+        rhs_fast.base_state = q0c_
+        rhs_fast.packed = rhs_packed
+        rhs_fast.packed_stage = packed_stage
+        rhs_fast.packed_stage_chained = packed_stage_chained
+        rhs_fast.packed_slabs = packed_slabs
+        if pallas_sw.run_supported(s, nel, dtype):
+            rhs_fast.packed_run = packed_run
+        rhs_fast.pack = lambda q: (q - q0c_).astype(dtype).reshape(3, rows, 128)
+        rhs_fast.pack_delta = lambda dq: dq.reshape(3, rows, 128)
+        rhs_fast.unpack = lambda qp: q0c_ + qp.reshape(3, 6, nel, nel, s * s)
+        return rhs_fast
 
     def rhs_pallas(q: jnp.ndarray) -> jnp.ndarray:
         return rhs_packed(q.reshape(3, rows, 128)).reshape(q.shape)

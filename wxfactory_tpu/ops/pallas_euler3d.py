@@ -52,6 +52,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..common.constants import CPD, CVD, GRAVITY, P0, RD
+from . import kernel_precision as _kernel_precision
+
+_KP = _kernel_precision()
 
 LANES = 128
 
@@ -441,7 +444,7 @@ def _km3_body(
     kz0 = kz == 0
     kztop = kz == nk - 1
 
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=dtype)
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=dtype)
 
     # --- extrapolation to faces (rho, rho*theta in log space) -------------
     lr = jnp.log(q[IDX_RHO])
@@ -989,7 +992,7 @@ def km3_fused(
             # Neighbor boundary rows via one-hot row-select GEMMs (a
             # (5, nkxp, 128) block is Mosaic-illegal when nkxp % 8 != 0).
             sp, sn_ = sel_prev_ref[...], sel_next_ref[...]
-            mmsel = lambda m, a: jax.lax.dot(m, a, preferred_element_type=dtype)
+            mmsel = lambda m, a: jax.lax.dot(m, a, precision=_KP, preferred_element_type=dtype)
             qprev = jnp.stack([mmsel(sp, qprev_ref[v]) for v in range(5)])
             qnext = jnp.stack([mmsel(sn_, qnext_ref[v]) for v in range(5)])
         cblk = {

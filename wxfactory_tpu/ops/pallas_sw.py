@@ -44,6 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..common.constants import GRAVITY
+from . import kernel_precision as _kernel_precision
+
+_KP = _kernel_precision()
 
 G8 = 8  # elements per packed row
 S = 4  # num_solpts this pipeline is specialized for (s^2=16, 2s=8)
@@ -235,7 +238,7 @@ def _make_ke(rpr: int, prows: int, nel: int):
     rpad = -(-rpr // 8) * 8
 
     def kernel(q_ref, eexy_ref, lw_ref, le_ref, we_ref, s_ref, n_ref):
-        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=we_ref.dtype)
+        mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=we_ref.dtype)
         eexy = eexy_ref[...]
         lane = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
         wmask = lane < S
@@ -285,6 +288,11 @@ def ke_edges(q, eexy, rpr: int, interpret: bool = False):
             jax.ShapeDtypeStruct((3, 6 * rpad, LANES), q.dtype),
         ],
         interpret=interpret,
+        **(
+            {}
+            if interpret
+            else {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)}
+        ),
     )(q, eexy, lw, le)
     return outs
 
@@ -327,7 +335,7 @@ def _halo_math(flat, perm, rev, flip, conv, pwe, npts: int, npl: int):
     process_topology.py start_exchange_* semantics). flat: (72, npts) rows
     ``v*24 + side*6 + panel`` in (S, N, W, E) side order. Returns
     (hwe (6,3,2,npts), hs (3,6,1,npl), hn (3,6,1,npl))."""
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=flat.dtype)
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=flat.dtype)
     ex = mm(perm, flat)
     flipped = mm(ex, rev)
     ex = flip * flipped + (1.0 - flip) * ex
@@ -415,7 +423,7 @@ def _element_stage(q3, fields, gridrot, dd):
     rhs_sw.py:120-131, :223-238). Returns the interior df tuple."""
     (sqrtg, h11, h12, h22, g101, g102, g201, g202,
      c111, c112, c212, c222, invsg) = fields
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=q3[0].dtype)
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=q3[0].dtype)
     half_g = 0.5 * GRAVITY
     h, hu1, hu2 = q3
     u1 = hu1 / h
@@ -448,6 +456,50 @@ def _element_stage(q3, fields, gridrot, dd):
     return (-invsg * div0, -invsg * div1 - forcing_1, -invsg * div2 - forcing_2)
 
 
+def _element_stage_pert(dq3, bq, fields, gridrot, dd):
+    """Term-level delta of ``_element_stage`` around the packed base planes
+    ``bq = (h0, hu10, hu20, u10, u20)``: d(ab) = da*b + a0*db product rules,
+    d(h^2) = (h+h0)*dh, velocity delta du = (d(hu) - u0*dh)/h. The returned
+    tuple is the INTERIOR-stage delta (the f64 base RHS is added by the
+    caller). Layout-independent; shared by both SW pipelines."""
+    (sqrtg, h11, h12, h22, g101, g102, g201, g202,
+     c111, c112, c212, c222, invsg) = fields
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=dq3[0].dtype)
+    half_g = 0.5 * GRAVITY
+    h0, hu10, hu20, u10, u20 = bq
+    dh, dhu1, dhu2 = dq3
+    h = h0 + dh
+    du1 = (dhu1 - u10 * dh) / h
+    du2 = (dhu2 - u20 * dh) / h
+    u1 = u10 + du1
+    u2 = u20 + du2
+    hph0 = h + h0
+    d11 = dhu1 * u1 + hu10 * du1
+    d12 = dhu1 * u2 + hu10 * du2
+    d21 = dhu2 * u1 + hu20 * du1
+    d22 = dhu2 * u2 + hu20 * du2
+    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    div0 = mm(cat(sqrtg * dhu1, sqrtg * dhu2), dd)
+    div1 = mm(
+        cat(
+            sqrtg * (d11 + half_g * h11 * hph0 * dh),
+            sqrtg * (d12 + half_g * h12 * hph0 * dh),
+        ),
+        dd,
+    )
+    div2 = mm(
+        cat(
+            sqrtg * (d21 + half_g * h12 * hph0 * dh),
+            sqrtg * (d22 + half_g * h22 * hph0 * dh),
+        ),
+        dd,
+    )
+    rot2 = 2.0 * gridrot
+    forcing_1 = rot2 * (g101 * dhu1 + g102 * dhu2) + c111 * d11 + 2.0 * c112 * d12
+    forcing_2 = rot2 * (g201 * dhu1 + g202 * dhu2) + 2.0 * c212 * d12 + c222 * d22
+    return (-invsg * div0, -invsg * div1 - forcing_1, -invsg * div2 - forcing_2)
+
+
 def _expand_halo_var(w_row, e_row, hs_row, hn_row, spread, rev, m, nel: int, npl: int):
     """Expand one variable's compact halo edges to full panel trace shape in
     VMEM. hwe holds the west/east panel edges as ONE flat lane-padded row
@@ -473,7 +525,7 @@ def _expand_halo_var(w_row, e_row, hs_row, hn_row, spread, rev, m, nel: int, npl
     e = pltpu.roll(e, _i32(be), 1, stride=S, stride_axis=0)[:, :LANES]
     wsel = jnp.where(lanes_we < S, w, 0.0)
     esel = jnp.where((lanes_we >= 64 - S) & (lanes_we < 64), e, 0.0)
-    we = jax.lax.dot(rev, wsel + esel, preferred_element_type=w.dtype)
+    we = jax.lax.dot(rev, wsel + esel, precision=_KP, preferred_element_type=w.dtype)
 
     def expand_sn(src, north):
         npl_ = src.shape[-1]
@@ -483,7 +535,7 @@ def _expand_halo_var(w_row, e_row, hs_row, hn_row, spread, rev, m, nel: int, npl
             rolled = pltpu.roll(src, _i32(shift), 1) if shift else src
             rows_.append(rolled[:, :LANES])
         b = jnp.concatenate(rows_, axis=0) if rpr > 1 else rows_[0]
-        e_ = jax.lax.dot(b, spread, preferred_element_type=src.dtype)
+        e_ = jax.lax.dot(b, spread, precision=_KP, preferred_element_type=src.dtype)
         if north:
             e_ = pltpu.roll(e_, _i32(4), 1)
             return jnp.pad(e_, ((prows - rpr, 0), (0, 0)))
@@ -492,30 +544,12 @@ def _expand_halo_var(w_row, e_row, hs_row, hn_row, spread, rev, m, nel: int, npl
     return jnp.repeat(we, rpr, axis=0) + expand_sn(hs_row, False) + expand_sn(hn_row, True)
 
 
-def _interface_flux(A, E, msg, mhd, mho, m):
-    """Interface L/R assembly with pltpu.roll shifts + AUSM Mach-splitting
-    flux for BOTH directions in one vector pass (x in lanes 0..63, y in
-    64..127) — reference rhs_sw.py:170-207."""
-    _i32 = lambda v: np.int32(v)
-    rpr, is_x, lane = m.rpr, m.is_x, m.lane
+def _ausm_slots(L, R, msg, mhd, mho, is_x):
+    """AUSM Mach-splitting flux on assembled L/R slot values, BOTH
+    directions in one vector pass (x in lanes 0..63, y in 64..127) —
+    reference rhs_sw.py:170-207. Layout-independent: shared by the s=4 and
+    the generic pipelines."""
     half_g = 0.5 * GRAVITY
-
-    def assemble_L(a, e):
-        prev = pltpu.roll(a, _i32(1), 0)
-        # x: qL = east face of the lane-group to the west (same row),
-        # with the group-0 carry from the previous position-row.
-        lx = jnp.where(lane < S, pltpu.roll(prev, _i32(68), 1), pltpu.roll(a, _i32(4), 1))
-        # y: qL = north face of the element one position-row up.
-        ly = pltpu.roll(pltpu.roll(a, _i32(LANES - 4), 1), _i32(rpr), 0)
-        l = jnp.where(is_x, lx, ly)
-        # Panel-edge interfaces: qL west/south comes from the halo;
-        # qL east/north is this element's own east/north face (in place).
-        l = jnp.where(m.west_slot | m.south_slot, e, l)
-        return jnp.where(m.edge_h2, a, l)
-
-    L = tuple(assemble_L(a, e) for a, e in zip(A, E))
-    R = tuple(jnp.where(m.edge_h2, e, a) for a, e in zip(A, E))
-
     hL, hR = L[0], R[0]
     aL = jnp.sqrt(GRAVITY * hL * mhd)
     aR = jnp.sqrt(GRAVITY * hR * mhd)
@@ -536,6 +570,86 @@ def _interface_flux(A, E, msg, mhd, mho, m):
     f[1] = f[1] + jnp.where(is_x, pres_diag, pres_off)
     f[2] = f[2] + jnp.where(is_x, pres_off, pres_diag)
     return f
+
+
+def _ausm_delta_slots(L0, R0, dL, dR, msg, mhd, mho, is_x):
+    """Term-level delta of ``_ausm_slots`` around base slot values
+    (L0, R0): exact product-rule expansions everywhere, sound speed via
+    d(sqrt) = g*mhd*dh/(a+a0), Mach ratios by direct subtraction (smooth
+    state ratios). Twin of the jnp ``ausm_delta`` in
+    models/shallow_water.py; see that docstring for the math."""
+    hL0, hR0 = L0[0], R0[0]
+    dhL, dhR = dL[0], dR[0]
+    hL, hR = hL0 + dhL, hR0 + dhR
+    aL0 = jnp.sqrt(GRAVITY * hL0 * mhd)
+    aR0 = jnp.sqrt(GRAVITY * hR0 * mhd)
+    aL = jnp.sqrt(GRAVITY * hL * mhd)
+    aR = jnp.sqrt(GRAVITY * hR * mhd)
+    daL = jnp.where(aL + aL0 > 0.0, GRAVITY * mhd * dhL / (aL + aL0), 0.0)
+    daR = jnp.where(aR + aR0 > 0.0, GRAVITY * mhd * dhR / (aR + aR0), 0.0)
+    qn0L = jnp.where(is_x, L0[1], L0[2])
+    qn0R = jnp.where(is_x, R0[1], R0[2])
+    dqnL = jnp.where(is_x, dL[1], dL[2])
+    dqnR = jnp.where(is_x, dR[1], dR[2])
+    tmpL0, tmpL = hL0 * aL0, hL * aL
+    tmpR0, tmpR = hR0 * aR0, hR * aR
+    mL0 = jnp.where(tmpL0 != 0.0, qn0L / tmpL0, 0.0)
+    mR0 = jnp.where(tmpR0 != 0.0, qn0R / tmpR0, 0.0)
+    mL = jnp.where(tmpL != 0.0, (qn0L + dqnL) / tmpL, 0.0)
+    mR = jnp.where(tmpR != 0.0, (qn0R + dqnR) / tmpR, 0.0)
+    dmL, dmR = mL - mL0, mR - mR0
+    M0 = 0.25 * ((mL0 + 1.0) ** 2 - (mR0 - 1.0) ** 2)
+    dM = 0.25 * ((mL + mL0 + 2.0) * dmL - (mR + mR0 - 2.0) * dmR)
+    M = M0 + dM
+    P0 = jnp.maximum(0.0, M0)
+    dP = jnp.maximum(0.0, M) - P0
+    N0 = jnp.minimum(0.0, M0)
+    dN = jnp.minimum(0.0, M) - N0
+    f = [
+        msg * (
+            dP * aL * (l0 + dl) + P0 * (daL * (l0 + dl) + aL0 * dl)
+            + dN * aR * (r0 + dr) + N0 * (daR * (r0 + dr) + aR0 * dr)
+        )
+        for l0, dl, r0, dr in zip(L0, dL, R0, dR)
+    ]
+    dterm = (
+        dmL * hL * hL + (1.0 + mL0) * (hL + hL0) * dhL
+        - dmR * hR * hR + (1.0 - mR0) * (hR + hR0) * dhR
+    )
+    dpres = (0.25 * GRAVITY) * msg * dterm
+    f[1] = f[1] + jnp.where(is_x, mhd, mho) * dpres
+    f[2] = f[2] + jnp.where(is_x, mho, mhd) * dpres
+    return f
+
+
+def _assemble_LR(A, E, m):
+    """Interface L/R slot values from trace (A) and halo (E) planes with
+    pltpu.roll shifts (s=4 packed layout)."""
+    _i32 = lambda v: np.int32(v)
+    rpr, is_x, lane = m.rpr, m.is_x, m.lane
+
+    def assemble_L(a, e):
+        prev = pltpu.roll(a, _i32(1), 0)
+        # x: qL = east face of the lane-group to the west (same row),
+        # with the group-0 carry from the previous position-row.
+        lx = jnp.where(lane < S, pltpu.roll(prev, _i32(68), 1), pltpu.roll(a, _i32(4), 1))
+        # y: qL = north face of the element one position-row up.
+        ly = pltpu.roll(pltpu.roll(a, _i32(LANES - 4), 1), _i32(rpr), 0)
+        l = jnp.where(is_x, lx, ly)
+        # Panel-edge interfaces: qL west/south comes from the halo;
+        # qL east/north is this element's own east/north face (in place).
+        l = jnp.where(m.west_slot | m.south_slot, e, l)
+        return jnp.where(m.edge_h2, a, l)
+
+    L = tuple(assemble_L(a, e) for a, e in zip(A, E))
+    R = tuple(jnp.where(m.edge_h2, e, a) for a, e in zip(A, E))
+    return L, R
+
+
+def _interface_flux(A, E, msg, mhd, mho, m):
+    """Interface L/R assembly + AUSM flux (absolute form, s=4 layout)."""
+    L, R = _assemble_LR(A, E, m)
+    return _ausm_slots(L, R, msg, mhd, mho, m.is_x)
 
 
 def _faces(fl, m):
@@ -560,7 +674,7 @@ def _emit_slabs(o3, eexy, lw, le, rpr: int, prows: int, nel: int):
     the extrapolation GEMM, so extrapolating the selected rows is bitwise
     identical to selecting from the full trace at ~2/3 of the MXU work."""
     rpad = -(-rpr // 8) * 8
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o3[0].dtype)
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=o3[0].dtype)
     lanes_ = jax.lax.broadcasted_iota(jnp.int32, (nel, LANES), 1)
     wmask = lanes_ < S
     emask = (lanes_ >= 64 - S) & (lanes_ < 64)
@@ -583,7 +697,8 @@ def _emit_slabs(o3, eexy, lw, le, rpr: int, prows: int, nel: int):
 # HBM: per stage the only big transfers are q, x and the output state.
 
 
-def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_slabs: bool, with_x: bool):
+def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_slabs: bool,
+             with_x: bool, with_base: bool = False):
     with_stage = stage_a is not None
 
     def kernel(*refs):
@@ -597,13 +712,14 @@ def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_sl
         eexy_ref, dd_ref = next(it), next(it)
         msg_ref, mhd_ref, mho_ref = next(it), next(it), next(it)
         wmat_ref, spread_ref, lw_ref, le_ref, rev_ref = (next(it) for _ in range(5))
+        bp_ref = next(it) if with_base else None
         x_ref = next(it) if with_x else None
         cdt_ref = next(it) if with_stage else None
         o_ref = next(it)
         if emit_slabs:
             we_ref, s_ref, n_ref = next(it), next(it), next(it)
 
-        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
+        mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=o_ref.dtype)
         eexy = eexy_ref[...]
         m = _masks(rpr, prows)
         fields = (
@@ -615,10 +731,7 @@ def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_sl
         invsg = fields[12]
         q3 = (q_ref[0], q_ref[1], q_ref[2])
 
-        # --- element-local stage (the former K1, now in VMEM) ---
-        df = _element_stage(q3, fields, gridrot_ref[...], dd_ref[...])
-
-        # --- interface stage (the former K2) ---
+        # --- interface traces + halo expansion (shared by both forms) ---
         A = tuple(mm(q3[v], eexy) for v in range(3))
         spread = spread_ref[...]
         rev = rev_ref[...]
@@ -629,12 +742,28 @@ def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_sl
             )
             for v in range(3)
         )
-        f = _interface_flux(A, E, msg_ref[...], mhd_ref[...], mho_ref[...], m)
+        if with_base:
+            # Perturbation form: q3/halos carry the delta; base planes ride
+            # in bp_ref (layout: build_base_planes in pallas_sw_gen — the
+            # s=4/g=8 packing is the same in both pipelines).
+            bq = tuple(bp_ref[k] for k in range(5))
+            df = _element_stage_pert(q3, bq, fields, gridrot_ref[...], dd_ref[...])
+            L0, R0 = _assemble_LR(
+                tuple(bp_ref[5 + v] for v in range(3)),
+                tuple(bp_ref[8 + v] for v in range(3)), m,
+            )
+            dL, dR = _assemble_LR(A, E, m)
+            f = _ausm_delta_slots(L0, R0, dL, dR, msg_ref[...], mhd_ref[...], mho_ref[...], m.is_x)
+        else:
+            df = _element_stage(q3, fields, gridrot_ref[...], dd_ref[...])
+            f = _interface_flux(A, E, msg_ref[...], mhd_ref[...], mho_ref[...], m)
 
         wmat = wmat_ref[...]
         o = []
         for v in range(3):
             rhs_v = df[v] - invsg * mm(_faces(f[v], m), wmat)
+            if with_base:
+                rhs_v = rhs_v + bp_ref[11 + v]
             if with_stage:
                 cdt = cdt_ref[0, 0]
                 val = stage_b * q_ref[v] + cdt * rhs_v
@@ -663,7 +792,7 @@ def _make_km(rpr: int, prows: int, nel: int, npl: int, stage_a, stage_b, emit_sl
 def km_fused(
     qp, hwe, hs, hn, fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat, spread,
     rpr: int, x=None, cdt=None, stage_a=None, stage_b=None,
-    emit_slabs: bool = False, interpret: bool = False,
+    emit_slabs: bool = False, interpret: bool = False, bp=None,
 ):
     """The whole SW spatial operator + optional TVD-RK stage combination in
     one kernel per panel. qp: (3, R, 128) packed state; hwe: (6, 3, 2, npts)
@@ -717,6 +846,10 @@ def km_fused(
         ]
     )
     args = [qp, hwe, hs, hn, *fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat, spread, lw, le, rev]
+    with_base = bp is not None
+    if with_base:
+        in_specs.append(pl.BlockSpec((14, prows, LANES), lambda i: (zero, i, zero)))
+        args.append(bp)
     if with_x:
         in_specs.append(pan3())
         args.append(x)
@@ -739,12 +872,17 @@ def km_fused(
         ]
 
     outs = pl.pallas_call(
-        _make_km(rpr, prows, nel, npl, stage_a, stage_b, emit_slabs, with_x),
+        _make_km(rpr, prows, nel, npl, stage_a, stage_b, emit_slabs, with_x, with_base),
         grid=(6,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **(
+            {}
+            if interpret
+            else {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)}
+        ),
     )(*args)
     return tuple(outs) if emit_slabs else outs[0]
 
@@ -789,7 +927,7 @@ def _slabs_to_flat(we, sv, nv, csn_s, csn_n, p6, p6s, p6n, nel: int, rpr: int, n
     v*24 + side*6 + panel, (S,N,W,E)."""
     _i32 = lambda v: np.int32(v)
     rpad = -(-rpr // 8) * 8
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=we.dtype)
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=we.dtype)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (6 * nel, LANES), 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (6 * rpad, npl), 0)
     rmod = jax.lax.rem(rowi, jnp.int32(rpad))
@@ -817,23 +955,25 @@ def _slabs_to_flat(we, sv, nv, csn_s, csn_n, p6, p6s, p6n, nel: int, rpr: int, n
     return jnp.concatenate(per_var, axis=0)  # (72, npts)
 
 
-def _make_kr(rpr: int, prows: int, nel: int, npl: int, nsteps: int):
+def _make_kr(rpr: int, prows: int, nel: int, npl: int, nsteps: int, with_base: bool = False):
     rpad = -(-rpr // 8) * 8
     rows = 6 * prows
 
-    def kernel(
-        q_ref, we0_ref, s0_ref, n0_ref,
-        sqrtg_ref, h11_ref, h12_ref, h22_ref,
-        g101_ref, g102_ref, g201_ref, g202_ref,
-        c111_ref, c112_ref, c212_ref, c222_ref, invsg_ref,
-        gridrot_ref, eexy_ref, dd_ref, msg_ref, mhd_ref, mho_ref,
-        wmat_ref, spread_ref, lw_ref, le_ref, rev_ref,
-        perm_ref, revn_ref, flip_ref, conv_ref, pwe_ref,
-        csns_ref, csnn_ref, p6_ref, p6s_ref, p6n_ref,
-        abc_ref,
-        o_ref,
-        x_scr, y_scr, cur_scr, we_scr, s_scr, n_scr, hwe_scr, hs_scr, hn_scr,
-    ):
+    def kernel(*refs):
+        it = iter(refs)
+        q_ref, we0_ref, s0_ref, n0_ref = (next(it) for _ in range(4))
+        (sqrtg_ref, h11_ref, h12_ref, h22_ref,
+         g101_ref, g102_ref, g201_ref, g202_ref,
+         c111_ref, c112_ref, c212_ref, c222_ref, invsg_ref) = (next(it) for _ in range(13))
+        (gridrot_ref, eexy_ref, dd_ref, msg_ref, mhd_ref, mho_ref,
+         wmat_ref, spread_ref, lw_ref, le_ref, rev_ref,
+         perm_ref, revn_ref, flip_ref, conv_ref, pwe_ref,
+         csns_ref, csnn_ref, p6_ref, p6s_ref, p6n_ref) = (next(it) for _ in range(21))
+        bp_ref = next(it) if with_base else None
+        abc_ref = next(it)
+        o_ref = next(it)
+        (x_scr, y_scr, cur_scr, we_scr, s_scr, n_scr,
+         hwe_scr, hs_scr, hn_scr) = (next(it) for _ in range(9))
         t = pl.program_id(0)
         s = pl.program_id(1)
         p = pl.program_id(2)
@@ -880,7 +1020,7 @@ def _make_kr(rpr: int, prows: int, nel: int, npl: int, nsteps: int):
             for v in range(3):
                 cur_scr[v] = y_scr[v, pslice, :]
 
-        mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=o_ref.dtype)
+        mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=o_ref.dtype)
         eexy = eexy_ref[...]
         m = _masks(rpr, prows)
         fields = (
@@ -892,7 +1032,6 @@ def _make_kr(rpr: int, prows: int, nel: int, npl: int, nsteps: int):
         invsg = fields[12]
         q3 = tuple(cur_scr[v] for v in range(3))
 
-        df = _element_stage(q3, fields, gridrot_ref[pslice, :], dd_ref[...])
         A = tuple(mm(q3[v], eexy) for v in range(3))
         spread = spread_ref[...]
         rev = rev_ref[...]
@@ -904,7 +1043,20 @@ def _make_kr(rpr: int, prows: int, nel: int, npl: int, nsteps: int):
             )
             for v in range(3)
         )
-        f = _interface_flux(A, E, msg_ref[...], mhd_ref[...], mho_ref[...], m)
+        if with_base:
+            # Perturbation form: the registers carry the delta state; base
+            # planes (this panel's block) ride in bp_ref.
+            bq = tuple(bp_ref[k] for k in range(5))
+            df = _element_stage_pert(q3, bq, fields, gridrot_ref[pslice, :], dd_ref[...])
+            L0, R0 = _assemble_LR(
+                tuple(bp_ref[5 + v] for v in range(3)),
+                tuple(bp_ref[8 + v] for v in range(3)), m,
+            )
+            dL, dR = _assemble_LR(A, E, m)
+            f = _ausm_delta_slots(L0, R0, dL, dR, msg_ref[...], mhd_ref[...], mho_ref[...], m.is_x)
+        else:
+            df = _element_stage(q3, fields, gridrot_ref[pslice, :], dd_ref[...])
+            f = _interface_flux(A, E, msg_ref[...], mhd_ref[...], mho_ref[...], m)
 
         wmat = wmat_ref[...]
         a = abc_ref[0, s]
@@ -913,6 +1065,8 @@ def _make_kr(rpr: int, prows: int, nel: int, npl: int, nsteps: int):
         val = []
         for v in range(3):
             rhs_v = df[v] - invsg * mm(_faces(f[v], m), wmat)
+            if with_base:
+                rhs_v = rhs_v + bp_ref[11 + v]
             x3 = x_scr[v, pslice, :]
             val.append(a * x3 + b * q3[v] + cdt * rhs_v)
 
@@ -945,7 +1099,7 @@ def _make_kr(rpr: int, prows: int, nel: int, npl: int, nsteps: int):
 @functools.partial(jax.jit, static_argnames=("rpr", "nsteps", "interpret"))
 def kr_run(
     qp, we0, s0, n0, fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat, spread,
-    halo: HaloConstants, abc, rpr: int, nsteps: int, interpret: bool = False,
+    halo: HaloConstants, abc, rpr: int, nsteps: int, interpret: bool = False, bp=None,
 ):
     """Run ``nsteps`` full 3-stage explicit RK steps entirely on-chip.
     qp: (3, R, 128) packed state; (we0, s0, n0): its edge-trace slabs
@@ -994,16 +1148,20 @@ def kr_run(
            full((nel, prows)), full((nel, prows)), full((nel, nel)),
            full((72, 72)), full((npl, npl)), full((72, 1)), full((4, 24, npl)),
            full((36, 72)), full((LANES, npl)), full((LANES, npl)),
-           full((6, 6 * nel)), full((6, 6 * rpad)), full((6, 6 * rpad)),
-           smem]
+           full((6, 6 * nel)), full((6, 6 * rpad)), full((6, 6 * rpad))]
     )
     args = [
         qp, we0, s0, n0, *fields, gridrot, eexy, dd, m_sg, m_hd, m_ho, wmat,
         spread, c(lw), c(le), c(rev),
         halo.perm72, halo.rev, halo.flip, halo.conv, c(pwe),
         c(csn_s), c(csn_n), c(p6), c(p6s), c(p6n),
-        jnp.asarray(abc, dtype=dt_),
     ]
+    with_base = bp is not None
+    if with_base:
+        in_specs.append(pl.BlockSpec((14, prows, LANES), lambda t, s, p: (zero, p, zero)))
+        args.append(bp)
+    in_specs.append(smem)
+    args.append(jnp.asarray(abc, dtype=dt_))
     scratch = [
         pltpu.VMEM((3, rows, LANES), dt_),  # x register
         pltpu.VMEM((3, rows, LANES), dt_),  # y register
@@ -1022,7 +1180,7 @@ def kr_run(
         # scoped budget; v5e has 128 MB.
         kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
-        _make_kr(rpr, prows, nel, npl, nsteps),
+        _make_kr(rpr, prows, nel, npl, nsteps, with_base),
         grid=(nsteps, 3, 6),
         in_specs=in_specs,
         out_specs=full((3, rows, LANES)),

@@ -39,6 +39,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from .pallas_sw import _element_stage  # layout-independent per-row stage math
+from . import kernel_precision as _kernel_precision
+
+_KP = _kernel_precision()
 
 MAX_WHOLE_ROWS = 4096  # VMEM budget gate for the whole-array mode
 
@@ -309,6 +312,59 @@ def unpack_state(qp: jnp.ndarray, nel: int, s: int, g: int) -> jnp.ndarray:
     return qp.reshape(3, 6, nel, rpr, 128)[..., :used].reshape(3, 6, nel, nel, s * s)
 
 
+def pack_delta(dq: jnp.ndarray, nel: int, s: int, g: int) -> jnp.ndarray:
+    """Pack a PERTURBATION state: all pad lanes zero (the base planes carry
+    h0 = 1 there, so h = h0 + 0 stays division-safe and the delta math is
+    exactly zero in pads — they survive any a + b = 1 stage combination)."""
+    rpr = nel // g
+    used = g * s * s
+    b = dq.reshape(3, 6, nel, rpr, used)
+    pad = jnp.zeros((3, 6, nel, rpr, 128 - used), dq.dtype)
+    return jnp.concatenate([b, pad], axis=-1).reshape(3, 6 * nel * rpr, 128)
+
+
+def build_base_planes(ops, metric, topology, q0_64, rhs0_64, nel: int, s: int, dtype):
+    """Packed base planes for the perturbation-form kernel, computed in
+    float64 (one-time factory cost) and cast: [h0, hu10, hu20, u10, u20,
+    A0 (base traces, 3), E0 (expanded base halos, 3), rhs0 (f64 base RHS,
+    3)] -> (14, rows, 128). The base trace/halo values are produced by the
+    SAME packed-layout machinery the kernel uses (packed_slabs /
+    halo_from_slabs / _expand_halo), so slot semantics match exactly."""
+    p = plan(s, nel)
+    f64 = jnp.float64
+    con64 = build_constants(ops, metric, nel, s, dtype=f64)
+    conv64 = jnp.asarray(topology._conv_contra_all, f64)
+    q0j = jnp.asarray(q0_64, f64)
+    qp0 = pack_state(q0j, nel, s, p.g)
+    A0 = jnp.stack([qp0[v] @ con64.eexy for v in range(3)])
+    slabs = packed_slabs(qp0, con64, nel, s)
+    hw, he, hs, hn = halo_from_slabs(*slabs, topology, conv64, nel, s)
+    if p.mode == "panel":
+        E0 = jnp.stack(
+            [
+                jnp.concatenate(
+                    [
+                        _expand_halo(
+                            hw[pi, v : v + 1], he[pi, v : v + 1],
+                            hs[pi, v : v + 1], hn[pi, v : v + 1], con64, f64,
+                        )
+                        for pi in range(6)
+                    ]
+                )
+                for v in range(3)
+            ]
+        )
+    else:
+        E0 = jnp.stack(
+            [_expand_halo(hw[:, v], he[:, v], hs[:, v], hn[:, v], con64, f64) for v in range(3)]
+        )
+    u0 = np.asarray(q0_64[1:3], np.float64) / np.asarray(q0_64[0], np.float64)
+    up = jnp.asarray(pack_field(u0, nel, s, p.g), f64)
+    rp = jnp.asarray(pack_field(np.asarray(rhs0_64, np.float64), nel, s, p.g), f64)
+    planes = jnp.concatenate([qp0, up, A0, E0, rp])
+    return jnp.asarray(planes, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Kernel math (pure jnp over VMEM values; roll is pltpu.roll in-kernel)
 
@@ -348,7 +404,7 @@ def _expand_halo(hw, he, hs, hn, con: GenConstants, dtype):
     see module docstring). The four row placements run as ONE stacked GEMM
     (the placement matrices dominate the expansion's MXU cost: each is
     (B, ~nel) against the slot results' (~nel, 128))."""
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=dtype)
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=dtype)
     bw = mm(con.p6w, hw)
     be = mm(con.p6w, he)
     bs = mm(con.p6s, hs)
@@ -361,15 +417,11 @@ def _expand_halo(hw, he, hs, hn, con: GenConstants, dtype):
     return mm(pall, slots)
 
 
-def _interface_flux(A, E, msg, mhd, mho, m, roll):
-    """L/R interface assembly + AUSM Mach-splitting flux for both
-    directions in one pass (reference rhs_sw.py:170-207); generic (s, g)
-    twin of pallas_sw._interface_flux."""
-    from ..common.constants import GRAVITY
-
+def _assemble_LR(A, E, m, roll):
+    """Interface L/R slot values from trace (A) and halo (E) planes —
+    generic (s, g) twin of pallas_sw._assemble_LR."""
     _i = lambda v: np.int32(v)
     s, T, rpr, is_x, lane = m.s, m.T, m.rpr, m.is_x, m.lane
-    half_g = 0.5 * GRAVITY
 
     def assemble_L(a, e):
         prev = roll(a, _i(1), 0)
@@ -381,27 +433,17 @@ def _interface_flux(A, E, msg, mhd, mho, m, roll):
 
     L = tuple(assemble_L(a, e) for a, e in zip(A, E))
     R = tuple(jnp.where(m.edge_h2, e, a) for a, e in zip(A, E))
+    return L, R
 
-    hL, hR = L[0], R[0]
-    aL = jnp.sqrt(GRAVITY * hL * mhd)
-    aR = jnp.sqrt(GRAVITY * hR * mhd)
-    qnL = jnp.where(is_x, L[1], L[2])
-    qnR = jnp.where(is_x, R[1], R[2])
-    tmpL = hL * aL
-    tmpR = hR * aR
-    mL = jnp.where(tmpL != 0.0, qnL / tmpL, 0.0)
-    mR = jnp.where(tmpR != 0.0, qnR / tmpR, 0.0)
-    big_m = 0.25 * ((mL + 1.0) ** 2 - (mR - 1.0) ** 2)
-    adv_l = jnp.maximum(0.0, big_m) * aL
-    adv_r = jnp.minimum(0.0, big_m) * aR
-    f = [msg * (adv_l * l + adv_r * r) for l, r in zip(L, R)]
-    pres_l = (1.0 + mL) * (msg * half_g) * (hL * hL)
-    pres_r = (1.0 - mR) * (msg * half_g) * (hR * hR)
-    pres_diag = 0.5 * (mhd * pres_l + mhd * pres_r)
-    pres_off = 0.5 * (mho * pres_l + mho * pres_r)
-    f[1] = f[1] + jnp.where(is_x, pres_diag, pres_off)
-    f[2] = f[2] + jnp.where(is_x, pres_off, pres_diag)
-    return f
+
+def _interface_flux(A, E, msg, mhd, mho, m, roll):
+    """L/R interface assembly + AUSM Mach-splitting flux for both
+    directions in one pass (reference rhs_sw.py:170-207); slot math is
+    shared with the s=4 pipeline (pallas_sw._ausm_slots)."""
+    from .pallas_sw import _ausm_slots
+
+    L, R = _assemble_LR(A, E, m, roll)
+    return _ausm_slots(L, R, msg, mhd, mho, m.is_x)
 
 
 def _faces(fl, m, roll):
@@ -431,7 +473,7 @@ def _emit_slabs(o3, con: GenConstants, m, roll, dtype):
       nsl (3, rpad, 128): same for north."""
     _i = lambda v: np.int32(v)
     s, T = m.s, m.T
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=dtype)
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=dtype)
     nelp = con.lw.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (nelp, 128), 1)
     wes, ss, ns = [], [], []
@@ -446,19 +488,37 @@ def _emit_slabs(o3, con: GenConstants, m, roll, dtype):
 
 
 def _panel_body(q3, hw, he, hs, hn, fields, gridrot_p, con: GenConstants, m, roll,
-                x3=None, cdt=None, stage_a=None, stage_b=None, emit=False):
+                x3=None, cdt=None, stage_a=None, stage_b=None, emit=False,
+                base=None):
     """One panel of the spatial operator. hw/he/hs/hn: (3, npl) flat
-    panel-edge halo rows of this panel (one per variable)."""
+    panel-edge halo rows of this panel (one per variable).
+
+    ``base`` switches to the perturbation (base-state-split) form: q3 and
+    the halos then carry the PERTURBATION, ``base`` is a dict of packed base
+    planes ({"bq": (h0, hu10, hu20, u10, u20), "A0": base traces,
+    "E0": expanded base halos, "rhs0": f64 base RHS}) and the output is the
+    full RHS ``rhs0 + delta`` (or the RK stage combination of delta states,
+    which matches the absolute combination whenever a + b = 1)."""
+    from .pallas_sw import _ausm_delta_slots, _element_stage_pert
+
     dtype = q3[0].dtype
-    mm = lambda a, b: jax.lax.dot(a, b, preferred_element_type=dtype)
-    df = _element_stage(q3, fields, gridrot_p, con.dd)
+    mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=dtype)
     A = tuple(mm(q3[v], con.eexy) for v in range(3))
     E = tuple(_expand_halo(hw[v], he[v], hs[v], hn[v], con, dtype) for v in range(3))
-    f = _interface_flux(A, E, con.m_sg, con.m_hd, con.m_ho, m, roll)
+    if base is None:
+        df = _element_stage(q3, fields, gridrot_p, con.dd)
+        f = _interface_flux(A, E, con.m_sg, con.m_hd, con.m_ho, m, roll)
+    else:
+        df = _element_stage_pert(q3, base["bq"], fields, gridrot_p, con.dd)
+        L0, R0 = _assemble_LR(base["A0"], base["E0"], m, roll)
+        dL, dR = _assemble_LR(A, E, m, roll)
+        f = _ausm_delta_slots(L0, R0, dL, dR, con.m_sg, con.m_hd, con.m_ho, m.is_x)
     invsg = fields[12]
     out = []
     for v in range(3):
         rhs_v = df[v] - invsg * mm(_faces(f[v], m, roll), con.wmat)
+        if base is not None:
+            rhs_v = rhs_v + base["rhs0"][v]
         if stage_a is not None:
             val = stage_b * q3[v] + cdt * rhs_v
             if x3 is not None:
@@ -486,19 +546,23 @@ _EMIT_FIELDS = ("lw", "le", "sel_s", "sel_n", "kcs", "kcn")
 def km_gen(
     qp, hw, he, hs, hn, con: GenConstants, nel: int, s: int,
     x=None, cdt=None, stage_a=None, stage_b=None,
-    emit_slabs: bool = False, interpret: bool = False,
+    emit_slabs: bool = False, interpret: bool = False, bp=None,
 ):
     """The whole generic SW spatial operator (+ optional RK stage
     combination ``stage_a*x + stage_b*qp + cdt*RHS(qp)``; with
     ``emit_slabs`` also the output state's edge slabs). qp: (3, rows, 128)
     packed; hw/he/hs/hn: (6, 3, npl) flat panel-edge halo rows
-    (panel-major so the per-panel block keeps Mosaic-legal trailing dims)."""
+    (panel-major so the per-panel block keeps Mosaic-legal trailing dims).
+    ``bp``: (14, rows, 128) packed base planes (build_base_planes) — when
+    given, qp/halos carry the PERTURBATION and the kernel runs the
+    base-state-split form (see _panel_body)."""
     p = plan(s, nel)
     rows, prows = p.rows, p.prows
     dtype = qp.dtype
     zero = np.int32(0)
     with_stage = stage_a is not None
     with_x = with_stage and (stage_a != 0.0)
+    with_base = bp is not None
     panel_mode = p.mode == "panel"
     nblk = prows if panel_mode else rows
 
@@ -514,6 +578,7 @@ def km_gen(
         field_refs = tuple(next(it) for _ in range(13))
         gridrot_ref = next(it)
         con_refs = {name: next(it) for name in _CON_FIELDS}
+        bp_ref = next(it) if with_base else None
         x_ref = next(it) if with_x else None
         cdt_ref = next(it) if with_stage else None
         o_ref = next(it)
@@ -529,6 +594,14 @@ def km_gen(
             halo = lambda r: tuple(r[...][0, v : v + 1] for v in range(3))  # (1, npl) per var
         else:
             halo = lambda r: tuple(r[...][:, v] for v in range(3))  # (6, npl) per var
+        base = None
+        if with_base:
+            base = {
+                "bq": tuple(bp_ref[k] for k in range(5)),
+                "A0": tuple(bp_ref[5 + v] for v in range(3)),
+                "E0": tuple(bp_ref[8 + v] for v in range(3)),
+                "rhs0": tuple(bp_ref[11 + v] for v in range(3)),
+            }
         out, slabs = _panel_body(
             tuple(q_ref[v] for v in range(3)),
             halo(hw_ref), halo(he_ref), halo(hs_ref), halo(hn_ref),
@@ -536,6 +609,7 @@ def km_gen(
             x3=(tuple(x_ref[v] for v in range(3)) if with_x else None),
             cdt=(cdt_ref[0, 0] if with_stage else None),
             stage_a=stage_a, stage_b=stage_b, emit=emit_slabs,
+            base=base,
         )
         for v in range(3):
             o_ref[v] = out[v]
@@ -568,6 +642,10 @@ def km_gen(
         in_specs += [full(f) for f in con.fields]
         in_specs += [grot_spec]
         in_specs += [full(getattr(con, name)) for name in _CON_FIELDS]
+    if with_base:
+        args.append(bp)
+        if panel_mode:
+            in_specs.append(pl.BlockSpec((14, prows, 128), lambda i: (zero, i, zero)))
     if with_x:
         args.append(x)
         if panel_mode:
@@ -651,11 +729,16 @@ def halo_from_slabs(we, ssl, nsl, topology, conv, nel: int, s: int):
     return fmt(WEST), fmt(EAST), fmt(SOUTH), fmt(NORTH)
 
 
-def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32):
+def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32, perturbation=None):
     """Build the generic packed-pipeline API (same surface as the s=4
     module's wrappers in models/shallow_water.py): returns a namespace with
     packed / packed_stage / packed_stage_chained / packed_slabs / pack /
-    unpack, or None if the shape is unsupported."""
+    unpack, or None if the shape is unsupported.
+
+    ``perturbation``: optional (q0_64, rhs0_64) pair switching every kernel
+    to the base-state-split form. Packed states then carry the PERTURBATION
+    (pack/unpack convert the perturbation, not the absolute state — callers
+    add/subtract the base); packed() returns the FULL RHS (rhs0 + delta)."""
     s = ops.num_solpts
     nel = geom.num_elements
     if not supported(s, nel, dtype):
@@ -664,6 +747,10 @@ def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32):
     con = build_constants(ops, metric, nel, s, dtype=dtype)
     conv = jnp.asarray(topology._conv_contra_all, dtype=dtype)
     interp = jax.default_backend() != "tpu"
+    bp = None
+    if perturbation is not None:
+        q0_64, rhs0_64 = perturbation
+        bp = build_base_planes(ops, metric, topology, q0_64, rhs0_64, nel, s, dtype)
 
     def _slabs(qp):
         return packed_slabs(qp, con, nel, s)
@@ -672,7 +759,7 @@ def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32):
         return halo_from_slabs(*slabs, topology, conv, nel, s)
 
     def _km(qp, halo, **kw):
-        return km_gen(qp, *halo, con, nel, s, interpret=interp, **kw)
+        return km_gen(qp, *halo, con, nel, s, interpret=interp, bp=bp, **kw)
 
     def rhs_packed(qp):
         return _km(qp, _halo(_slabs(qp)))
@@ -687,12 +774,17 @@ def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32):
         )
         return o, tuple(oslabs)
 
+    pack = (
+        (lambda q: pack_state(q, nel, s, p.g))
+        if perturbation is None
+        else (lambda dq: pack_delta(dq, nel, s, p.g))
+    )
     return types.SimpleNamespace(
         plan=p,
         packed=rhs_packed,
         packed_stage=packed_stage,
         packed_stage_chained=packed_stage_chained,
         packed_slabs=_slabs,
-        pack=lambda q: pack_state(q, nel, s, p.g),
+        pack=pack,
         unpack=lambda qp: unpack_state(qp, nel, s, p.g),
     )

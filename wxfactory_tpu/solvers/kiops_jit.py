@@ -64,6 +64,7 @@ def kiops_jit(
     mmax: int = 64,
     iop: int = 2,
     task1: bool = False,
+    full_ortho: bool = False,
 ):
     """Evaluate w = phi_0(tau A) u[0] + phi_1(tau A) u[1] + ... at tau_end.
 
@@ -72,8 +73,16 @@ def kiops_jit(
 
     Pure/traceable — callers wrap it (plus their vec construction and state
     update) in ONE jax.jit so a fresh `A` closure per call does not retrace:
-    ``step = jax.jit(lambda q, vec: kiops_jit(lambda v: jvp(q, v), vec))``.
-    """
+    ``step = jax.jit(lambda v: kiops_jit(lambda v: jvp(q, v), vec))``.
+
+    ``full_ortho`` replaces the incomplete (iop-window) orthogonalization
+    with full reorthogonalized classical Gram-Schmidt (CGS2). REQUIRED for
+    inexact operators (mixed-precision f32 matvecs): the IOP recurrence
+    relies on the exact Krylov identity A V = V H + r e^T, and an operator
+    noise of eps gets amplified by the (unboundedly ill-conditioned)
+    oblique IOP basis — measured 58x result error at iop=2 with a 2e-7
+    matvec on dcmip31, vs ~1e-6 with CGS2. Costs 4 fixed-size (mmax+1, n)
+    GEMVs per iteration, negligible next to the RHS jvp."""
     u = jnp.asarray(u)
     dtype = u.dtype
     ppo, n = u.shape
@@ -149,20 +158,29 @@ def kiops_jit(
         av = A(vprev[:n]) + vprev[n : n + p] @ u_flip
         vj = jnp.concatenate([av, vprev[n + 1 : n + p], jnp.zeros((1,), dtype)])
 
-        # Incomplete orthogonalization: the last `iop` basis rows only.
-        ilow = jnp.maximum(0, j - iop)
-        rows = lax.dynamic_slice(s.V, (ilow, jnp.int32(0)), (iop, np_))  # rows ilow..ilow+iop-1
-        rmask = (ilow + jnp.arange(iop)) < j
-        hvals = jnp.where(rmask, rows @ vj, 0.0)
-        vj = vj - hvals @ rows
-
-        # H[ilow:j, j-1] = hvals (other rows of the column keep their —
-        # possibly stale — values, exactly like the reference).
-        colmask = (ridx >= ilow) & (ridx < j)
-        scatter = jnp.zeros((mmax + 1,), dtype)
-        scatter = lax.dynamic_update_slice(scatter, hvals, (ilow,))
         oldcol = lax.dynamic_slice(s.H, (jnp.int32(0), j - 1), (mmax + 1, 1))[:, 0]
-        newcol = jnp.where(colmask, scatter, oldcol)
+        if full_ortho:
+            # Full CGS2: project on ALL previous basis rows, twice.
+            rmask = ridx < j
+            h1 = jnp.where(rmask, s.V @ vj, 0.0)
+            vj = vj - h1 @ s.V
+            h2 = jnp.where(rmask, s.V @ vj, 0.0)
+            vj = vj - h2 @ s.V
+            newcol = jnp.where(rmask, h1 + h2, oldcol)
+        else:
+            # Incomplete orthogonalization: the last `iop` basis rows only.
+            ilow = jnp.maximum(0, j - iop)
+            rows = lax.dynamic_slice(s.V, (ilow, jnp.int32(0)), (iop, np_))
+            rmask = (ilow + jnp.arange(iop)) < j
+            hvals = jnp.where(rmask, rows @ vj, 0.0)
+            vj = vj - hvals @ rows
+
+            # H[ilow:j, j-1] = hvals (other rows of the column keep their —
+            # possibly stale — values, exactly like the reference).
+            colmask = (ridx >= ilow) & (ridx < j)
+            scatter = jnp.zeros((mmax + 1,), dtype)
+            scatter = lax.dynamic_update_slice(scatter, hvals, (ilow,))
+            newcol = jnp.where(colmask, scatter, oldcol)
         H = lax.dynamic_update_slice(s.H, newcol[:, None], (jnp.int32(0), j - 1))
 
         nrm = jnp.sqrt(vj @ vj)
