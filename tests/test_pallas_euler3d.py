@@ -219,3 +219,41 @@ def test_generic_chained_stage_s2():
     y, slabs = qp, rhs.packed_slabs(qp)
     y1, _ = rhs.packed_stage_chained(qp, y, slabs, 0.0, 1.0, dt)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(q1), rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 2, 3)])
+def test_pert_kernel_matches_xla_pert(nel_h, nel_v, s):
+    """Perturbation-form 3D mega kernel (base planes/halos + delta math) vs
+    the jnp perturbation core: exact algebra in f64, and delta-state RK
+    stages reproduce the absolute trajectory."""
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
+                                planet_scaling_factor=125.0, planet_is_rotating=False)
+    ops = make_dfr_operators(s, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    q0 = jnp.asarray(dcmip_gravity_wave(geom), jnp.float64)
+    dq = 1e-4 * q0 * jnp.sin(jnp.arange(q0.size).reshape(q0.shape) * 0.37)
+
+    rp_xla = make_rhs_euler_cubesphere(
+        geom, ops, metric, dtype=jnp.float64, interior="xla", perturbation_base=q0
+    )
+    rp_k = make_rhs_euler_cubesphere(
+        geom, ops, metric, dtype=jnp.float64, interior="pallas", perturbation_base=q0
+    )
+    assert hasattr(rp_k, "packed_stage_chained")
+    a = np.asarray(rp_xla.delta(dq))
+    b = np.asarray(rp_k.delta(dq))
+    scale = np.abs(a).reshape(5, -1).max(axis=1).reshape(5, 1, 1, 1, 1, 1)
+    assert np.abs((b - a) / scale).max() < 1e-11
+
+    qp = rp_k.pack(q0 + dq)
+    dt = jnp.asarray(0.5, qp.dtype)
+    y1 = rp_k.packed_stage(qp, qp, 0.0, 1.0, dt)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(qp + dt * rp_k.packed(qp)), rtol=1e-10, atol=1e-8
+    )
+    y, slabs = rp_k.packed_stage_chained(qp, qp, rp_k.packed_slabs(qp), 0.0, 1.0, dt)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y1), rtol=1e-10, atol=1e-8)
+    for got, want in zip(slabs, rp_k.packed_slabs(y)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-7)
+    q_ref = (q0 + dq) + dt * rp_xla(q0 + dq)
+    np.testing.assert_allclose(np.asarray(rp_k.unpack(y1)), np.asarray(q_ref), rtol=1e-9, atol=1e-6)

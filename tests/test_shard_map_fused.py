@@ -1,0 +1,46 @@
+"""Distributed FAST path (parallel/shard_map_sw_fused.py): the fused Pallas
+tile kernel inside shard_map must reproduce the global single-device step to
+machine precision, in both the absolute and the perturbation-form modes
+(VERDICT r2 Missing #2 'done' criterion: sharded-vs-global parity at
+N=1,2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from wxfactory_tpu.geometry import make_cubed_sphere_2d, make_metric_2d
+from wxfactory_tpu.models import make_rhs_shallow_water
+from wxfactory_tpu.ops.dfr import make_dfr_operators
+from wxfactory_tpu.parallel.shard_map_sw_fused import make_shard_map_sw_step_fused
+from wxfactory_tpu.testcases import williamson_case6
+
+
+@pytest.mark.parametrize("nshard", [1, 2])
+@pytest.mark.parametrize("pert", [False, True])
+def test_fused_tile_step_matches_global(nshard, pert):
+    ndev = 6 * nshard * nshard
+    if len(jax.devices()) < ndev:
+        pytest.skip(f"needs >= {ndev} virtual devices")
+    nel, s, dt = 8, 3, 30.0
+    geom = make_cubed_sphere_2d(nel, s)
+    ops = make_dfr_operators(s)
+    metric = make_metric_2d(geom)
+    q0 = jnp.asarray(williamson_case6(geom), jnp.float64)
+    rhs = jax.jit(make_rhs_shallow_water(geom, ops, metric, dtype=jnp.float64, interior="xla"))
+
+    def plain(qq):
+        q1 = qq + rhs(qq) * dt
+        q2 = 0.75 * qq + 0.25 * (q1 + rhs(q1) * dt)
+        return qq / 3.0 + 2.0 / 3.0 * (q2 + rhs(q2) * dt)
+
+    want = np.asarray(plain(plain(q0)))
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(6, nshard, nshard), ("panel", "y", "x"))
+    step, sharding = make_shard_map_sw_step_fused(
+        geom, ops, metric, mesh, dt, dtype=jnp.float64,
+        perturbation_base=(q0 if pert else None),
+    )
+    got = np.asarray(step(step(jax.device_put(q0, sharding))))
+    scale = np.abs(want).max(axis=(1, 2, 3, 4), keepdims=True)
+    assert np.abs((got - want) / scale).max() < 1e-10

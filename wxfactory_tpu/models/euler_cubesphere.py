@@ -700,36 +700,58 @@ def make_rhs_euler_cubesphere(
         rhs_pert.xla = rhs
         rhs_pert.delta = rhs_delta
         rhs_pert.base_state = base["q0"]
-        return rhs_pert
+    else:
+        rhs_pert = None
 
     # --- Pallas fast path (ops/pallas_euler3d.py): the whole spatial
     # operator as one mega kernel per (y-slab, panel) block; only the tiny
     # panel-edge halo stage runs in XLA. Exposed on the returned callable as
     # .packed/.packed_stage plus pack/unpack, mirroring the SW fast path.
+    # With perturbation_base, the kernels run the base-state-split form
+    # (packed states carry the PERTURBATION; see _km3_body base=).
     if interior is None:
         if os.environ.get("WXF_USE_PALLAS", "") == "0":
             interior = "xla"
         else:
             interior = "pallas" if jax.default_backend() == "tpu" else "xla"
     if interior != "pallas" or advection_only or extra_forcing is not None:
-        return rhs
+        return rhs_pert if rhs_pert is not None else rhs
 
     from ..ops import pallas_euler3d as pe3
 
     if not pe3.supported(s, nel_h, nel_v, num_vars, dtype):
-        return rhs
+        return rhs_pert if rhs_pert is not None else rhs
 
     con = pe3.build_constants(ops, metric, nel_h, nel_v, s, dtype=dtype)
     hops = pe3.build_halo_ops(ops, topology, s, dtype=dtype)
     ty = pe3.pick_ty(s, nel_h, nel_v)
     interp = jax.default_backend() != "tpu"
 
+    pbase = None
+    if rhs_pert is not None:
+        rhs64p = (
+            rhs
+            if dtype == jnp.float64
+            else make_rhs_euler_cubesphere(
+                geom, ops, metric, topology=topology, dtype=jnp.float64, interior="xla"
+            )
+        )
+        pbase = pe3.build_pert_base(
+            q0_64, rhs64p(q0_64), topology, ops, nel_h, nel_v, ty, s, dtype
+        )
+
+    def _halo(qp):
+        if pbase is not None:
+            return pe3.edge_halo_delta(qp, pbase, topology, hops, nel_h, nel_v, ty, s)
+        return pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
+
     def _raw_packed(qp, **kw):
-        hwe, hs, hn = pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
-        return pe3.km3_fused(qp, hwe, hs, hn, con, nel_h, nel_v, ty, s, interpret=interp, **kw)
+        hwe, hs, hn = _halo(qp)
+        return pe3.km3_fused(qp, hwe, hs, hn, con, nel_h, nel_v, ty, s,
+                             interpret=interp, pert=pbase, **kw)
 
     bal = None
-    if base_state is not None:
+    if base_state is not None and pbase is None:
         q0 = jnp.asarray(base_state)
         rhs64 = make_rhs_euler_cubesphere(
             geom, ops, metric, topology=topology, advection_only=advection_only,
@@ -752,7 +774,7 @@ def make_rhs_euler_cubesphere(
         For the 3D pipeline the chained carry IS the formatted halo triple
         (hwe, hs, hn); the in-loop stages rebuild it from kernel-emitted
         edge slabs instead of slicing the big state in XLA."""
-        return pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
+        return _halo(qp)
 
     def packed_stage_chained(x, y, slabs, a: float, b: float, cdt):
         """Chained explicit-RK stage: consumes y's halo triple (from
@@ -764,9 +786,39 @@ def make_rhs_euler_cubesphere(
         o, we = pe3.km3_fused(
             y, hwe, hs, hn, con, nel_h, nel_v, ty, s,
             x=x, cdt=cdt, stage_a=float(a), stage_b=float(b), bal=bal,
-            emit_slabs=True, interpret=interp,
+            emit_slabs=True, interpret=interp, pert=pbase,
         )
+        if pbase is not None:
+            return o, pe3.halo_from_slabs_delta(
+                we, o, pbase, topology, hops, nel_h, nel_v, ty, s
+            )
         return o, pe3.halo_from_slabs(we, o, topology, hops, nel_h, nel_v, ty, s)
+
+    if pbase is not None:
+        # Packed states carry the PERTURBATION; pack/unpack shift by the
+        # base. rhs_pert/.delta stay the (jax-differentiable) XLA forms.
+        q0c = rhs_pert.base_state
+
+        def rhs_fast(q: jnp.ndarray) -> jnp.ndarray:
+            dqp = pe3.pack_rows_jnp((q - q0c).astype(dtype), nel_h, nel_v, s)
+            return pe3.unpack_rows_jnp(rhs_packed(dqp), nel_h, nel_v, s)
+
+        def delta_fast(qprime: jnp.ndarray) -> jnp.ndarray:
+            dqp = pe3.pack_rows_jnp(qprime, nel_h, nel_v, s)
+            return pe3.unpack_rows_jnp(rhs_packed(dqp), nel_h, nel_v, s)
+
+        rhs_fast.xla = rhs_pert
+        rhs_fast.delta = delta_fast
+        rhs_fast.delta_xla = rhs_pert.delta
+        rhs_fast.base_state = q0c
+        rhs_fast.packed = rhs_packed
+        rhs_fast.packed_stage = packed_stage
+        rhs_fast.packed_stage_chained = packed_stage_chained
+        rhs_fast.packed_slabs = packed_slabs
+        rhs_fast.pack = lambda q: pe3.pack_rows_jnp((q - q0c).astype(dtype), nel_h, nel_v, s)
+        rhs_fast.pack_delta = lambda dq: pe3.pack_rows_jnp(dq, nel_h, nel_v, s)
+        rhs_fast.unpack = lambda qp: q0c + pe3.unpack_rows_jnp(qp, nel_h, nel_v, s)
+        return rhs_fast
 
     # pallas_call has no AD rule; exponential/implicit integrators need
     # jvp(rhs) for their matrix-free Jacobian action, so route tangents

@@ -67,17 +67,29 @@ IDX_RHO_W = 3
 IDX_RHO_THETA = 4
 
 
-def pick_g3(num_solpts: int, nel_h: int):
-    """Largest elements-per-row packing g with g | nel_h that fits the state
-    (g*s^3 <= 128) and the split trace layout (g*2*s^2 <= 64)."""
+def pick_g3(num_solpts: int, nel_h: int, nel_v: int = None):
+    """Elements-per-row packing g with g | nel_h that fits the state
+    (g*s^3 <= 128) and the split trace layout (g*2*s^2 <= 64), preferring
+    the largest g. With ``nel_v`` given, g is co-optimized with the y-slab
+    height: a g whose blocks admit NO Mosaic-legal ty (ty*nel_v*(nel_h/g)
+    % 8 != 0 for every ty | nel_h) is skipped in favor of a smaller one —
+    e.g. (s=2, 30^3) needs g=5/ty=2, not the greedy g=6 (no valid ty)."""
     s = num_solpts
     if s**3 > 128:
         return None
     cap = min(128 // s**3, 64 // (2 * s * s))
+    fallback = None
     for g in range(min(cap, nel_h), 0, -1):
-        if nel_h % g == 0:
+        if nel_h % g:
+            continue
+        if fallback is None:
+            fallback = g
+        if nel_v is None:
             return g
-    return None
+        nkxp = nel_v * (nel_h // g)
+        if any((ty * nkxp) % 8 == 0 for ty in range(1, nel_h + 1) if nel_h % ty == 0):
+            return g
+    return fallback
 
 
 def supported(num_solpts: int, nel_h: int, nel_v: int, nvar: int, dtype) -> bool:
@@ -88,7 +100,7 @@ def supported(num_solpts: int, nel_h: int, nel_v: int, nvar: int, dtype) -> bool
     (8, 128) layout. float64 only off-TPU (interpret mode)."""
     if nvar != 5 or not (2 <= num_solpts <= 5):
         return False
-    g = pick_g3(num_solpts, nel_h)
+    g = pick_g3(num_solpts, nel_h, nel_v)
     if g is None or pick_ty(num_solpts, nel_h, nel_v) is None:
         return False
     if dtype in (jnp.float32, np.float32):
@@ -99,7 +111,7 @@ def supported(num_solpts: int, nel_h: int, nel_v: int, nvar: int, dtype) -> bool
 def pick_ty(num_solpts: int, nel_h: int, nel_v: int, vmem_budget_rows: int = 128):
     """Largest y-slab height ty | ny with Mosaic-legal block rows
     (ty*nk*nxp % 8 == 0) under a VMEM row budget; None if none exists."""
-    g = pick_g3(num_solpts, nel_h)
+    g = pick_g3(num_solpts, nel_h, nel_v)
     if g is None:
         return None
     nxp = nel_h // g
@@ -121,15 +133,15 @@ def pick_ty(num_solpts: int, nel_h: int, nel_v: int, vmem_budget_rows: int = 128
 # trace-GEMM rows for pad lanes are zero so nothing propagates), momenta 0.
 
 
-def _pk(num_solpts: int, nel_h: int):
+def _pk(num_solpts: int, nel_h: int, nel_v: int = None):
     s = num_solpts
-    g = pick_g3(s, nel_h)
+    g = pick_g3(s, nel_h, nel_v)
     return s, g, s**3, nel_h // g
 
 
 def pack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4) -> np.ndarray:
     """Model layout (..., 6, nk, ny, nx, s^3) -> packed (..., R, 128)."""
-    s, g, s3, nxp = _pk(s, nel_h)
+    s, g, s3, nxp = _pk(s, nel_h, nel_v)
     lead = a.shape[:-5]
     b = np.moveaxis(a, -4, -3)  # (..., 6, ny, nk, nx, s3)
     b = b.reshape(lead + (6, nel_h, nel_v, nxp, g * s3))
@@ -139,7 +151,7 @@ def pack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4) -> np.ndarray:
 
 def unpack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4) -> np.ndarray:
     """Packed (..., R, 128) -> model layout (..., 6, nk, ny, nx, s^3)."""
-    s, g, s3, nxp = _pk(s, nel_h)
+    s, g, s3, nxp = _pk(s, nel_h, nel_v)
     lead = a.shape[:-2]
     b = a.reshape(lead + (6, nel_h, nel_v, nxp, LANES))[..., : g * s3]
     b = b.reshape(lead + (6, nel_h, nel_v, nxp * g, s3))
@@ -148,7 +160,7 @@ def unpack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4) -> np.ndarray
 
 
 def pack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
-    s, g, s3, nxp = _pk(s, nel_h)
+    s, g, s3, nxp = _pk(s, nel_h, nel_v)
     lead = a.shape[:-5]
     b = jnp.moveaxis(a, -4, -3).reshape(lead + (6, nel_h, nel_v, nxp, g * s3))
     pad = jnp.zeros(lead + (6, nel_h, nel_v, nxp, 128 - g * s3), b.dtype)
@@ -158,7 +170,7 @@ def pack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.nda
 def pack_state_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
     """pack_rows_jnp for a (5, ...) STATE: pads filled NaN-safely
     (rho/rho*theta = 1, momenta = 0)."""
-    s_, g, s3, nxp = _pk(s, nel_h)
+    s_, g, s3, nxp = _pk(s, nel_h, nel_v)
     qp = pack_rows_jnp(a, nel_h, nel_v, s)
     if g * s3 == 128:
         return qp
@@ -168,7 +180,7 @@ def pack_state_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.nd
 
 
 def unpack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
-    s, g, s3, nxp = _pk(s, nel_h)
+    s, g, s3, nxp = _pk(s, nel_h, nel_v)
     lead = a.shape[:-2]
     b = a.reshape(lead + (6, nel_h, nel_v, nxp, LANES))[..., : g * s3]
     b = b.reshape(lead + (6, nel_h, nel_v, nxp, g, s3))
@@ -218,7 +230,7 @@ def _bdg(a: np.ndarray, g: int, lanes: int = LANES) -> np.ndarray:
 
 def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.float32) -> E3Constants:
     """Precompute every constant array of the fused 3D pipeline (host)."""
-    G = pick_g3(s, nel_h)
+    G = pick_g3(s, nel_h, nel_v)
     SS, S3 = s * s, s**3
     TSS = 2 * SS  # trace lanes per element per family
     nxp = nel_h // G
@@ -393,15 +405,48 @@ def _pressure(rt):
     return P0 * jnp.exp(GAMMA * jnp.log((RD / P0) * rt))
 
 
+# Mosaic has no expm1/log1p lowering; these are the classic 1-2 ulp
+# compensation formulas (Goldberg) built from exp/log/where, which it has.
+# The correction factor x/(u-1) (resp. x/log(y)) cancels the rounding of
+# the 1+x (resp. exp) step, preserving the small-argument accuracy the
+# perturbation form relies on.
+
+
+def _log1p(x):
+    u = 1.0 + x
+    d = u - 1.0
+    return jnp.where(d == 0.0, x, jnp.log(u) * (x / jnp.where(d == 0.0, 1.0, d)))
+
+
+def _expm1(x):
+    y = jnp.exp(x)
+    d = y - 1.0
+    lg = jnp.log(y)
+    return jnp.where(d == 0.0, x, d * (x / jnp.where(lg == 0.0, 1.0, lg)))
+
+
 def _km3_body(
     q, qprev, qnext, hwe, hs, hn, con, dims, ytile, n_ytiles, roll,
     x=None, cdt=None, stage_a=None, stage_b=None, bal=None, lwe=None,
+    base=None,
 ):
     """q: (5, Rb, 128) block rows of one panel; qprev/qnext: (5, nkxp, 128)
     boundary grid-rows of the neighbouring y-slabs; hwe: (5, ty*nk, 128)
     panel-edge west/east halo faces (lanes 0..15 / 48..63); hs/hn:
     (5, nkxp, 128) panel-edge south/north halo faces in ys/yn slot lanes.
     con: dict of constant blocks. Returns the 5 output rows (5, Rb, 128).
+
+    ``base`` switches to the perturbation (base-state-split) form — the
+    kernel twin of models/euler_cubesphere.py _euler3d_rhs_core_pert. q,
+    qprev/qnext and the halos then carry the PERTURBATION; ``base`` is a
+    dict with the same-shaped base-state inputs {q0, q0prev, q0next, hwe0,
+    hs0, hn0} plus the packed f64 base RHS {rhs0}. Every linear stage
+    (GEMMs, assembly selects, fills) acts on deltas directly; every
+    nonlinear site (log-space extrapolation, pressure, Rusanov, the w
+    pressure split, forcing) is expanded exactly via expm1/log1p and
+    product rules, so the hydrostatic cancellation never has to survive
+    float32 rounding. Output = rhs0 + delta (or its RK stage combination
+    of delta states, exact whenever a + b = 1).
     """
     nk, nxp, ty = dims["nk"], dims["nxp"], dims["ty"]
     s = dims["s"]
@@ -447,27 +492,47 @@ def _km3_body(
     mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=dtype)
 
     # --- extrapolation to faces (rho, rho*theta in log space) -------------
-    lr = jnp.log(q[IDX_RHO])
-    lrt = jnp.log(q[IDX_RHO_THETA])
-    xrows = [lr, q[1], q[2], q[3], lrt]
-
-    def traces(rows_in):
+    def traces_raw(rows_in):
         big = jnp.concatenate(rows_in, axis=0)
         t_xy = mm(big, con["e_xy"])
         t_z = mm(big, con["e_z"])
         n = rows_in[0].shape[0]
         sp = lambda t: [t[i * n : (i + 1) * n] for i in range(5)]
-        t_xy, t_z = sp(t_xy), sp(t_z)
+        return sp(t_xy), sp(t_z)
+
+    def traces(rows_in):
+        t_xy, t_z = traces_raw(rows_in)
         for i in (0, 4):
             t_xy[i] = jnp.exp(t_xy[i])
             t_z[i] = jnp.exp(t_z[i])
         return t_xy, t_z
 
-    tr, trz = traces(xrows)
-    pxr = [jnp.log(qprev[IDX_RHO]), qprev[1], qprev[2], qprev[3], jnp.log(qprev[IDX_RHO_THETA])]
-    nxr = [jnp.log(qnext[IDX_RHO]), qnext[1], qnext[2], qnext[3], jnp.log(qnext[IDX_RHO_THETA])]
-    trp, _ = traces(pxr)  # previous slab: need its north faces
-    trn, _ = traces(nxr)  # next slab: need its south faces
+    log_rows = lambda qq: [jnp.log(qq[0]), qq[1], qq[2], qq[3], jnp.log(qq[4])]
+    # Delta rows for the log-space families: d(tr) = tr0 * expm1(E . log1p(d/base)).
+    dlog_rows = lambda dq_, q0_: [
+        _log1p(dq_[0] / q0_[0]), dq_[1], dq_[2], dq_[3], _log1p(dq_[4] / q0_[4])
+    ]
+
+    if base is None:
+        tr, trz = traces(log_rows(q))
+        trp, _ = traces(log_rows(qprev))  # previous slab: need its north faces
+        trn, _ = traces(log_rows(qnext))  # next slab: need its south faces
+    else:
+        tr0, trz0 = traces(log_rows(base["q0"]))
+        trp0, _ = traces(log_rows(base["q0prev"]))
+        trn0, _ = traces(log_rows(base["q0next"]))
+
+        def dtraces(dq_, q0_, t0_xy, t0_z):
+            raw_xy, raw_z = traces_raw(dlog_rows(dq_, q0_))
+            for i in (0, 4):
+                raw_xy[i] = t0_xy[i] * _expm1(raw_xy[i])
+                if t0_z is not None:
+                    raw_z[i] = t0_z[i] * _expm1(raw_z[i])
+            return raw_xy, raw_z
+
+        tr, trz = dtraces(q, base["q0"], tr0, trz0)
+        trp, _ = dtraces(qprev, base["q0prev"], trp0, None)
+        trn, _ = dtraces(qnext, base["q0next"], trn0, None)
 
     pad_lead = lambda a: jnp.pad(a, ((0, Rb - a.shape[0]), (0, 0)))
     pad_tail = lambda a: jnp.pad(a, ((Rb - a.shape[0], 0), (0, 0)))
@@ -477,38 +542,47 @@ def _km3_body(
     b80 = np.int32((128 - (T - SS)) % 128)  # prev-row last-group east -> g0 west
     bss = np.int32(SS)
     mss = np.int32((128 - SS) % 128)
-    L_xy, R_xy, L_z, R_z = [], [], [], []
-    for v in range(5):
-        t = tr[v]
-        lx = jnp.where(lrel < SS, roll(roll(t, 1, 0), b80, 1), roll(t, bss, 1))
-        ly = roll(roll(t, nkxp, 0), mss, 1)
-        ly = jnp.where(first_ky, pad_lead(roll(trp[v], mss, 1)), ly)
-        l = jnp.where(is_x, lx, ly)
-        hwe_v = rep(hwe[v])
-        # Only the g0 element's west slot (lanes 0..ss-1) sits on the panel
-        # boundary; the other groups' west interfaces are row-interior.
-        l = jnp.where(is_x & (lrel < SS) & west_col, hwe_v, l)
-        l = jnp.where(ys & south_edge, pad_lead(hs[v]), l)
-        # h2 slots: east/north boundary interfaces — L is the element's own
-        # east/north face (already in place).
-        east_b = xe & g1 & east_col
-        north_b = yn & last_ky
-        l = jnp.where(east_b | north_b, t, l)
-        r = t
-        r = jnp.where(east_b, hwe_v, r)
-        rn = pad_tail(roll(trn[v], bss, 1))
-        r = jnp.where(north_b, jnp.where(north_edge, pad_tail(hn[v]), rn), r)
-        L_xy.append(l)
-        R_xy.append(r)
+    east_b = xe & g1 & east_col
+    north_b = yn & last_ky
 
-        tz = trz[v]
-        lz = roll(roll(tz, nxp, 0), mss, 1)
-        # Ground mirror (kz=0 down slots) and rigid-lid h2 (kz=nk-1 up
-        # slots): L is the element's own face; the flipped normal speed is
-        # applied below (reference pde_euler_cubesphere.py:150-156).
-        lz = jnp.where((is_x & lo_half & kz0) | (is_x & ~lo_half & kztop), tz, lz)
-        L_z.append(lz)
-        R_z.append(tz)
+    def assemble(tr_, trz_, trp_, trn_, hwe_, hs_, hn_):
+        L_xy, R_xy, L_z, R_z = [], [], [], []
+        for v in range(5):
+            t = tr_[v]
+            lx = jnp.where(lrel < SS, roll(roll(t, 1, 0), b80, 1), roll(t, bss, 1))
+            ly = roll(roll(t, nkxp, 0), mss, 1)
+            ly = jnp.where(first_ky, pad_lead(roll(trp_[v], mss, 1)), ly)
+            l = jnp.where(is_x, lx, ly)
+            hwe_v = rep(hwe_[v])
+            # Only the g0 element's west slot (lanes 0..ss-1) sits on the
+            # panel boundary; other groups' west interfaces are row-interior.
+            l = jnp.where(is_x & (lrel < SS) & west_col, hwe_v, l)
+            l = jnp.where(ys & south_edge, pad_lead(hs_[v]), l)
+            # h2 slots: east/north boundary interfaces — L is the element's
+            # own east/north face (already in place).
+            l = jnp.where(east_b | north_b, t, l)
+            r = t
+            r = jnp.where(east_b, hwe_v, r)
+            rn = pad_tail(roll(trn_[v], bss, 1))
+            r = jnp.where(north_b, jnp.where(north_edge, pad_tail(hn_[v]), rn), r)
+            L_xy.append(l)
+            R_xy.append(r)
+
+            tz = trz_[v]
+            lz = roll(roll(tz, nxp, 0), mss, 1)
+            # Ground mirror (kz=0 down slots) and rigid-lid h2 (kz=nk-1 up
+            # slots): L is the element's own face; the flipped normal speed
+            # is applied below (reference pde_euler_cubesphere.py:150-156).
+            lz = jnp.where((is_x & lo_half & kz0) | (is_x & ~lo_half & kztop), tz, lz)
+            L_z.append(lz)
+            R_z.append(tz)
+        return L_xy, R_xy, L_z, R_z
+
+    L_xy, R_xy, L_z, R_z = assemble(tr, trz, trp, trn, hwe, hs, hn)
+    if base is not None:
+        L0_xy, R0_xy, L0_z, R0_z = assemble(
+            tr0, trz0, trp0, trn0, base["hwe0"], base["hs0"], base["hn0"]
+        )
 
     zd = is_x & lo_half & in_fam
     zu = is_x & ~lo_half & in_fam
@@ -534,17 +608,74 @@ def _km3_body(
         wpres = mh2 * psum
         return flux, wadv, wpres, pL, pR
 
-    msg, mhd, mh0, mh1, mh2 = con["itf_xy"]
-    vnL = jnp.where(is_x, L_xy[1], L_xy[2]) / L_xy[0]
-    vnR = jnp.where(is_x, R_xy[1], R_xy[2]) / R_xy[0]
-    Fxy, wadv_xy, wpres_xy, pL_xy, pR_xy = rusanov(L_xy, R_xy, msg, mhd, mh0, mh1, mh2, vnL, vnR)
+    def rusanov_delta(L0, R0, dL, dR, msg, mhd, mh0, mh1, mh2, vnL0, vnL, vnR0, vnR):
+        """Term-level delta of ``rusanov``: pressures via expm1/log1p around
+        the base faces, fluxes via the product rule with base normal speeds
+        and absolute states, dissipation on delta jumps + deig on the
+        (smooth, small) base jumps — the jnp pert core's expansion
+        (models/euler_cubesphere.py:504-532) slot-wise."""
+        pL0, pR0 = _pressure(L0[4]), _pressure(R0[4])
+        dpL = pL0 * _expm1(f(GAMMA) * _log1p(dL[4] / L0[4]))
+        dpR = pR0 * _expm1(f(GAMMA) * _log1p(dR[4] / R0[4]))
+        eig = jnp.maximum(
+            jnp.abs(vnL) + jnp.sqrt(mhd * f(GAMMA) * (pL0 + dpL) / (L0[0] + dL[0])),
+            jnp.abs(vnR) + jnp.sqrt(mhd * f(GAMMA) * (pR0 + dpR) / (R0[0] + dR[0])),
+        )
+        eig0 = jnp.maximum(
+            jnp.abs(vnL0) + jnp.sqrt(mhd * f(GAMMA) * pL0 / L0[0]),
+            jnp.abs(vnR0) + jnp.sqrt(mhd * f(GAMMA) * pR0 / R0[0]),
+        )
+        deig = eig - eig0
+        dvnL, dvnR = vnL - vnL0, vnR - vnR0
+        dflux, dwadv = [], None
+        for v in range(5):
+            dl = f(0.5) * msg * (
+                vnL0 * dL[v] + dvnL * (L0[v] + dL[v])
+                + vnR0 * dR[v] + dvnR * (R0[v] + dR[v])
+                - eig * (dR[v] - dL[v]) - deig * (R0[v] - L0[v])
+            )
+            if v == IDX_RHO_W:
+                dwadv = dl
+            dflux.append(dl)
+        dpsum = f(0.5) * msg * (dpL + dpR)
+        psum0 = f(0.5) * msg * (pL0 + pR0)
+        dflux[1] = dflux[1] + mh0 * dpsum
+        dflux[2] = dflux[2] + mh1 * dpsum
+        dflux[3] = dflux[3] + mh2 * dpsum
+        return dflux, dwadv, mh2 * dpsum, mh2 * psum0, pL0, pR0, dpL, dpR
 
+    msg, mhd, mh0, mh1, mh2 = con["itf_xy"]
     msgz, mhdz, mh0z, mh1z, mh2z = con["itf_z"]
-    vnLz = L_z[3] / L_z[0]
-    vnLz = jnp.where(zd & kz0, -vnLz, vnLz)
-    vnRz = R_z[3] / R_z[0]
-    vnRz = jnp.where(zu & kztop, -vnRz, vnRz)
-    Fz, wadv_z, wpres_z, pL_z, pR_z = rusanov(L_z, R_z, msgz, mhdz, mh0z, mh1z, mh2z, vnLz, vnRz)
+    vsel_xy = lambda L: jnp.where(is_x, L[1], L[2]) / L[0]
+
+    def vsel_zL(L):
+        v = L[3] / L[0]
+        return jnp.where(zd & kz0, -v, v)
+
+    def vsel_zR(R):
+        v = R[3] / R[0]
+        return jnp.where(zu & kztop, -v, v)
+
+    if base is None:
+        Fxy, wadv_xy, wpres_xy, pL_xy, pR_xy = rusanov(
+            L_xy, R_xy, msg, mhd, mh0, mh1, mh2, vsel_xy(L_xy), vsel_xy(R_xy)
+        )
+        Fz, wadv_z, wpres_z, pL_z, pR_z = rusanov(
+            L_z, R_z, msgz, mhdz, mh0z, mh1z, mh2z, vsel_zL(L_z), vsel_zR(R_z)
+        )
+    else:
+        LA_xy = [a + b for a, b in zip(L0_xy, L_xy)]
+        RA_xy = [a + b for a, b in zip(R0_xy, R_xy)]
+        LA_z = [a + b for a, b in zip(L0_z, L_z)]
+        RA_z = [a + b for a, b in zip(R0_z, R_z)]
+        Fxy, wadv_xy, wpres_xy, wpres0_xy, pL0_xy, pR0_xy, dpL_xy, dpR_xy = rusanov_delta(
+            L0_xy, R0_xy, L_xy, R_xy, msg, mhd, mh0, mh1, mh2,
+            vsel_xy(L0_xy), vsel_xy(LA_xy), vsel_xy(R0_xy), vsel_xy(RA_xy),
+        )
+        Fz, wadv_z, wpres_z, wpres0_z, pL0_z, pR0_z, dpL_z, dpR_z = rusanov_delta(
+            L0_z, R0_z, L_z, R_z, msgz, mhdz, mh0z, mh1z, mh2z,
+            vsel_zL(L0_z), vsel_zL(LA_z), vsel_zR(R0_z), vsel_zR(RA_z),
+        )
 
     # --- fill east/north/up face slots from the neighbours' west/south/down
     # interface values (SW faces() pattern, reference rhs_dfr.py:106-139).
@@ -570,86 +701,191 @@ def _km3_body(
     Fz = [fill_z(a) if v != 3 else a for v, a in enumerate(Fz)]
     wadv_xy, wadv_z = fill_xy(wadv_xy), fill_z(wadv_z)
     wpres_xy, wpres_z = fill_xy(wpres_xy), fill_z(wpres_z)
-    # Face pressures: west/south/down faces are the R side of their own
-    # interface; east/north/up faces are the L side of the neighbour's.
-    pf_xy = jnp.where(xw | ys, pR_xy, fill_xy(pL_xy))
-    pf_z = jnp.where(zd, pR_z, fill_z(pL_z))
-    lf_xy = jnp.log(pf_xy)
-    lf_z = jnp.log(pf_z)
-    wpf_xy = wpres_xy / pf_xy
-    wpf_z = wpres_z / pf_z
+    if base is None:
+        # Face pressures: west/south/down faces are the R side of their own
+        # interface; east/north/up faces are the L side of the neighbour's.
+        pf_xy = jnp.where(xw | ys, pR_xy, fill_xy(pL_xy))
+        pf_z = jnp.where(zd, pR_z, fill_z(pL_z))
+        lf_xy = jnp.log(pf_xy)
+        lf_z = jnp.log(pf_z)
+        wpf_xy = wpres_xy / pf_xy
+        wpf_z = wpres_z / pf_z
+    else:
+        wpres0_xy, wpres0_z = fill_xy(wpres0_xy), fill_z(wpres0_z)
+        pf0_xy = jnp.where(xw | ys, pR0_xy, fill_xy(pL0_xy))
+        pf0_z = jnp.where(zd, pR0_z, fill_z(pL0_z))
+        dpf_xy = jnp.where(xw | ys, dpR_xy, fill_xy(dpL_xy))
+        dpf_z = jnp.where(zd, dpR_z, fill_z(dpL_z))
+        # Delta of the face log pressure; base face logs feed the base dlp.
+        lf_xy = _log1p(dpf_xy / pf0_xy)
+        lf_z = _log1p(dpf_z / pf0_z)
+        lf0_xy = jnp.log(pf0_xy)
+        lf0_z = jnp.log(pf0_z)
+        # d[wpres/p] = dwpres/p - (wpres0/p0)(dp/p); base wpf0 = wpres0/p0
+        # feeds the base wcorr0 correction (jnp core line 550-558).
+        wpf0_xy = wpres0_xy / pf0_xy
+        wpf0_z = wpres0_z / pf0_z
+        pfa_xy = pf0_xy + dpf_xy
+        pfa_z = pf0_z + dpf_z
+        wpf_xy = wpres_xy / pfa_xy - wpf0_xy * (dpf_xy / pfa_xy)
+        wpf_z = wpres_z / pfa_z - wpf0_z * (dpf_z / pfa_z)
 
     # --- pointwise fluxes + interior divergence ---------------------------
     sg = con["sqrtg"]
     inv_sg = con["inv_sqrtg"]
     h11, h12, h13, h22, h23, h33 = con["h"]
-    rho = q[IDX_RHO]
-    u1 = q[1] / rho
-    u2 = q[2] / rho
-    w = q[3] / rho
-    pressure = _pressure(q[IDX_RHO_THETA])
-    logp = jnp.log(pressure)
-    sgp = sg * pressure
-
-    # The rho*w momentum row needs only its ADVECTIVE divergence (the
-    # pressure part goes through the p*dlogp split), so the full w flux
-    # row is never contracted: bundle rows are [rho, hu1, hu2, rho*theta,
-    # w-advective] (reference rhs_dfr.py:106-139).
     hrows = ((h11, h12, h13), (h12, h22, h23), (h13, h23, h33))
     cat = lambda xs: jnp.concatenate(xs, axis=-1)
-    bundles = []
-    for v in (0, 1, 2, 4):
-        per_d = []
-        for d, un in enumerate((u1, u2, w)):
-            fl = sg * un * q[v]
-            if 1 <= v <= 2:
-                fl = fl + sgp * hrows[d][v - 1]
-            per_d.append(fl)
-        bundles.append(cat(per_d))
-    bundles.append(cat([sg * un * q[3] for un in (u1, u2, w)]))  # w advective
+    if base is None:
+        rho = q[IDX_RHO]
+        u1 = q[1] / rho
+        u2 = q[2] / rho
+        w = q[3] / rho
+        pressure = _pressure(q[IDX_RHO_THETA])
+        logp = jnp.log(pressure)
+        sgp = sg * pressure
+
+        # The rho*w momentum row needs only its ADVECTIVE divergence (the
+        # pressure part goes through the p*dlogp split), so the full w flux
+        # row is never contracted: bundle rows are [rho, hu1, hu2,
+        # rho*theta, w-advective] (reference rhs_dfr.py:106-139).
+        bundles = []
+        for v in (0, 1, 2, 4):
+            per_d = []
+            for d, un in enumerate((u1, u2, w)):
+                fl = sg * un * q[v]
+                if 1 <= v <= 2:
+                    fl = fl + sgp * hrows[d][v - 1]
+                per_d.append(fl)
+            bundles.append(cat(per_d))
+        bundles.append(cat([sg * un * q[3] for un in (u1, u2, w)]))  # w advective
+        dlp_point = logp
+    else:
+        # Delta pointwise: du = (d(rho u) - u0 dRho)/rho (exact algebra),
+        # dp via expm1 around the base pressure; the bundle rows carry only
+        # the DELTA fluxes (the base interior divergence lives in rhs0).
+        q0 = base["q0"]
+        rho0 = q0[IDX_RHO]
+        qa = [q0[v] + q[v] for v in range(5)]
+        rho = qa[IDX_RHO]
+        u0 = (q0[1] / rho0, q0[2] / rho0, q0[3] / rho0)
+        du = tuple((q[i + 1] - u0[i] * q[IDX_RHO]) / rho for i in range(3))
+        p0 = _pressure(q0[IDX_RHO_THETA])
+        dp = p0 * _expm1(f(GAMMA) * _log1p(q[IDX_RHO_THETA] / q0[IDX_RHO_THETA]))
+        pressure = p0 + dp
+        sgdp = sg * dp
+
+        bundles = []
+        for v in (0, 1, 2, 4):
+            per_d = []
+            for d in range(3):
+                fl = sg * (u0[d] * q[v] + du[d] * qa[v])
+                if 1 <= v <= 2:
+                    fl = fl + sgdp * hrows[d][v - 1]
+                per_d.append(fl)
+            bundles.append(cat(per_d))
+        bundles.append(cat([sg * (u0[d] * q[3] + du[d] * qa[3]) for d in range(3)]))
+        dlp_point = _log1p(dp / p0)  # delta of log p
     div = mm(jnp.concatenate(bundles, axis=0), con["dd"])
     dvr = [div[i * Rb : (i + 1) * Rb] for i in range(5)]
     dv = [dvr[0], dvr[1], dvr[2], None, dvr[3], dvr[4]]
 
-    dlogp = mm(logp, con["dlp"])  # (Rb, 384)
+    dlogp = mm(dlp_point, con["dlp"])  # (Rb, 384)
 
     # --- boundary corrections (w momentum row skipped, as in the bundle) ---
     rows6_ = [cat([Fxy[v], Fz[v]]) for v in (0, 1, 2, 4)]
     rows6_.append(cat([wadv_xy, wadv_z]))
     rows6_.append(cat([wpf_xy, wpf_z]))
+    if base is not None:
+        rows6_.append(cat([wpf0_xy, wpf0_z]))  # base wpres/p -> wcorr0
+    nrows_c = len(rows6_)
     co = mm(jnp.concatenate(rows6_, axis=0), con["corr"])
-    cvr = [co[i * Rb : (i + 1) * Rb] for i in range(6)]
+    cvr = [co[i * Rb : (i + 1) * Rb] for i in range(nrows_c)]
     cv = [cvr[0], cvr[1], cvr[2], None, cvr[3], cvr[4], cvr[5]]
 
     dlp = dlogp + mm(lf_xy, con["lfc_xy"]) + mm(lf_z, con["lfc_z"])
     dlp_x, dlp_y, dlp_z = dlp[:, :LANES], dlp[:, LANES : 2 * LANES], dlp[:, 2 * LANES :]
 
-    w_df = (
-        dv[5]
-        + cv[5]
-        + (con["wpres_int"] + cv[6]) * pressure
-        + pressure * (sg * h13 * dlp_x + sg * h23 * dlp_y + sg * h33 * dlp_z)
-    )
+    if base is None:
+        w_df = (
+            dv[5]
+            + cv[5]
+            + (con["wpres_int"] + cv[6]) * pressure
+            + pressure * (sg * h13 * dlp_x + sg * h23 * dlp_y + sg * h33 * dlp_z)
+        )
+    else:
+        # Base dlp (pointwise + face log corrections of the base pressure)
+        # rebuilt in-kernel; dlp above is the DELTA (ddlp). The w pressure
+        # split expands as d[(W + c) p] = (W + c0) dp + dc p and
+        # d[p sgh dlp] = p0 ddlp + dp dlp_abs (jnp core lines 538-587).
+        wcorr0 = cvr[6]
+        dlp0 = (
+            mm(jnp.log(p0), con["dlp"])
+            + mm(lf0_xy, con["lfc_xy"])
+            + mm(lf0_z, con["lfc_z"])
+        )
+        dlpa = dlp0 + dlp
+        sp3 = lambda a: (a[:, :LANES], a[:, LANES : 2 * LANES], a[:, 2 * LANES :])
+        dlpa_x, dlpa_y, dlpa_z = sp3(dlpa)
+        w_df = (
+            dv[5]
+            + cv[5]
+            + (con["wpres_int"] + wcorr0) * dp
+            + cv[6] * pressure
+            + sg * h13 * (p0 * dlp_x + dp * dlpa_x)
+            + sg * h23 * (p0 * dlp_y + dp * dlpa_y)
+            + sg * h33 * (p0 * dlp_z + dp * dlpa_z)
+        )
 
     # --- forcing -----------------------------------------------------------
     chs = con["chs"]
 
-    def forcing_row(a):
-        c11, c12, c13, c22, c23, c33 = chs[a * 6 : (a + 1) * 6]
-        out = (
-            c11 * (rho * u1 * u1 + h11 * pressure)
-            + f(2.0) * c12 * (rho * u1 * u2 + h12 * pressure)
-            + f(2.0) * c13 * (rho * u1 * w + h13 * pressure)
-            + c22 * (rho * u2 * u2 + h22 * pressure)
-            + f(2.0) * c23 * (rho * u2 * w + h23 * pressure)
-            + c33 * (rho * w * w + h33 * pressure)
-        )
-        if con.get("tch") is not None:
-            t0, t1, t2 = con["tch"][a * 3 : (a + 1) * 3]
-            out = out + f(2.0) * rho * (t0 * u1 + t1 * u2 + t2 * w)
-        return out
+    if base is None:
 
-    gravity = con["inv_dzdeta"] * f(GRAVITY) * inv_sg * mm(sg * rho, con["hfk"])
+        def forcing_row(a):
+            c11, c12, c13, c22, c23, c33 = chs[a * 6 : (a + 1) * 6]
+            out = (
+                c11 * (rho * u1 * u1 + h11 * pressure)
+                + f(2.0) * c12 * (rho * u1 * u2 + h12 * pressure)
+                + f(2.0) * c13 * (rho * u1 * w + h13 * pressure)
+                + c22 * (rho * u2 * u2 + h22 * pressure)
+                + f(2.0) * c23 * (rho * u2 * w + h23 * pressure)
+                + c33 * (rho * w * w + h33 * pressure)
+            )
+            if con.get("tch") is not None:
+                t0, t1, t2 = con["tch"][a * 3 : (a + 1) * 3]
+                out = out + f(2.0) * rho * (t0 * u1 + t1 * u2 + t2 * w)
+            return out
+
+        grho = rho
+    else:
+
+        def dprod(i, j):
+            # d[q_i q_j / rho] via the product rule with absolute second
+            # factors (jnp core dforcing_row).
+            return (q[i] * q0[j] + qa[i] * q[j]) / rho - (q0[i] * q0[j] / rho0) * (
+                q[IDX_RHO] / rho
+            )
+
+        def forcing_row(a):
+            c11, c12, c13, c22, c23, c33 = chs[a * 6 : (a + 1) * 6]
+            out = (
+                c11 * (dprod(1, 1) + h11 * dp)
+                + f(2.0) * c12 * (dprod(1, 2) + h12 * dp)
+                + f(2.0) * c13 * (dprod(1, 3) + h13 * dp)
+                + c22 * (dprod(2, 2) + h22 * dp)
+                + f(2.0) * c23 * (dprod(2, 3) + h23 * dp)
+                + c33 * (dprod(3, 3) + h33 * dp)
+            )
+            if con.get("tch") is not None:
+                t0, t1, t2 = con["tch"][a * 3 : (a + 1) * 3]
+                # rho * (t . u) = t . (rho u) is LINEAR in the state.
+                out = out + f(2.0) * (t0 * q[1] + t1 * q[2] + t2 * q[3])
+            return out
+
+        grho = q[IDX_RHO]  # gravity is linear in rho
+
+    gravity = con["inv_dzdeta"] * f(GRAVITY) * inv_sg * mm(sg * grho, con["hfk"])
     f1 = forcing_row(0)
     f2 = forcing_row(1)
     f3 = forcing_row(2) + gravity
@@ -661,6 +897,8 @@ def _km3_body(
         -inv_sg * w_df - f3,
         -inv_sg * (dv[4] + cv[4]),
     ]
+    if base is not None:
+        out = [o + base["rhs0"][v] for v, o in enumerate(out)]
     if bal is not None:
         # Well-balanced offset: bal = RHS_f64(q_base) - K_f32(q_base), so
         # the f32 cancellation error of the huge balanced terms (pressure
@@ -686,16 +924,33 @@ def _km3_body(
     # the one-hot (2*ty*nk, Rb) compaction picking the west column (x2=0)
     # rows then the east column (x2=nxp-1) rows.
     tynk = ty * nk
-    logged = [jnp.log(out[0]), out[1], out[2], out[3], jnp.log(out[4])]
-    comp = [mm(lwe, lv) for lv in logged]  # (2*tynk, 128) each
-    tr = mm(jnp.concatenate(comp, axis=0), con["e_xy"])
     nwe = 2 * tynk
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (tynk, LANES), 1)
+    if base is None:
+        logged = [jnp.log(out[0]), out[1], out[2], out[3], jnp.log(out[4])]
+        comp = [mm(lwe, lv) for lv in logged]  # (2*tynk, 128) each
+        tr_o = mm(jnp.concatenate(comp, axis=0), con["e_xy"])
+        t0we = None
+    else:
+        # Delta traces of the OUTPUT delta state around the (compacted)
+        # base columns: dtr = t0 * expm1(E . log1p(dout/base)).
+        comp0 = [mm(lwe, base["q0"][v]) for v in range(5)]
+        compd = [mm(lwe, out[v]) for v in range(5)]
+        logd = [
+            _log1p(compd[0] / comp0[0]), compd[1], compd[2], compd[3],
+            _log1p(compd[4] / comp0[4]),
+        ]
+        log0 = [jnp.log(comp0[0]), comp0[1], comp0[2], comp0[3], jnp.log(comp0[4])]
+        tr_o = mm(jnp.concatenate(logd, axis=0), con["e_xy"])
+        t0we = mm(jnp.concatenate(log0, axis=0), con["e_xy"])
     we_rows = []
     for v in range(5):
-        cv_ = tr[v * nwe : (v + 1) * nwe]
+        cv_ = tr_o[v * nwe : (v + 1) * nwe]
         if v in (0, 4):
-            cv_ = jnp.exp(cv_)
+            if base is None:
+                cv_ = jnp.exp(cv_)
+            else:
+                cv_ = jnp.exp(t0we[v * nwe : (v + 1) * nwe]) * _expm1(cv_)
         wtr, etr = cv_[:tynk], cv_[tynk:]
         we_rows.append(
             jnp.where(lane_w < SS, wtr, f(0.0))
@@ -741,7 +996,7 @@ def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: i
     hwe: (6*n_ytiles, tynk_pad, 128) west halo at lanes [0, ss), east at
     [T-ss, T), rows (ky_local, kz) per (panel, ytile) chunk; hs/hn:
     (6, nkxp, 128) south/north halo faces in ys/yn slot lanes."""
-    s, G, S3, nxp = _pk(s, nel_h)
+    s, G, S3, nxp = _pk(s, nel_h, nel_v)
     SS = s * s
     nk, ny = nel_v, nel_h
 
@@ -776,7 +1031,7 @@ def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: i
 def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: int = 4):
     """Neighbour exchange + momentum rotation + kernel-input formatting on
     an outgoing trace pool (5, 4[S,N,W,E], 6, nk, nh, ss)."""
-    s, G, _S3, nxp = _pk(s, nel_h)
+    s, G, _S3, nxp = _pk(s, nel_h, nel_v)
     SS = s * s
     TSS = 2 * SS
     T = G * TSS
@@ -838,7 +1093,7 @@ def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty:
     east at [T-ss, T) — the strided big-state gathers that make XLA
     extraction expensive. The south/north grid rows are contiguous row
     slices of ``qp``, so their (edge-sized) extrapolation stays in XLA."""
-    s, G, S3, nxp = _pk(s, nel_h)
+    s, G, S3, nxp = _pk(s, nel_h, nel_v)
     SS = s * s
     T = G * 2 * SS
     nk, ny = nel_v, nel_h
@@ -866,6 +1121,128 @@ def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty:
     return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty, s)
 
 
+# ---------------------------------------------------------------------------
+# Perturbation-form support: packed base-state inputs + delta halo glue.
+
+
+class E3PertBase(NamedTuple):
+    """Packed base-state inputs for the perturbation-form kernel, built once
+    in float64 (build_pert_base) and cast to the working dtype."""
+
+    q0p: jnp.ndarray  # (5, R, 128) packed base state
+    rhs0p: jnp.ndarray  # (5, R, 128) packed f64 base RHS
+    hwe0: jnp.ndarray  # base halo kernel inputs (edge_halo layout)
+    hs0: jnp.ndarray
+    hn0: jnp.ndarray
+    wst0: jnp.ndarray  # base outward-face trace pools (pre-exchange), for
+    est0: jnp.ndarray  # the delta glue's expm1 expansion
+    sth0: jnp.ndarray
+    nth0: jnp.ndarray
+
+
+def _edge_strips(qp, nel_h, nel_v, s):
+    """State views feeding the four outward-edge extrapolations."""
+    s, G, S3, nxp = _pk(s, nel_h, nel_v)
+    nk, ny = nel_v, nel_h
+    qv = qp.reshape(5, 6, ny, nk, nxp, LANES)[..., : G * S3]
+    west = qv[:, :, :, :, 0, :S3]
+    east = qv[:, :, :, :, -1, (G - 1) * S3 :]
+    south = qv[:, :, 0].reshape(5, 6, nk, nxp, G, S3)
+    north = qv[:, :, -1].reshape(5, 6, nk, nxp, G, S3)
+    return west, east, south, north
+
+
+def build_pert_base(q0_64, rhs0_64, topology, ops, nel_h, nel_v, ty, s, dtype) -> E3PertBase:
+    """All base-state kernel/glue inputs from the f64 base state + f64 base
+    RHS (grid layout)."""
+    hops64 = build_halo_ops(ops, topology, s, dtype=jnp.float64)
+    q0p = pack_state_jnp(jnp.asarray(q0_64, jnp.float64), nel_h, nel_v, s)
+    rhs0p = pack_rows_jnp(jnp.asarray(rhs0_64, jnp.float64), nel_h, nel_v, s)
+    hwe0, hs0, hn0 = edge_halo(q0p, topology, hops64, nel_h, nel_v, ty, s)
+    s_, G, _S3, nxp = _pk(s, nel_h, nel_v)
+    SS = s_ * s_
+    nk, ny = nel_v, nel_h
+    west, east, south, north = _edge_strips(q0p, nel_h, nel_v, s)
+    logged = lambda a: jnp.concatenate([jnp.log(a[0:1]), a[1:4], jnp.log(a[4:5])], axis=0)
+    expd = lambda a: jnp.concatenate([jnp.exp(a[0:1]), a[1:4], jnp.exp(a[4:5])], axis=0)
+    wst0 = expd(logged(west) @ hops64.exw)
+    est0 = expd(logged(east) @ hops64.exe)
+    sth0 = expd(logged(south) @ hops64.eys).reshape(5, 6, nk, G * nxp, SS)
+    nth0 = expd(logged(north) @ hops64.eyn).reshape(5, 6, nk, G * nxp, SS)
+    c = lambda a: jnp.asarray(a, dtype)
+    return E3PertBase(
+        c(q0p), c(rhs0p), c(hwe0), c(hs0), c(hn0), c(wst0), c(est0), c(sth0), c(nth0)
+    )
+
+
+def _delta_pools(dqp, pbase: E3PertBase, hops: HaloOps, nel_h, nel_v, s):
+    """Delta outward-face trace pools: linear extrapolation for the momenta,
+    t0 * expm1(E . log1p(d/base)) for the log-space rows."""
+    s_, G, _S3, nxp = _pk(s, nel_h, nel_v)
+    SS = s_ * s_
+    nk = nel_v
+    west, east, south, north = _edge_strips(dqp, nel_h, nel_v, s)
+    w0, e0, s0_, n0_ = _edge_strips(pbase.q0p, nel_h, nel_v, s)
+    logd = lambda d, b: jnp.concatenate(
+        [jnp.log1p(d[0:1] / b[0:1]), d[1:4], jnp.log1p(d[4:5] / b[4:5])], axis=0
+    )
+    comb = lambda raw, t0: jnp.concatenate(
+        [t0[0:1] * jnp.expm1(raw[0:1]), raw[1:4], t0[4:5] * jnp.expm1(raw[4:5])], axis=0
+    )
+    dwst = comb(logd(west, w0) @ hops.exw, pbase.wst0)
+    dest = comb(logd(east, e0) @ hops.exe, pbase.est0)
+    rs = lambda a: a.reshape(5, 6, nk, G * nxp, SS)
+    dsth = comb(rs(logd(south, s0_) @ hops.eys), pbase.sth0)
+    dnth = comb(rs(logd(north, n0_) @ hops.eyn), pbase.nth0)
+    return dwst, dest, dsth, dnth
+
+
+def edge_halo_delta(dqp, pbase: E3PertBase, topology, hops: HaloOps,
+                    nel_h: int, nel_v: int, ty: int, s: int = 4):
+    """Perturbation-mode edge_halo: delta traces in, delta halos out (the
+    exchange, flips and momentum rotation are all linear)."""
+    dwst, dest, dsth, dnth = _delta_pools(dqp, pbase, hops, nel_h, nel_v, s)
+    pool = jnp.stack(
+        [dsth, dnth, jnp.moveaxis(dwst, 2, 3), jnp.moveaxis(dest, 2, 3)], axis=1
+    )
+    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty, s)
+
+
+def halo_from_slabs_delta(we, dqp, pbase: E3PertBase, topology, hops: HaloOps,
+                          nel_h: int, nel_v: int, ty: int, s: int = 4):
+    """Chained-mode delta halo stage: the kernel-emitted west/east slabs
+    already hold DELTA traces (the pert lwe path); the south/north rows are
+    delta-extrapolated here from the packed delta state + base pools."""
+    s_, G, S3, nxp = _pk(s, nel_h, nel_v)
+    SS = s_ * s_
+    T = G * 2 * SS
+    nk, ny = nel_v, nel_h
+    n_ytiles = ny // ty
+    tynk = ty * nk
+    tynk_pad = we.shape[-2]
+    wec = we.reshape(6, n_ytiles, 5, tynk_pad, LANES)[:, :, :, :tynk]
+    wst = wec[..., 0:SS].reshape(6, n_ytiles, 5, ty, nk, SS)
+    est = wec[..., T - SS : T].reshape(6, n_ytiles, 5, ty, nk, SS)
+    fmt = lambda a: jnp.transpose(a, (2, 0, 4, 1, 3, 5)).reshape(5, 6, nk, ny, SS)
+    w_pool = fmt(wst)
+    e_pool = fmt(est)
+
+    _, _, south, north = _edge_strips(dqp, nel_h, nel_v, s)
+    _, _, s0_, n0_ = _edge_strips(pbase.q0p, nel_h, nel_v, s)
+    logd = lambda d, b: jnp.concatenate(
+        [jnp.log1p(d[0:1] / b[0:1]), d[1:4], jnp.log1p(d[4:5] / b[4:5])], axis=0
+    )
+    comb = lambda raw, t0: jnp.concatenate(
+        [t0[0:1] * jnp.expm1(raw[0:1]), raw[1:4], t0[4:5] * jnp.expm1(raw[4:5])], axis=0
+    )
+    rs = lambda a: a.reshape(5, 6, nk, G * nxp, SS)
+    s_pool = comb(rs(logd(south, s0_) @ hops.eys), pbase.sth0)
+    n_pool = comb(rs(logd(north, n0_) @ hops.eyn), pbase.nth0)
+
+    pool = jnp.stack([s_pool, n_pool, w_pool, e_pool], axis=1)
+    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty, s)
+
+
 def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
     """Slice the constant fields for one (ytile, panel) block (pure mode)."""
     sl = lambda a: a[i0:i1]
@@ -885,10 +1262,12 @@ def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
 
 
 def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
-                    nel_h: int, nel_v: int, ty: int, s: int = 4):
+                    nel_h: int, nel_v: int, ty: int, s: int = 4,
+                    pert: E3PertBase = None):
     """Reference driver: run the kernel body block-by-block with jnp.roll.
-    Bit-identical semantics to the pallas path; used by the parity tests."""
-    s, G, _S3, nxp = _pk(s, nel_h)
+    Bit-identical semantics to the pallas path; used by the parity tests.
+    With ``pert``, qp carries the PERTURBATION (base-state-split form)."""
+    s, G, _S3, nxp = _pk(s, nel_h, nel_v)
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
     rows6 = ny * nkxp
@@ -896,7 +1275,10 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
     Rb = ty * nkxp
     dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G}
 
-    hwe, hs, hn = edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
+    if pert is None:
+        hwe, hs, hn = edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
+    else:
+        hwe, hs, hn = edge_halo_delta(qp, pert, topology, hops, nel_h, nel_v, ty, s)
     out = []
     for p in range(6):
         pan = []
@@ -912,9 +1294,20 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
                 tuple(a[r0 : r0 + Rb] for a in con.tch) if con.tch is not None else None
             )
             cblk = _const_blocks(con, c0, c0 + Rb, Rb, nkxp, tch_block)
+            base = None
+            if pert is not None:
+                base = {
+                    "q0": pert.q0p[:, r0 : r0 + Rb],
+                    "q0prev": pert.q0p[:, pr : pr + nkxp],
+                    "q0next": pert.q0p[:, nx_ : nx_ + nkxp],
+                    "hwe0": pert.hwe0[p * n_ytiles + i, :, : ty * nk],
+                    "hs0": pert.hs0[p],
+                    "hn0": pert.hn0[p],
+                    "rhs0": pert.rhs0p[:, r0 : r0 + Rb],
+                }
             o = _km3_body(
                 q, qprev, qnext, hwe[p * n_ytiles + i, :, : ty * nk], hs[p], hn[p],
-                cblk, dims, i, n_ytiles, jnp.roll,
+                cblk, dims, i, n_ytiles, jnp.roll, base=base,
             )
             pan.append(jnp.stack(o))
         out.append(jnp.concatenate(pan, axis=1))
@@ -931,6 +1324,7 @@ def km3_fused(
     s: int = 4,
     x=None, cdt=None, stage_a=None, stage_b=None, bal=None,
     emit_slabs: bool = False, interpret: bool = False,
+    pert: E3PertBase = None,
 ):
     """The whole 3D Euler spatial operator (+ optional explicit-RK stage
     combination ``stage_a*x + stage_b*qp + cdt*RHS(qp)``) as one kernel per
@@ -939,7 +1333,7 @@ def km3_fused(
     the slabs are log-extrapolated from the OUTPUT state) also returns the
     (we, ssl, nsl) edge-trace slabs for ``halo_from_slabs`` so the next
     stage needs no XLA extraction over the big state."""
-    s, G, _S3, nxp = _pk(s, nel_h)
+    s, G, _S3, nxp = _pk(s, nel_h, nel_v)
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
     rows6 = ny * nkxp
@@ -952,6 +1346,7 @@ def km3_fused(
     with_stage = stage_a is not None
     with_x = with_stage and (stage_a != 0.0)
     with_bal = bal is not None
+    with_pert = pert is not None
     with_tch = con.tch is not None
     if emit_slabs and not with_stage:
         raise ValueError("emit_slabs needs a stage combination (output must be a state)")
@@ -975,6 +1370,9 @@ def km3_fused(
         e_xy, e_z, dd, dlp, corr, lfc_xy, lfc_z, hfk = (next(it) for _ in range(n_mats))
         tch = tuple(next(it) for _ in range(9)) if with_tch else None
         bal_ref = next(it) if with_bal else None
+        if with_pert:
+            (q0_ref, q0prev_ref, q0next_ref, hwe0_ref, hs0_ref, hn0_ref,
+             rhs0_ref) = (next(it) for _ in range(7))
         x_ref = next(it) if with_x else None
         cdt_ref = next(it) if with_stage else None
         lwe_ref = next(it) if emit_slabs else None
@@ -988,6 +1386,9 @@ def km3_fused(
         if slim_neighbors:
             qprev = qprev_ref[...]
             qnext = qnext_ref[...]
+            if with_pert:
+                q0prev = q0prev_ref[...]
+                q0next = q0next_ref[...]
         else:
             # Neighbor boundary rows via one-hot row-select GEMMs (a
             # (5, nkxp, 128) block is Mosaic-illegal when nkxp % 8 != 0).
@@ -995,6 +1396,9 @@ def km3_fused(
             mmsel = lambda m, a: jax.lax.dot(m, a, precision=_KP, preferred_element_type=dtype)
             qprev = jnp.stack([mmsel(sp, qprev_ref[v]) for v in range(5)])
             qnext = jnp.stack([mmsel(sn_, qnext_ref[v]) for v in range(5)])
+            if with_pert:
+                q0prev = jnp.stack([mmsel(sp, q0prev_ref[v]) for v in range(5)])
+                q0next = jnp.stack([mmsel(sn_, q0next_ref[v]) for v in range(5)])
         cblk = {
             "sqrtg": rd(sqrtg), "inv_sqrtg": rd(inv_sqrtg),
             "inv_dzdeta": rd(inv_dzdeta),
@@ -1008,6 +1412,17 @@ def km3_fused(
             "hfk": rd(hfk),
             "tch": tuple(rd(a) for a in tch) if with_tch else None,
         }
+        base = None
+        if with_pert:
+            base = {
+                "q0": q0_ref[...],
+                "q0prev": q0prev,
+                "q0next": q0next,
+                "hwe0": hwe0_ref[0][:, :tynk],
+                "hs0": hs0_ref[0],
+                "hn0": hn0_ref[0],
+                "rhs0": rhs0_ref[...],
+            }
         # shift must land as an i32 scalar (x64 mode would make it i64,
         # which tpu.dynamic_rotate rejects)
         roll = lambda a, shift, axis: pltpu.roll(a, np.int32(shift), axis)
@@ -1020,6 +1435,7 @@ def km3_fused(
             stage_a=stage_a, stage_b=stage_b,
             bal=(bal_ref[...] if with_bal else None),
             lwe=(lwe_ref[...] if emit_slabs else None),
+            base=base,
         )
         if emit_slabs:
             out, we_rows = out
@@ -1064,6 +1480,9 @@ def km3_fused(
     if with_bal:
         in_specs.append(blk5)
         args.append(bal)
+    if with_pert:
+        in_specs += [blk5, prev_spec, next_spec, hwe_spec, edge_spec, edge_spec, blk5]
+        args += [pert.q0p, pert.q0p, pert.q0p, pert.hwe0, pert.hs0, pert.hn0, pert.rhs0p]
     if with_x:
         in_specs.append(blk5)
         args.append(x)

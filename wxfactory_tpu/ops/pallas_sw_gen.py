@@ -124,7 +124,10 @@ class GenConstants(NamedTuple):
     kcn: jnp.ndarray  # (128, 128) north trace slots -> flat window lanes
 
 
-def build_constants(ops, metric, nel: int, num_solpts: int, dtype=jnp.float32) -> GenConstants:
+def build_constants(ops, metric, nel: int, num_solpts: int, dtype=jnp.float32,
+                    single_block: bool = False) -> GenConstants:
+    """``single_block``: keep panel-style (P=1) constants even when the plan
+    says "whole" mode — for km_tile, whose block is always ONE tile."""
     p = plan(num_solpts, nel)
     s, g, T, rpr, prows = p.s, p.g, p.T, p.rpr, p.prows
     s2 = s * s
@@ -259,7 +262,7 @@ def build_constants(ops, metric, nel: int, num_solpts: int, dtype=jnp.float32) -
             kcs[64 + 2 * s * gi + k, s * gi + k] = 1.0
             kcn[64 + 2 * s * gi + s + k, s * gi + k] = 1.0
 
-    if p.mode == "panel":
+    if p.mode == "panel" or single_block:
         p6w, p6s = np.ones((nel, 1)), np.ones((rpr, 1))
     else:
         # Whole-array mode: tile/block-diag everything over the six panels.
@@ -727,6 +730,104 @@ def halo_from_slabs(we, ssl, nsl, topology, conv, nel: int, s: int):
         return jnp.pad(a, ((0, 0), (0, 0), (0, npl - npts))) if npl > npts else a
 
     return fmt(WEST), fmt(EAST), fmt(SOUTH), fmt(NORTH)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nel", "s", "stage_a", "stage_b", "emit_slabs", "interpret"),
+)
+def km_tile(
+    qp, hw, he, hs, hn, con: GenConstants, nel: int, s: int,
+    x=None, cdt=None, stage_a=None, stage_b=None,
+    emit_slabs: bool = False, interpret: bool = False, bp=None,
+):
+    """Single-TILE mega kernel: the km_gen panel body as one whole-array
+    pallas_call (no grid) over a tile-local packed state — the per-device
+    kernel of the fused shard_map path (parallel/shard_map_sw_fused.py).
+
+    qp: (3, prows, 128) packed tile (nel = elements per tile side);
+    hw/he/hs/hn: (1, 3, npl) flat tile-edge halo rows; ``con``: tile-local
+    GenConstants (fields/m_* sliced to THIS tile; gridrot in con.gridrot);
+    ``bp``: optional (14, prows, 128) tile base planes (perturbation form).
+    Same returns as km_gen."""
+    p = plan(s, nel)
+    prows = p.prows
+    dtype = qp.dtype
+    with_stage = stage_a is not None
+    with_x = with_stage and (stage_a != 0.0)
+    with_base = bp is not None
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    roll = pltpu.roll
+
+    def kernel(*refs):
+        m = _masks(p, prows)
+        it = iter(refs)
+        q_ref = next(it)
+        hw_ref, he_ref, hs_ref, hn_ref = (next(it) for _ in range(4))
+        field_refs = tuple(next(it) for _ in range(13))
+        gridrot_ref = next(it)
+        con_refs = {name: next(it) for name in _CON_FIELDS}
+        bp_ref = next(it) if with_base else None
+        x_ref = next(it) if with_x else None
+        cdt_ref = next(it) if with_stage else None
+        o_ref = next(it)
+        if emit_slabs:
+            we_ref, ss_ref, ns_ref = next(it), next(it), next(it)
+
+        cblk = GenConstants(
+            fields=tuple(r[...] for r in field_refs),
+            gridrot=None,
+            **{name: con_refs[name][...] for name in _CON_FIELDS},
+        )
+        halo = lambda r: tuple(r[...][0, v : v + 1] for v in range(3))
+        base = None
+        if with_base:
+            base = {
+                "bq": tuple(bp_ref[k] for k in range(5)),
+                "A0": tuple(bp_ref[5 + v] for v in range(3)),
+                "E0": tuple(bp_ref[8 + v] for v in range(3)),
+                "rhs0": tuple(bp_ref[11 + v] for v in range(3)),
+            }
+        out, slabs = _panel_body(
+            tuple(q_ref[v] for v in range(3)),
+            halo(hw_ref), halo(he_ref), halo(hs_ref), halo(hn_ref),
+            cblk.fields, gridrot_ref[...], cblk, m, roll,
+            x3=(tuple(x_ref[v] for v in range(3)) if with_x else None),
+            cdt=(cdt_ref[0, 0] if with_stage else None),
+            stage_a=stage_a, stage_b=stage_b, emit=emit_slabs,
+            base=base,
+        )
+        for v in range(3):
+            o_ref[v] = out[v]
+        if emit_slabs:
+            wes, ss, ns = slabs
+            for v in range(3):
+                we_ref[v] = wes[v]
+                ss_ref[v] = ss[v]
+                ns_ref[v] = ns[v]
+
+    args = [qp, hw, he, hs, hn, *con.fields, con.gridrot]
+    args += [getattr(con, name) for name in _CON_FIELDS]
+    if with_base:
+        args.append(bp)
+    if with_x:
+        args.append(x)
+    if with_stage:
+        args.append(jnp.asarray(cdt, dtype=dtype).reshape(1, 1))
+    out_shape = [jax.ShapeDtypeStruct((3, prows, 128), dtype)]
+    if emit_slabs:
+        out_shape += [
+            jax.ShapeDtypeStruct((3, p.nelp, 128), dtype),
+            jax.ShapeDtypeStruct((3, p.rpad, 128), dtype),
+            jax.ShapeDtypeStruct((3, p.rpad, 128), dtype),
+        ]
+    kwargs = dict(out_shape=out_shape, interpret=interpret)
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    outs = pl.pallas_call(kernel, **kwargs)(*args)
+    return tuple(outs) if emit_slabs else outs[0]
 
 
 def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32, perturbation=None):
