@@ -350,3 +350,75 @@ class TestErkEngine:
 
         with pytest.raises(ValueError):
             erk_integrate(lambda t, y: -y, 0.0, np.ones(2), 1.0, method="RK99")
+
+
+class TestGcrot:
+    """Native GCROT(m,k) (solvers/gcrot.py — no scipy delegate): recycled
+    subspace + flexible right preconditioning, reference solvers/gcrot.py:129."""
+
+    def test_matches_direct_solve(self):
+        from wxfactory_tpu.solvers import gcrot
+
+        a, b = _random_system(n=150, seed=3)
+        x, norm_r, norm_b, niter, flag, hist = gcrot(lambda v: a @ v, b, tol=1e-10)
+        assert flag == 0
+        assert norm_r <= 1e-10 * norm_b
+        np.testing.assert_allclose(x, np.linalg.solve(a, b), rtol=1e-7, atol=1e-8)
+        assert niter > 0 and len(hist) >= 1
+        # History entries are (relative residual, seconds, work), decreasing.
+        rels = [h[0] for h in hist]
+        assert rels[-1] <= rels[0]
+
+    def test_recycling_beats_cold_restart(self):
+        """With a small restart m, the recycle space must reduce the matvec
+        count vs m-restarted GMRES on the same system (the point of GCROT —
+        a strict acceleration assertion, not <=)."""
+        from wxfactory_tpu.solvers import gcrot
+
+        a, b = _random_system(n=300, seed=5, diag_shift=1.2)
+        count = [0]
+
+        def mv(v):
+            count[0] += 1
+            return a @ v
+
+        x, norm_r, norm_b, niter, flag, _ = gcrot(mv, b, tol=1e-8, restart=10)
+        assert flag == 0
+        gcrot_mv = count[0]
+
+        # m-restarted GMRES with the same inner size, no recycling.
+        count[0] = 0
+        op = scipy.sparse.linalg.LinearOperator((b.size, b.size), matvec=mv)
+        _x, info = scipy.sparse.linalg.gmres(op, b, rtol=1e-8, atol=0.0,
+                                             restart=10, maxiter=2000)
+        assert info == 0
+        assert gcrot_mv < count[0], (gcrot_mv, count[0])
+
+    def test_preconditioned(self):
+        from wxfactory_tpu.solvers import gcrot
+
+        a, b = _random_system(n=120, seed=7)
+        dinv = 1.0 / np.diag(a)
+        x, norm_r, norm_b, niter_pc, flag, _ = gcrot(
+            lambda v: a @ v, b, tol=1e-9, preconditioner=lambda v: dinv * v
+        )
+        assert flag == 0
+        np.testing.assert_allclose(a @ x, b, rtol=0, atol=1e-8 * norm_b)
+
+    def test_zero_rhs(self):
+        from wxfactory_tpu.solvers import gcrot
+
+        a, _ = _random_system(n=30, seed=1)
+        x, norm_r, norm_b, niter, flag, hist = gcrot(lambda v: a @ v, np.zeros(30))
+        assert flag == 0 and norm_b == 0.0 and np.all(x == 0.0)
+
+    def test_initial_guess(self):
+        from wxfactory_tpu.solvers import gcrot
+
+        a, b = _random_system(n=80, seed=11)
+        xtrue = np.linalg.solve(a, b)
+        x, norm_r, _, niter, flag, _ = gcrot(
+            lambda v: a @ v, b, x0=xtrue + 1e-8, tol=1e-6
+        )
+        assert flag == 0 and niter <= 10
+        np.testing.assert_allclose(x, xtrue, rtol=1e-5, atol=1e-6)

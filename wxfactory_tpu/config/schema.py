@@ -159,7 +159,8 @@ SCHEMA: List[Field] = [
     _f("Time_integration", "jacobian_method", "str", "jvp", choices=["jvp", "complex", "fd"],
        doc="Jacobian action: exact forward-mode AD (jvp, default) or finite differences; "
            "'complex' is accepted for reference compatibility and maps to jvp"),
-    _f("Time_integration", "linear_solver", "str", "fgmres", choices=["fgmres", "gcrot"]),
+    _f("Time_integration", "linear_solver", "str", "auto",
+       choices=["auto", "fgmres", "fgmres_jit", "gcrot"]),
     _f("Time_integration", "verbose_solver", "int", 0),
     _f("Time_integration", "gmres_restart", "int", 20, min=1),
     # Spatial discretization

@@ -26,9 +26,10 @@ class Ros2(Integrator):
         **kwargs,
     ) -> None:
         """`linear_solver`: "fgmres" (host-orchestrated 1-sync), "fgmres_jit"
-        (whole solve as ONE device program, solvers/fgmres_jit.py), or "auto"
-        (fgmres_jit when no — generally untraceable — preconditioner is
-        set)."""
+        (whole solve as ONE device program, solvers/fgmres_jit.py), "gcrot"
+        (recycled-subspace GCROT(m,k), solvers/gcrot.py — reference
+        ros2.py:40 offers the same pair), or "auto" (fgmres_jit when no —
+        generally untraceable — preconditioner is set)."""
         super().__init__(**kwargs)
         self.rhs = rhs
         self.tol = tolerance
@@ -104,8 +105,12 @@ class Ros2(Integrator):
         if self.preconditioner is not None:
             maxiter = 400 // self.gmres_restart
 
+        if self.linear_solver == "gcrot":
+            from ..solvers import gcrot as _solve
+        else:
+            _solve = fgmres
         t0 = time()
-        q_new, norm_r, norm_b, num_iter, flag, residuals = fgmres(
+        q_new, norm_r, norm_b, num_iter, flag, residuals = _solve(
             A,
             b,
             x0=q_flat,
@@ -120,7 +125,7 @@ class Ros2(Integrator):
         self.failure_flag = flag
         if self.verbose > 0:
             kind = "convergence" if flag == 0 else "stagnation"
-            print(f"FGMRES {kind} at iteration {num_iter} in {t1-t0:4.3f} s, "
+            print(f"{_solve.__name__} {kind} at iteration {num_iter} in {t1-t0:4.3f} s, "
                   f"relative residual {norm_r/norm_b:.2e}", flush=True)
 
         return jnp.asarray(q_new).reshape(q.shape)

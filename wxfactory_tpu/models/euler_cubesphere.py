@@ -678,11 +678,16 @@ def make_rhs_euler_cubesphere(
         # pass the ABSOLUTE state. Requires the 5 dynamical variables.
         if num_vars != 5 or advection_only or extra_forcing is not None:
             raise ValueError("perturbation_base supports the plain 5-variable system")
-        q0_64 = jnp.asarray(perturbation_base, jnp.float64)
-        cst64 = build_euler3d_constants(ops, metric, dtype=jnp.float64)
-        base64 = _euler3d_base_intermediates(q0_64, cst64, halo_fn, ss)
-        base64["rhs0"] = _euler3d_rhs_core(q0_64, cst64, halo_fn, ss)
-        cast = lambda a: jnp.asarray(a, dtype=dtype)
+        # The one-time f64 base intermediates run on the HOST CPU backend:
+        # on-TPU float64 is emulated and at large shapes (the ~1.3M-point
+        # benchmark matrix) exhausts the chip; CPU f64 is also faster here.
+        with jax.default_device(jax.devices("cpu")[0]):
+            q0_64 = jnp.asarray(np.asarray(perturbation_base), jnp.float64)
+            cst64 = build_euler3d_constants(ops, metric, dtype=jnp.float64)
+            base64 = _euler3d_base_intermediates(q0_64, cst64, halo_fn, ss)
+            base64["rhs0"] = _euler3d_rhs_core(q0_64, cst64, halo_fn, ss)
+        q0_64 = jnp.asarray(np.asarray(q0_64))
+        cast = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
         base = {
             k: (tuple(cast(x) for x in v) if isinstance(v, tuple) else cast(v))
             for k, v in base64.items()
@@ -729,15 +734,10 @@ def make_rhs_euler_cubesphere(
 
     pbase = None
     if rhs_pert is not None:
-        rhs64p = (
-            rhs
-            if dtype == jnp.float64
-            else make_rhs_euler_cubesphere(
-                geom, ops, metric, topology=topology, dtype=jnp.float64, interior="xla"
-            )
-        )
+        # rhs0 was already computed in f64 on the CPU backend above.
         pbase = pe3.build_pert_base(
-            q0_64, rhs64p(q0_64), topology, ops, nel_h, nel_v, ty, s, dtype
+            q0_64, jnp.asarray(np.asarray(base64["rhs0"])), topology, ops,
+            nel_h, nel_v, ty, s, dtype
         )
 
     def _halo(qp):

@@ -258,7 +258,8 @@ class Simulation:
                        exponential_solver=c.exponential_solver,
                        krylov_size=max(c.krylov_size, 1), **common)
         if name == "ros2":
-            return Ros2(self.rhs, tolerance=c.tolerance, gmres_restart=c.gmres_restart, **common)
+            return Ros2(self.rhs, tolerance=c.tolerance, gmres_restart=c.gmres_restart,
+                        linear_solver=c.linear_solver, **common)
         if name == "rosexp2":
             from .integrators import RosExp2
 
