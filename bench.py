@@ -299,12 +299,14 @@ def bench_e3_matrix(reps=2, nsteps=20):
             fused = hasattr(rhs32, "packed_stage_chained")
 
             # Accuracy gate at a 2-step drift state (dt under the acoustic
-            # CFL). The f64 truth runs on the HOST CPU backend: at ~1.3M
-            # gridpoints the emulated-f64 XLA path exhausts this chip.
+            # CFL). The f64 truth runs on the HOST CPU backend, op-by-op
+            # (disable_jit): at ~1.3M gridpoints the emulated-f64 XLA path
+            # exhausts this chip, and whole-program CPU compiles at this
+            # size stall; eager dispatch costs ~11 s/eval, fine for 7 evals.
             dtg = 0.5 * (60.0 / (N * s))
-            with jax.default_device(jax.devices("cpu")[0]):
-                rhs64 = jax.jit(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla"))
-                qt_c = _rk3_steps(rhs64, jax.device_put(q0), dtg, 2)
+            with jax.default_device(jax.devices("cpu")[0]), jax.disable_jit():
+                rhs64 = make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")
+                qt_c = _rk3_steps(rhs64, jax.device_put(np.asarray(q0)), dtg, 2)
                 truth = np.asarray(rhs64(qt_c))
             qt = jnp.asarray(np.asarray(qt_c))
             scale = np.abs(truth).max(axis=(1, 2, 3, 4, 5), keepdims=True)

@@ -1,9 +1,14 @@
 """The reference's canonical run configurations, end to end:
 case6 (SW, epi3 + pmex, dt=1800) and dcmip31 (Euler, epi2 + kiops, dt=30)
-— reference config/case6.ini and config/dcmip31.ini. Shrunk grids keep the
-suite fast; the regression target is stability of the exponential path
-(including the Krylov warm start + the reference's m <= 64 cap, without
-which IOP-2 orthogonality loss silently corrupts the phi solve)."""
+— reference config/case6.ini and config/dcmip31.ini. Shrunk grids keep
+these SMOKE tests fast; the canonical-SHAPE parity checks live in
+test_reference_parity.test_sw_case6_epi3_pmex_canonical_matches_reference
+(nel=10, s=3, 5 EPI3+PMEX steps vs the in-process reference) and
+test_euler3d.test_epi2_kiops_canonical_shape_matches_reference (12x12x3,
+5 EPI2+KIOPS steps). The regression target here is stability of the
+exponential path (including the Krylov warm start + the reference's
+m <= 64 cap, without which IOP-2 orthogonality loss silently corrupts the
+phi solve)."""
 
 import jax.numpy as jnp
 import numpy as np

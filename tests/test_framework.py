@@ -262,3 +262,26 @@ def test_fv_agglomeration_multigrid_preconditions_fgmres():
     _, r_mg, _, it_mg, _, _ = fgmres(apply_A, b, tol=1e-7, restart=30, maxiter=2, preconditioner=mg)
     assert r_mg <= r_plain * 1.05, (r_mg, r_plain)
     assert it_mg <= it_plain, (it_mg, it_plain)
+
+
+def test_rhs_timing_sampled_in_real_run(tmp_path):
+    """Per-stage RHS timing during a PRODUCTION run (reference
+    rhs/rhs.py:88-118 persists stage timestamps per step to the
+    solver-stats rhs_timing table): with store_solver_stats +
+    rhs_timing_freq, every sampled step writes one row per stage."""
+    import sqlite3
+
+    outdir = str(tmp_path / "results")
+    ini = CASE6_INI.format(t_end=2 * 1800, integrator="epi2", starting_step=0,
+                           save_freq=0, outdir=outdir)
+    ini += "store_solver_stats = 1\nrhs_timing_freq = 1\n"
+    sim = Simulation(Configuration(ini))
+    sim.run()
+    db = sqlite3.connect(os.path.join(outdir, "solver_stats.db"))
+    rows = db.execute("SELECT step_id, stage, elapsed FROM rhs_timing").fetchall()
+    stages = {r[1] for r in rows}
+    steps = {r[0] for r in rows}
+    assert {"full_rhs(fused)", "extrapolation", "interior_derivative",
+            "halo_exchange"} <= stages
+    assert steps == {1, 2}
+    assert all(r[2] > 0.0 for r in rows)

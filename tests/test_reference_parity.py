@@ -203,3 +203,32 @@ def test_sw_rhs_matches_reference(case_number, rotation):
     dq_mine = np.asarray(rhs(jnp.asarray(q_ref)))
     scale_dq = np.abs(dq_ref).max()
     assert np.abs(dq_mine - dq_ref).max() / scale_dq < 1e-11, "RHS mismatch"
+
+
+def test_sw_case6_epi3_pmex_canonical_matches_reference():
+    """Golden trajectory test AT THE CANONICAL SHAPE through the exponential
+    stack: Williamson case 6 at the reference's own run configuration
+    (config/case6.ini there: nel=10, num_solpts=3, dt=1800, epi3 + pmex,
+    tol=1e-7) for 5 steps vs the in-process reference (its Epi integrator
+    with complex-step Jacobian, its pmex, its 10-substep Epi2 bootstrap).
+    Measured deviation <= 7.5e-9 of the per-variable scale; gate at 1e-7."""
+    from ref_harness import reference_sw_epi_steps  # noqa: PLC0415
+
+    from wxfactory_tpu.integrators import Epi  # noqa: PLC0415
+
+    nel, s, dt, nsteps = 10, 3, 1800.0, 5
+    ref_states = reference_sw_epi_steps(6, nel, s, dt, nsteps, order=3,
+                                        exponential_solver="pmex", tolerance=1e-7)
+
+    geom = make_cubed_sphere_2d(nel, s)
+    ops = make_dfr_operators(s)
+    metric = make_metric_2d(geom)
+    rhs = make_rhs_shallow_water(geom, ops, metric)
+    epi = Epi(rhs, order=3, tolerance=1e-7, exponential_solver="pmex", init_substeps=10)
+    q = jnp.asarray(williamson_case6(geom))
+    for k in range(nsteps):
+        q = epi.step(q, dt)
+        want = ref_states[k]
+        scale = np.abs(want).max(axis=(1, 2, 3, 4), keepdims=True)
+        err = np.abs((np.asarray(q) - want) / scale).max()
+        assert err < 1e-7, (k, err)

@@ -216,6 +216,10 @@ def _install_fake_modules():
             def to_host(self, a):
                 return np.asarray(a)
 
+            def has_128_bits_float(self) -> bool:
+                # pmex's norm-estimate path (solvers/pmex.py:198 there).
+                return hasattr(np, "float128")
+
         device_mod.Device = Device
         device_mod.CpuDevice = Device
         device_mod.CudaDevice = Device
@@ -262,6 +266,11 @@ def run_lockstep(size: int, fn: Callable[[int], object]) -> List:
         t.start()
     for t in threads:
         t.join()
+    # Prefer the ROOT failure: a thread that died breaks the barrier, so
+    # sibling ranks die with a (secondary) BrokenBarrierError.
+    root = [e for e in errors if e is not None and not isinstance(e, threading.BrokenBarrierError)]
+    if root:
+        raise root[0]
     for e in errors:
         if e is not None:
             raise e
@@ -525,6 +534,70 @@ def reference_sw_steps(case_number: int, nel_per_tile: int, num_solpts: int,
         from integrators.tvdrk3 import Tvdrk3
 
         stepper = Tvdrk3(param, rhs_fn, device=dev)
+        states = []
+        for _ in range(num_steps):
+            Q = stepper.step(Q, dt)
+            states.append(np.asarray(Q).copy())
+        return np.stack(states)
+
+    results = run_lockstep(6, tile_run)
+    return np.stack(results, axis=2)  # (num_steps, 3, 6, ny, nx, s^2)
+
+
+def reference_sw_epi_steps(case_number: int, nel_per_tile: int, num_solpts: int,
+                           dt: float, num_steps: int, order: int = 3,
+                           exponential_solver: str = "pmex", tolerance: float = 1e-7):
+    """Run the reference SW model through its Epi exponential integrator
+    (integrators/epi.py there, complex-step Jacobian + kiops/pmex) for
+    `num_steps` steps — the canonical case6 configuration
+    (/root/reference/config/case6.ini: epi3 + pmex). Returns the global
+    state after each step: (num_steps, 3, 6, ny, nx, s^2)."""
+    _install_fake_modules()
+
+    def tile_run(rank):
+        from types import SimpleNamespace
+
+        from mpi4py import MPI
+
+        import device as device_mod
+
+        dev = device_mod.CpuDevice(MPI.COMM_WORLD)
+        from process_topology import ProcessTopology
+
+        ptopo = ProcessTopology(dev)
+        param = SimpleNamespace(
+            case_number=case_number, filter_apply=False, expfilter_apply=False,
+            apply_sponge=False, dt=dt, t_end=dt * num_steps,
+            matsuno_wave_type="Rossby", matsuno_amp=1e-5,
+            num_elements_horizontal=nel_per_tile, num_solpts=num_solpts,
+            tolerance=tolerance, jacobian_method="complex",
+            exponential_solver=exponential_solver,
+            time_integrator=f"epi{order}",
+            exode_method="RK45", exode_controller="",
+            verbose_solver=0, store_solver_stats=False,
+        )
+        from geometry.cubed_sphere_2d import CubedSphere2D
+        from geometry.metric2d import Metric2D
+        from geometry.operators import DFROperators
+
+        geom = CubedSphere2D(nel_per_tile, num_solpts, 0.0, 0.0, 0.0, ptopo, param, dev)
+        mtrx = DFROperators(geom, param, dev)
+        metric = Metric2D(geom)
+        import init.shallow_water_test as swt
+
+        if case_number == 2:
+            u1, u2, h = swt.williamson_case2(geom, metric, param)
+        elif case_number == 6:
+            u1, u2, h = swt.williamson_case6(geom, metric, param)
+        else:
+            raise ValueError(case_number)
+        Q = np.stack([np.asarray(h), np.asarray(h * u1), np.asarray(h * u2)])
+        from rhs.rhs_sw import RhsShallowWater
+
+        rhs_fn = RhsShallowWater(Q.shape, geom, mtrx, metric, None, ptopo, num_solpts, nel_per_tile)
+        from integrators.epi import Epi
+
+        stepper = Epi(param, order, rhs_fn, device=dev, init_substeps=10)
         states = []
         for _ in range(num_steps):
             Q = stepper.step(Q, dt)

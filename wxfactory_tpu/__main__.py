@@ -20,6 +20,12 @@ def main(argv=None) -> int:
         "--config-options", action="store_true", help="Print every available configuration option and exit"
     )
     parser.add_argument("--show-every-crash", action="store_true", help="Print full tracebacks")
+    parser.add_argument(
+        "--jax-trace", metavar="DIR", default=None,
+        help="Capture a jax.profiler trace of the run into DIR (TensorBoard/"
+             "Perfetto-viewable; the TPU analogue of the reference's NSight "
+             "hookup, scripts/wx.sh:23 there)",
+    )
     args = parser.parse_args(argv)
 
     if args.config_options:
@@ -38,7 +44,13 @@ def main(argv=None) -> int:
         sim.run()
 
     try:
-        if args.profile:
+        if args.jax_trace:
+            import jax
+
+            with jax.profiler.trace(args.jax_trace):
+                run()
+            print(f"jax.profiler trace written to {args.jax_trace}")
+        elif args.profile:
             cProfile.runctx("run()", globals(), locals(), filename="prof.out")
             print("Profile written to prof.out")
         else:

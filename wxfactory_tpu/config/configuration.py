@@ -44,6 +44,7 @@ class Configuration:
     output_freq: int
     save_state_freq: int
     store_solver_stats: bool
+    rhs_timing_freq: int
     output_dir: str
 
     def __init__(self, ini_text: str, strict: bool = False):

@@ -209,6 +209,9 @@ SCHEMA: List[Field] = [
     _f("Output_options", "output_freq", "int", 0, doc="Field output every N steps (0=off)"),
     _f("Output_options", "save_state_freq", "int", 0, doc="Checkpoint every N steps (0=off)"),
     _f("Output_options", "store_solver_stats", "bool", False),
+    _f("Output_options", "rhs_timing_freq", "int", 0,
+       doc="Sample per-stage RHS timings into the solver-stats rhs_timing "
+           "table every N steps (0=off; needs store_solver_stats)"),
     _f("Output_options", "output_dir", "case-str", "results"),
     _f("Output_options", "base_output_file", "case-str", "out"),
     _f("Output_options", "solver_stats_file", "case-str", "solver_stats.db"),

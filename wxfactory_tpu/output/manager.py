@@ -93,6 +93,15 @@ class OutputManager:
             self.total_blockstat_time += time.time() - t0
             self.num_blockstats += 1
 
+    def store_rhs_timing(self, step_id: int, stage_times: dict):
+        """Persist sampled per-stage RHS timings (output/rhs_timing.py) to
+        the solver-stats ``rhs_timing`` table (reference rhs/rhs.py:88-118 +
+        solver_stats.py:160)."""
+        if self.solver_stats is not None and stage_times:
+            self.solver_stats.write_rhs_timing(
+                step_id, list(stage_times.keys()), list(stage_times.values())
+            )
+
     def store_solver_stats(self, step_id: int, solver_info, solve_time: float):
         if self.solver_stats is not None and solver_info is not None:
             self.solver_stats.write_output(

@@ -118,6 +118,111 @@ def cubed_sphere_euler3d_levels(geom) -> tuple:
     return make, 3, 2
 
 
+def dg_fv_transfer(num_solpts: int, n_cells: int):
+    """Rectangular 1D DG->FV transfer pair (reference Interpolator with
+    order change, common/interpolation.py:154-289): R (n_cells, s) takes the
+    s Lagrange nodal values to the n_cells cell MEANS of the interpolant on
+    an equal subdivision of [-1, 1] (exact for polynomials of degree < s);
+    P (s, n_cells) is its Moore-Penrose reconstruction (least-squares nodal
+    values; exact round trip when n_cells == s)."""
+    s = num_solpts
+    _, pts, _ = gauss_legendre(s)
+    qx, qw = np.polynomial.legendre.leggauss(s + 2)
+
+    def lagrange(j, x):
+        out = np.ones_like(x)
+        for m in range(s):
+            if m != j:
+                out *= (x - pts[m]) / (pts[j] - pts[m])
+        return out
+
+    h = 2.0 / n_cells
+    R = np.zeros((n_cells, s))
+    for i in range(n_cells):
+        a = -1.0 + i * h
+        xq = a + 0.5 * h * (qx + 1.0)
+        for j in range(s):
+            R[i, j] = 0.5 * np.sum(qw * lagrange(j, xq))
+    return R, np.linalg.pinv(R)
+
+
+def cubed_sphere_sw_fv_mg_levels(geom, num_solpts: int, max_levels: int = 8):
+    """FV-agglomeration multigrid family for cubed-sphere shallow water
+    (reference precondition/multigrid.py:297-339, discretization='fv' —
+    VERDICT r2 item 5):
+
+    * level 0: the DG(s) operator on the nel-element grid;
+    * level 1: the SAME RHS machinery at num_solpts=1 (pure FV: zero
+      derivative matrix, interface fluxes only — exactly the reference's
+      `param.num_elements_horizontal *= num_solpts; num_solpts = 1`) on an
+      (nel * sp)-element grid, sp = 2^floor(log2 s), reached through the
+      per-element DG->FV cell-mean transfer;
+    * level k>=2: FV with 2x horizontal agglomeration per level (cell means
+      down, constant injection up) while sp/2^k >= 1.
+
+    Returns (levels, restricts, prolongs) for Multigrid(level_spec=...)."""
+    from ..geometry import make_cubed_sphere_2d, make_metric_2d
+    from ..models import make_rhs_shallow_water
+
+    s = num_solpts
+    nel = geom.num_elements
+    sp = 2 ** int(np.log2(s))
+
+    def fv_rhs(c):
+        g = make_cubed_sphere_2d(nel * c, 1, geom.lambda0, geom.phi0, geom.alpha0)
+        ops1 = make_dfr_operators(1)
+        metric1 = make_metric_2d(g)
+        return make_rhs_shallow_water(g, ops1, metric1, interior="xla")
+
+    levels: List[MultigridLevel] = []
+    restricts = []
+    prolongs = []
+    if s >= 2:
+        from ..ops.dfr import make_dfr_operators as _mk  # level-0 DG operator
+
+        g0 = make_cubed_sphere_2d(nel, s, geom.lambda0, geom.phi0, geom.alpha0)
+        m0 = make_metric_2d(g0)
+        levels.append(
+            MultigridLevel(make_rhs_shallow_water(g0, _mk(s), m0, interior="xla"), s)
+        )
+        r1, p1 = dg_fv_transfer(s, sp)
+        # Trailing s^2 point/cell order is (y-major, x-minor), as in the
+        # cartesian family.
+        dg2fv = jnp.asarray(np.kron(r1, r1).T)
+        fv2dg = jnp.asarray(np.kron(p1, p1).T)
+
+        def to_cells(a, dg2fv=dg2fv):
+            # (nv, 6, nel, nel, s^2) -> (nv, 6, nel*sp, nel*sp, 1)
+            c = (a @ dg2fv).reshape(a.shape[:-1] + (sp, sp))
+            c = jnp.moveaxis(c, -2, -3)  # (nv, 6, nel, sp, nel, sp)
+            return c.reshape(a.shape[0], 6, nel * sp, nel * sp, 1)
+
+        def to_nodes(a, fv2dg=fv2dg):
+            c = a.reshape(a.shape[0], 6, nel, sp, nel, sp)
+            c = jnp.moveaxis(c, 3, 4).reshape(a.shape[0], 6, nel, nel, sp * sp)
+            return c @ fv2dg
+
+        restricts.append(to_cells)
+        prolongs.append(to_nodes)
+
+    c = sp
+    levels.append(MultigridLevel(fv_rhs(c), 1, tau_scale=4.0 * nel * c))
+    while len(levels) < max_levels and c % 2 == 0 and nel * c >= 4:
+        c //= 2
+        levels.append(MultigridLevel(fv_rhs(c), 1, tau_scale=4.0 * nel * c))
+
+        def agg(a):
+            nv, _, ny, nx, _ = a.shape
+            return a.reshape(nv, 6, ny // 2, 2, nx // 2, 2, 1).mean(axis=(3, 5))
+
+        def inj(a):
+            return jnp.repeat(jnp.repeat(a, 2, axis=2), 2, axis=3)
+
+        restricts.append(agg)
+        prolongs.append(inj)
+    return levels, restricts, prolongs
+
+
 def cartesian_fv_mg_levels(geom, num_solpts: int, max_levels: int = 8):
     """FV-agglomeration multigrid family for the 2D Cartesian Euler system
     (reference precondition/multigrid.py:38-165, discretization 'fv'):
@@ -268,7 +373,8 @@ class Multigrid:
     def for_geometry(cls, geom, kind: str = "p-mg", **kwargs):
         """Pick the level family from the geometry type. ``kind``: "p-mg"
         (order coarsening) or "fv-mg" (DG->FV + 2x element agglomeration —
-        Cartesian Euler only, like the reference's FV discretization gate)."""
+        Cartesian Euler and cubed-sphere shallow water, the reference's
+        discretization='fv' gate, multigrid.py:297-339 there)."""
         from ..geometry.cartesian import Cartesian2D
         from ..geometry.cubed_sphere import CubedSphere2D
         from ..geometry.cubed_sphere_3d import CubedSphere3D
@@ -281,7 +387,11 @@ class Multigrid:
                 spec = cartesian_euler_levels(geom)
             nel = max(geom.num_elements_x, geom.num_elements_z)
         elif isinstance(geom, CubedSphere2D):
-            spec = cubed_sphere_sw_levels(geom)
+            if kind == "fv-mg":
+                nlev = kwargs.get("num_levels", 2)
+                spec = cubed_sphere_sw_fv_mg_levels(geom, geom.num_solpts, max_levels=max(nlev, 2))
+            else:
+                spec = cubed_sphere_sw_levels(geom)
             nel = geom.num_elements
         elif isinstance(geom, CubedSphere3D):
             spec = cubed_sphere_euler3d_levels(geom)

@@ -120,6 +120,7 @@ class Simulation:
 
         self.initial_q = jnp.asarray(q0, dtype=self.dtype)
         self.starting_step = 0
+        self._rhs_probes = None  # built lazily on first rhs_timing sample
         if c.starting_step > 0:
             try:
                 self.initial_q = jnp.asarray(
@@ -254,9 +255,12 @@ class Simulation:
                          krylov_size=max(c.krylov_size, 1), **common)
         if name.startswith("epi"):
             order = int(name.removeprefix("epi"))
+            # Reference simulation.py:345 bootstraps multistep EPI with 10
+            # Epi2 substeps for the first step(s).
             return Epi(self.rhs, order, tolerance=c.tolerance,
                        exponential_solver=c.exponential_solver,
-                       krylov_size=max(c.krylov_size, 1), **common)
+                       krylov_size=max(c.krylov_size, 1),
+                       init_substeps=(10 if order >= 3 else 1), **common)
         if name == "ros2":
             return Ros2(self.rhs, tolerance=c.tolerance, gmres_restart=c.gmres_restart,
                         linear_solver=c.linear_solver, **common)
@@ -306,6 +310,18 @@ class Simulation:
 
         self.output.step(q, step_id, t + dt)
         self.output.store_solver_stats(step_id, self.integrator.solver_info, solve_time)
+        if (
+            c.rhs_timing_freq > 0
+            and c.store_solver_stats
+            and step_id % c.rhs_timing_freq == 0
+        ):
+            from .output.rhs_timing import make_stage_probes, sample
+
+            if self._rhs_probes is None:
+                self._rhs_probes = make_stage_probes(
+                    self.geom, self.ops, self.topology, self.rhs, q, c.equations
+                )
+            self.output.store_rhs_timing(step_id, sample(self._rhs_probes))
         return q, t + dt
 
     def run(self):
