@@ -238,6 +238,46 @@ class TestFgmresJit:
         assert int(info.num_iter) == it_host
         assert np.abs(x - x_host).max() / np.abs(x_host).max() < 1e-10
 
+    def test_one_sync_matches_two_sync(self):
+        """one_sync=True (batched [V; w] @ w Gram product + Pythagorean
+        orthogonalized-norm estimate — ONE collective per iteration under
+        GSPMD, the device-resident twin of the reference's norm-estimate
+        low-sync family, solvers/icwy_ne.py / dcgs2.py there) must converge
+        to the same solution in the same iterations (+-1: the estimated
+        norm differs from the exact one in the last bits, which can move
+        the convergence check by one iteration) as the 2-sync CGS on a
+        well-conditioned system, and still converge through restarts."""
+        import jax
+        import jax.numpy as jnp
+
+        from wxfactory_tpu.solvers import fgmres_jit
+
+        n = 120
+        rng = np.random.default_rng(11)
+        a = np.eye(n) + 0.5 / np.sqrt(n) * rng.standard_normal((n, n))
+        b = rng.standard_normal(n)
+        aj, bj = jnp.asarray(a), jnp.asarray(b)
+        x2, info2 = jax.jit(lambda bb: fgmres_jit(lambda v: aj @ v, bb, tol=1e-10, restart=30))(bj)
+        x1, info1 = jax.jit(
+            lambda bb: fgmres_jit(lambda v: aj @ v, bb, tol=1e-10, restart=30, one_sync=True)
+        )(bj)
+        assert bool(info1.converged)
+        assert abs(int(info1.num_iter) - int(info2.num_iter)) <= 1
+        assert np.linalg.norm(b - a @ np.asarray(x1)) / np.linalg.norm(b) < 1e-10
+        assert np.abs(np.asarray(x1) - np.asarray(x2)).max() / np.abs(np.asarray(x2)).max() < 1e-9
+
+        # Restarted + poorly scaled: the norm estimate must survive the
+        # rescaling cancellation and still reach the tolerance.
+        d = np.linspace(1.0, 50.0, n)
+        a2 = np.diag(d) + 0.5 * rng.standard_normal((n, n)) / np.sqrt(n)
+        a2j = jnp.asarray(a2)
+        x, info = jax.jit(
+            lambda bb: fgmres_jit(lambda v: a2j @ v, bb, tol=1e-9, restart=10,
+                                  max_outer=50, one_sync=True)
+        )(bj)
+        assert bool(info.converged)
+        assert np.linalg.norm(b - a2 @ np.asarray(x)) / np.linalg.norm(b) < 1e-9
+
     def test_restart_and_preconditioner(self):
         import jax
         import jax.numpy as jnp

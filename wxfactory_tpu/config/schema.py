@@ -160,7 +160,7 @@ SCHEMA: List[Field] = [
        doc="Jacobian action: exact forward-mode AD (jvp, default) or finite differences; "
            "'complex' is accepted for reference compatibility and maps to jvp"),
     _f("Time_integration", "linear_solver", "str", "auto",
-       choices=["auto", "fgmres", "fgmres_jit", "gcrot"]),
+       choices=["auto", "fgmres", "fgmres_jit", "fgmres_jit_1s", "gcrot"]),
     _f("Time_integration", "verbose_solver", "int", 0),
     _f("Time_integration", "gmres_restart", "int", 20, min=1),
     # Spatial discretization

@@ -26,8 +26,10 @@ class Ros2(Integrator):
         **kwargs,
     ) -> None:
         """`linear_solver`: "fgmres" (host-orchestrated 1-sync), "fgmres_jit"
-        (whole solve as ONE device program, solvers/fgmres_jit.py), "gcrot"
-        (recycled-subspace GCROT(m,k), solvers/gcrot.py — reference
+        (whole solve as ONE device program, solvers/fgmres_jit.py),
+        "fgmres_jit_1s" (same, with the 1-collective-per-iteration
+        norm-estimate orthogonalization — the multi-host operating point),
+        "gcrot" (recycled-subspace GCROT(m,k), solvers/gcrot.py — reference
         ros2.py:40 offers the same pair), or "auto" (fgmres_jit when no —
         generally untraceable — preconditioner is set)."""
         super().__init__(**kwargs)
@@ -59,6 +61,7 @@ class Ros2(Integrator):
             rhs = self.rhs
             tol, restart = self.tol, self.gmres_restart
             max_outer = max(1, 20000 // restart)  # same budget as the host path
+            one_sync = self.linear_solver == "fgmres_jit_1s"
 
             @jax.jit
             def dev_step(q, dt):
@@ -71,7 +74,7 @@ class Ros2(Integrator):
 
                 b = A(q_flat) + rhs(q).ravel() * dt
                 x, info = fgmres_jit(A, b, x0=q_flat, tol=tol, restart=restart,
-                                     max_outer=max_outer)
+                                     max_outer=max_outer, one_sync=one_sync)
                 return x.reshape(q.shape), info
 
             self._dev_step = dev_step
@@ -87,7 +90,7 @@ class Ros2(Integrator):
         return q_new
 
     def __step__(self, q, dt: float):
-        use_jit = self.linear_solver == "fgmres_jit" or (
+        use_jit = self.linear_solver in ("fgmres_jit", "fgmres_jit_1s") or (
             self.linear_solver == "auto" and self.preconditioner is None
         )
         if use_jit:

@@ -8,9 +8,15 @@ relay).
 
 Orthogonalization is classical Gram-Schmidt as one batched masked product
 (one fused reduction) plus the explicit new-vector norm (a second) —
-2 collectives per iteration under GSPMD. The host path's lagged 1-sync
-scheme stays the multi-host reference; on a single program the dispatch
-win dominates. Givens rotations run as device scalars.
+2 collectives per iteration under GSPMD. With ``one_sync=True`` the norm
+rides the SAME batched product ([V; w] @ w) and the orthogonalized norm
+comes from the Pythagorean identity ||w - Vh||^2 = ||w||^2 - ||h||^2 —
+ONE collective per iteration, the device-resident twin of the reference's
+norm-estimate low-sync family (solvers/icwy_ne.py / dcgs2.py there) and of
+the host fgmres.py 1-sync scheme. The estimate can lose accuracy under
+severe cancellation (guarded: clamped at zero => treated as happy
+breakdown), which is the same trade the reference's *_ne solvers make.
+Givens rotations run as device scalars.
 """
 
 from typing import Callable, NamedTuple, Optional
@@ -35,6 +41,7 @@ def fgmres_jit(
     restart: int = 20,
     max_outer: int = 20,
     preconditioner: Optional[Callable] = None,
+    one_sync: bool = False,
 ):
     """Solve A x = b (A traceable (n,)->(n,)). Returns (x, FgmresJitInfo).
 
@@ -69,9 +76,19 @@ def fgmres_jit(
         w = A(z)
         # Classical Gram-Schmidt against rows 0..j (one batched product).
         mask = kidx <= j
-        h = jnp.where(mask, st.V @ w, 0.0)  # (R+1,)
-        w = w - h @ st.V
-        nrm = jnp.sqrt(w @ w)
+        if one_sync:
+            # The new vector's own norm rides the same batched reduction;
+            # the orthogonalized norm is the Pythagorean estimate
+            # ||w - Vh||^2 = ||w||^2 - ||h||^2 (V orthonormal) — one
+            # collective per iteration under GSPMD.
+            G = jnp.concatenate([st.V, w[None, :]]) @ w  # (R+2,)
+            h = jnp.where(mask, G[: R + 1], 0.0)
+            w = w - h @ st.V
+            nrm = jnp.sqrt(jnp.maximum(G[R + 1] - h @ h, 0.0))
+        else:
+            h = jnp.where(mask, st.V @ w, 0.0)  # (R+1,)
+            w = w - h @ st.V
+            nrm = jnp.sqrt(w @ w)
 
         # Apply the accumulated Givens rotations to the new column.
         def rot_body(i, hv):
