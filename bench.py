@@ -337,12 +337,15 @@ def bench_e3_matrix(reps=2, nsteps=20):
             gp = 6 * (N * s) ** 3
             fused = hasattr(rhs32, "packed_stage_chained")
 
-            # Accuracy gate at a 2-step drift state (dt under the acoustic
-            # CFL). The f64 truth runs on the HOST CPU backend, op-by-op
-            # (disable_jit): at ~1.3M gridpoints the emulated-f64 XLA path
-            # exhausts this chip, and whole-program CPU compiles at this
-            # size stall; eager dispatch costs ~11 s/eval, fine for 7 evals.
-            dtg = 0.5 * (60.0 / (N * s))
+            # Accuracy gate at a 2-step drift state. Unlike the canonical
+            # 12x12x3 shape (dz = 1667 m), these constant-DOF shapes pack
+            # N*s vertical points into ztop = 10 km, so dt sits under the
+            # VERTICAL acoustic CFL: dz/(N*s)/c_s with margin. The f64
+            # truth runs on the HOST CPU backend, op-by-op (disable_jit):
+            # at ~1.3M gridpoints the emulated-f64 XLA path exhausts this
+            # chip, and whole-program CPU compiles at this size stall;
+            # eager dispatch costs ~11 s/eval, fine for 7 evals.
+            dtg = 0.25 * (10000.0 / (N * s)) / 340.0
             with jax.default_device(jax.devices("cpu")[0]), jax.disable_jit():
                 rhs64 = make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")
                 qt_c = _rk3_steps(rhs64, jax.device_put(np.asarray(q0)), dtg, 2)
@@ -357,35 +360,43 @@ def bench_e3_matrix(reps=2, nsteps=20):
                 continue
 
             dt = jnp.asarray(dtg, jnp.float32)
+            # At these sizes the packed metric constants/base planes are
+            # ~100s of MB; closed over, they'd be embedded in the HLO as
+            # literals (590 MB at 30^3) and blow the axon remote-compile
+            # request limit (HTTP 413). The *_fn entry points take them as
+            # an explicit pytree argument -> runtime parameters.
             if fused:
-                chained = rhs32.packed_stage_chained
+                chained = rhs32.packed_stage_chained_fn
+                slabs0 = rhs32.packed_slabs_fn
+                big = rhs32.packed_big
                 qp = rhs32.pack(q0.astype(jnp.float32))
 
                 @jax.jit
-                def multi(qp):
+                def multi(qp, big):
                     def body(carry, _):
                         q, slabs = carry
-                        q1, s1 = chained(q, q, slabs, 0.0, 1.0, dt)
-                        q2, s2 = chained(q, q1, s1, 0.75, 0.25, 0.25 * dt)
-                        return chained(q, q2, s2, 1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt), None
+                        q1, s1 = chained(big, q, q, slabs, 0.0, 1.0, dt)
+                        q2, s2 = chained(big, q, q1, s1, 0.75, 0.25, 0.25 * dt)
+                        return chained(big, q, q2, s2, 1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt), None
 
-                    return jax.lax.scan(body, (qp, rhs32.packed_slabs(qp)), None, length=nsteps)[0][0]
+                    return jax.lax.scan(body, (qp, slabs0(big, qp)), None, length=nsteps)[0][0]
 
-                elapsed, out = _marginal_time(lambda: multi(qp), reps)
+                elapsed, out = _marginal_time(lambda: multi(qp, big), reps)
             else:
-                delta = rhs32.delta
+                delta_fn = rhs32.delta_fn
+                consts = rhs32.consts
                 dq0 = (q0 - rhs32.base_state).astype(jnp.float32)
 
                 @jax.jit
-                def multi(dq):
+                def multi(dq, consts):
                     def body(q, _):
-                        q1 = q + dt * delta(q)
-                        q2 = 0.75 * q + 0.25 * (q1 + dt * delta(q1))
-                        return q / 3.0 + 2.0 / 3.0 * (q2 + dt * delta(q2)), None
+                        q1 = q + dt * delta_fn(consts, q)
+                        q2 = 0.75 * q + 0.25 * (q1 + dt * delta_fn(consts, q1))
+                        return q / 3.0 + 2.0 / 3.0 * (q2 + dt * delta_fn(consts, q2)), None
 
                     return jax.lax.scan(body, dq, None, length=nsteps)[0]
 
-                elapsed, out = _marginal_time(lambda: multi(dq0), reps)
+                elapsed, out = _marginal_time(lambda: multi(dq0, consts), reps)
             assert np.isfinite(np.asarray(out)).all()
             gps = gp * reps * nsteps * 3 / elapsed
             # Algorithmic FLOPs/gridpoint from the pipeline's GEMM shapes

@@ -702,8 +702,19 @@ def make_rhs_euler_cubesphere(
             f32-accuracy mode: no absolute-state quantization)."""
             return _euler3d_rhs_core_pert(qprime, cst, base, halo_fn, ss, delta_input=True)
 
+        def rhs_delta_fn(consts, qprime: jnp.ndarray) -> jnp.ndarray:
+            """``rhs_delta`` with the big constants (cst, base — 100s of MB
+            at benchmark shapes) as an EXPLICIT pytree argument, so an outer
+            jit receives them as runtime parameters instead of embedding
+            them as HLO literals (the axon remote-compile relay rejects
+            >~0.5 GB programs with HTTP 413)."""
+            cst_, base_ = consts
+            return _euler3d_rhs_core_pert(qprime, cst_, base_, halo_fn, ss, delta_input=True)
+
         rhs_pert.xla = rhs
         rhs_pert.delta = rhs_delta
+        rhs_pert.delta_fn = rhs_delta_fn
+        rhs_pert.consts = (cst, base)
         rhs_pert.base_state = base["q0"]
     else:
         rhs_pert = None
@@ -740,15 +751,29 @@ def make_rhs_euler_cubesphere(
             nel_h, nel_v, ty, s, dtype
         )
 
-    def _halo(qp):
-        if pbase is not None:
-            return pe3.edge_halo_delta(qp, pbase, topology, hops, nel_h, nel_v, ty, s)
+    # The packed constants / base planes / balance offset are 100s of MB at
+    # benchmark shapes; every fused-path entry point below exists in TWO
+    # forms: the closure form (con/pbase/bal captured — convenient, but an
+    # OUTER jit embeds them as HLO literals) and a ``*_fn`` form taking
+    # ``big = (con, pbase, bal)`` as an explicit pytree argument (hoisted
+    # to runtime parameters — required on the axon relay, whose
+    # remote-compile endpoint rejects >~0.5 GB programs with HTTP 413).
+
+    def _halo_fn(pbase_, qp):
+        if pbase_ is not None:
+            return pe3.edge_halo_delta(qp, pbase_, topology, hops, nel_h, nel_v, ty, s)
         return pe3.edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
 
+    def _halo(qp):
+        return _halo_fn(pbase, qp)
+
+    def _raw_packed_fn(con_, pbase_, qp, **kw):
+        hwe, hs, hn = _halo_fn(pbase_, qp)
+        return pe3.km3_fused(qp, hwe, hs, hn, con_, nel_h, nel_v, ty, s,
+                             interpret=interp, pert=pbase_, **kw)
+
     def _raw_packed(qp, **kw):
-        hwe, hs, hn = _halo(qp)
-        return pe3.km3_fused(qp, hwe, hs, hn, con, nel_h, nel_v, ty, s,
-                             interpret=interp, pert=pbase, **kw)
+        return _raw_packed_fn(con, pbase, qp, **kw)
 
     bal = None
     if base_state is not None and pbase is None:
@@ -776,23 +801,28 @@ def make_rhs_euler_cubesphere(
         edge slabs instead of slicing the big state in XLA."""
         return _halo(qp)
 
-    def packed_stage_chained(x, y, slabs, a: float, b: float, cdt):
-        """Chained explicit-RK stage: consumes y's halo triple (from
-        ``packed_slabs`` or the previous stage) and returns
-        (new_state, new_halo). The mega kernel emits the output's edge
-        traces, so the steady-state loop is one mega kernel plus the tiny
-        edge-sized halo exchange per stage."""
+    def packed_stage_chained_fn(big, x, y, slabs, a: float, b: float, cdt):
+        """Chained explicit-RK stage, big-constants-as-argument form
+        (``big = (con, pbase, bal)`` — see the note above ``_halo_fn``):
+        consumes y's halo triple (from ``packed_slabs``/``packed_slabs_fn``
+        or the previous stage) and returns (new_state, new_halo). The mega
+        kernel emits the output's edge traces, so the steady-state loop is
+        one mega kernel plus the tiny edge-sized halo exchange per stage."""
+        con_, pbase_, bal_ = big
         hwe, hs, hn = slabs
         o, we = pe3.km3_fused(
-            y, hwe, hs, hn, con, nel_h, nel_v, ty, s,
-            x=x, cdt=cdt, stage_a=float(a), stage_b=float(b), bal=bal,
-            emit_slabs=True, interpret=interp, pert=pbase,
+            y, hwe, hs, hn, con_, nel_h, nel_v, ty, s,
+            x=x, cdt=cdt, stage_a=float(a), stage_b=float(b), bal=bal_,
+            emit_slabs=True, interpret=interp, pert=pbase_,
         )
-        if pbase is not None:
+        if pbase_ is not None:
             return o, pe3.halo_from_slabs_delta(
-                we, o, pbase, topology, hops, nel_h, nel_v, ty, s
+                we, o, pbase_, topology, hops, nel_h, nel_v, ty, s
             )
         return o, pe3.halo_from_slabs(we, o, topology, hops, nel_h, nel_v, ty, s)
+
+    def packed_stage_chained(x, y, slabs, a: float, b: float, cdt):
+        return packed_stage_chained_fn((con, pbase, bal), x, y, slabs, a, b, cdt)
 
     if pbase is not None:
         # Packed states carry the PERTURBATION; pack/unpack shift by the
@@ -815,6 +845,9 @@ def make_rhs_euler_cubesphere(
         rhs_fast.packed_stage = packed_stage
         rhs_fast.packed_stage_chained = packed_stage_chained
         rhs_fast.packed_slabs = packed_slabs
+        rhs_fast.packed_big = (con, pbase, bal)
+        rhs_fast.packed_stage_chained_fn = packed_stage_chained_fn
+        rhs_fast.packed_slabs_fn = lambda big, qp: _halo_fn(big[1], qp)
         rhs_fast.pack = lambda q: pe3.pack_rows_jnp((q - q0c).astype(dtype), nel_h, nel_v, s)
         rhs_fast.pack_delta = lambda dq: pe3.pack_rows_jnp(dq, nel_h, nel_v, s)
         rhs_fast.unpack = lambda qp: q0c + pe3.unpack_rows_jnp(qp, nel_h, nel_v, s)
@@ -841,6 +874,9 @@ def make_rhs_euler_cubesphere(
     rhs_pallas.packed_stage = packed_stage
     rhs_pallas.packed_stage_chained = packed_stage_chained
     rhs_pallas.packed_slabs = packed_slabs
+    rhs_pallas.packed_big = (con, pbase, bal)
+    rhs_pallas.packed_stage_chained_fn = packed_stage_chained_fn
+    rhs_pallas.packed_slabs_fn = lambda big, qp: _halo_fn(big[1], qp)
     rhs_pallas.pack = lambda q: pe3.pack_state_jnp(q, nel_h, nel_v, s)
     rhs_pallas.unpack = lambda qp: pe3.unpack_rows_jnp(qp, nel_h, nel_v, s)
     rhs_pallas.xla = rhs

@@ -9,8 +9,13 @@ def kernel_precision():
     turn near-balanced tendencies into noise AND to corrupt the one-hot
     selection/placement GEMMs the packed layouts rely on. HIGHEST is the
     full-f32 multi-pass lowering (~1.3e-7). Follows the same env knob as
-    the package-wide XLA default (WXF_MM_PRECISION; Mosaic has no HIGH
-    lowering, so anything but "default" means HIGHEST)."""
+    the package-wide XLA default (WXF_MM_PRECISION). Mosaic has no HIGH
+    (bf16_3x) lowering — 'Unsupported dot precision: HIGH', verified on
+    this jaxlib — so anything but "default" means HIGHEST in-kernel
+    ("high" still gives the XLA-side GEMMs the 3-pass lowering). A manual
+    hi/lo bf16 split (3 DEFAULT dots) could emulate 3-pass in-kernel for
+    ~2x MXU throughput, but the measured kernels are not MXU-bound at the
+    benchmark shapes (1-9% MFU), so it is not worth the accuracy risk."""
     if _os.environ.get("WXF_MM_PRECISION", "highest") == "default":
         return _jax.lax.Precision.DEFAULT
     return _jax.lax.Precision.HIGHEST
