@@ -310,8 +310,9 @@ def bench_dcmip31_epi2(baselines, steps=3):
     assert np.isfinite(np.asarray(q)).all()
     emit("euler3d_dcmip31_epi2_steps_per_s", 1.0 / sec, "steps/s", base,
          note="EPI2 + device-resident KIOPS, MIXED precision (f32 pert-form "
-              "Arnoldi matvec, f64 basis/controller, CGS2), dt=30; r2 full-f64 "
-              "path was 0.456 steps/s on this chip")
+              "Arnoldi matvec, f32 CGS2 basis, f64 H/controller/expm), dt=30; "
+              "r2 full-f64 path was 0.456 steps/s on this chip, f64-basis "
+              "mixed path 1.21")
 
 
 def bench_e3_matrix(reps=2, nsteps=20):

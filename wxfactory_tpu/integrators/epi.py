@@ -152,11 +152,14 @@ class Epi(Integrator):
             if rhs32 is None:
                 kry_jvp = jvp
             else:
+                # The matvec keeps everything in f32: with basis_dtype=f32
+                # below, kiops_jit hands it f32 vectors and stores the basis
+                # in f32, so no casts appear in the hot loop.
                 q32 = q.astype(jnp.float32)
 
                 def kry_jvp(v):
                     t = v.reshape(q.shape).astype(jnp.float32)
-                    return jax.jvp(rhs32, (q32,), (t,))[1].ravel().astype(fq.dtype)
+                    return jax.jvp(rhs32, (q32,), (t,))[1].ravel()
 
             rows = [jnp.zeros_like(fq), fq] + [jnp.zeros_like(fq) for _ in range(max_phi - 1)]
             for i in range(n_prev):
@@ -166,12 +169,18 @@ class Epi(Integrator):
                     rows[k + offset] = rows[k + offset] + A_tbl[k, i] * r
             vec = jnp.stack(rows)
 
+            mixed = rhs32 is not None
+            dt_m = dt.astype(jnp.float32) if mixed else dt
             w, stats = kiops_jit(
-                lambda v: dt * kry_jvp(v), vec, tau_end=1.0, tol=tol,
+                lambda v: dt_m * kry_jvp(v), vec, tau_end=1.0, tol=tol,
                 m_init=m0, mmin=mmin, mmax=mmax,
                 # Inexact (f32) operators require a fully orthogonal basis;
-                # see kiops_jit's full_ortho docstring.
-                full_ortho=rhs32 is not None,
+                # see kiops_jit's full_ortho docstring. The basis itself
+                # also lives in f32 (f64 CGS2 is ~450 ms/step of emulated
+                # f64 GEMVs on TPU — see kiops_jit's basis_dtype docstring);
+                # H/controller/expm stay f64.
+                full_ortho=mixed,
+                basis_dtype=jnp.float32 if mixed else None,
             )
             return q + w.reshape(q.shape) * dt, rhs_q, stats
 

@@ -65,6 +65,7 @@ def kiops_jit(
     iop: int = 2,
     task1: bool = False,
     full_ortho: bool = False,
+    basis_dtype=None,
 ):
     """Evaluate w = phi_0(tau A) u[0] + phi_1(tau A) u[1] + ... at tau_end.
 
@@ -82,9 +83,21 @@ def kiops_jit(
     noise of eps gets amplified by the (unboundedly ill-conditioned)
     oblique IOP basis — measured 58x result error at iop=2 with a 2e-7
     matvec on dcmip31, vs ~1e-6 with CGS2. Costs 4 fixed-size (mmax+1, n)
-    GEMVs per iteration, negligible next to the RHS jvp."""
+    GEMVs per iteration, negligible next to the RHS jvp.
+
+    ``basis_dtype`` (default: u's dtype) stores the Krylov basis V and runs
+    the length-n vector algebra (matvec input, CGS2 projections, axpys,
+    result GEMV) in that dtype, while H, beta, the controller, and the
+    small-matrix exponential stay in u's dtype. With f64 phi-vectors and
+    basis_dtype=float32 this is the full mixed-precision operating point
+    for an f32 matvec: the subspace accuracy is f32-limited by the operator
+    anyway, and on TPU (emulated f64; f64 GEMVs avoid the MXU entirely) the
+    f64 CGS2 costs ~450 ms per EPI2 step vs ~25 ms in f32 — measured 14x
+    on the (mmax+1, n) Gram products. `A` is called with (and must return)
+    basis_dtype vectors."""
     u = jnp.asarray(u)
     dtype = u.dtype
+    bd = dtype if basis_dtype is None else basis_dtype
     ppo, n = u.shape
     p = ppo - 1
     if p == 0:
@@ -106,7 +119,7 @@ def kiops_jit(
     use_scale = (ppo > 1) & (norm_u > 0)
     nu = jnp.where(use_scale, 2.0**-ex, 1.0).astype(dtype)
     mu = jnp.where(use_scale, 2.0**ex, 1.0).astype(dtype)
-    u_flip = nu * jnp.flipud(u[1:, :])  # (p, n)
+    u_flip = (nu * jnp.flipud(u[1:, :])).astype(bd)  # (p, n)
 
     np_ = n + p
     ridx = jnp.arange(mmax + 1)
@@ -144,9 +157,11 @@ def kiops_jit(
     def restart(s: S) -> S:
         aug = mu * (s.tau_now**aug_i) / aug_fact
         aug = aug.at[p - 1].set(mu)  # V[0, n+p-1] = mu (overrides the k-loop)
-        v0 = jnp.concatenate([s.w, aug])
+        v0 = jnp.concatenate([s.w, aug])  # full precision: w is the accumulant
         beta = jnp.sqrt(v0 @ v0)
-        V = lax.dynamic_update_slice(s.V, (v0 / beta)[None, :], (jnp.int32(0), jnp.int32(0)))
+        V = lax.dynamic_update_slice(
+            s.V, (v0 / beta).astype(bd)[None, :], (jnp.int32(0), jnp.int32(0))
+        )
         return s._replace(V=V, beta=beta)
 
     def arnoldi_cond(s: S):
@@ -156,30 +171,30 @@ def kiops_jit(
         j = s.j + 1  # the row being built (host loop increments first)
         vprev = lax.dynamic_slice(s.V, (j - 1, jnp.int32(0)), (1, np_))[0]
         av = A(vprev[:n]) + vprev[n : n + p] @ u_flip
-        vj = jnp.concatenate([av, vprev[n + 1 : n + p], jnp.zeros((1,), dtype)])
+        vj = jnp.concatenate([av, vprev[n + 1 : n + p], jnp.zeros((1,), bd)])
 
         oldcol = lax.dynamic_slice(s.H, (jnp.int32(0), j - 1), (mmax + 1, 1))[:, 0]
         if full_ortho:
             # Full CGS2: project on ALL previous basis rows, twice.
             rmask = ridx < j
-            h1 = jnp.where(rmask, s.V @ vj, 0.0)
+            h1 = jnp.where(rmask, s.V @ vj, jnp.asarray(0.0, bd))
             vj = vj - h1 @ s.V
-            h2 = jnp.where(rmask, s.V @ vj, 0.0)
+            h2 = jnp.where(rmask, s.V @ vj, jnp.asarray(0.0, bd))
             vj = vj - h2 @ s.V
-            newcol = jnp.where(rmask, h1 + h2, oldcol)
+            newcol = jnp.where(rmask, (h1 + h2).astype(dtype), oldcol)
         else:
             # Incomplete orthogonalization: the last `iop` basis rows only.
             ilow = jnp.maximum(0, j - iop)
             rows = lax.dynamic_slice(s.V, (ilow, jnp.int32(0)), (iop, np_))
             rmask = (ilow + jnp.arange(iop)) < j
-            hvals = jnp.where(rmask, rows @ vj, 0.0)
+            hvals = jnp.where(rmask, rows @ vj, jnp.asarray(0.0, bd))
             vj = vj - hvals @ rows
 
             # H[ilow:j, j-1] = hvals (other rows of the column keep their —
             # possibly stale — values, exactly like the reference).
             colmask = (ridx >= ilow) & (ridx < j)
             scatter = jnp.zeros((mmax + 1,), dtype)
-            scatter = lax.dynamic_update_slice(scatter, hvals, (ilow,))
+            scatter = lax.dynamic_update_slice(scatter, hvals.astype(dtype), (ilow,))
             newcol = jnp.where(colmask, scatter, oldcol)
         H = lax.dynamic_update_slice(s.H, newcol[:, None], (jnp.int32(0), j - 1))
 
@@ -190,7 +205,7 @@ def kiops_jit(
         H = lax.cond(
             happy,
             lambda H: H,
-            lambda H: lax.dynamic_update_slice(H, nrm.reshape(1, 1), (j, j - 1)),
+            lambda H: lax.dynamic_update_slice(H, nrm.astype(dtype).reshape(1, 1), (j, j - 1)),
             H,
         )
         vrow = jnp.where(happy, vj, vj / nrm)
@@ -276,7 +291,9 @@ def kiops_jit(
         # --- accept / reject ---
         accept = omega <= delta
         fcol = jnp.where(ridx < j, F[:, 0], 0.0)
-        w_acc = s.beta * (fcol @ s.V[:, :n])
+        # The result GEMV runs in the basis dtype (fcol is (mmax+1,)-small;
+        # an f64 V GEMV would dominate the whole evaluation on TPU).
+        w_acc = s.beta * (fcol.astype(bd) @ s.V[:, :n]).astype(dtype)
         w = jnp.where(accept, w_acc, s.w)
         # Reject undoes the phi_1 coupling entry (H[0, j] = 0).
         H = lax.cond(
@@ -309,7 +326,7 @@ def kiops_jit(
 
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     init = S(
-        w=u[0, :], V=jnp.zeros((mmax + 1, np_), dtype), H=jnp.zeros((mmax + 1, mmax + 1), dtype),
+        w=u[0, :], V=jnp.zeros((mmax + 1, np_), bd), H=jnp.zeros((mmax + 1, mmax + 1), dtype),
         j=i32(0), m=jnp.clip(i32(m_init), mmin, mmax), beta=f(0.0),
         tau_now=f(0.0), tau=tau_end_a, happy=jnp.asarray(False),
         omega=f(jnp.nan), oldm=i32(-1), oldtau=f(jnp.nan), order=f(0.0), kest=f(2.0),
