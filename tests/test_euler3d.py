@@ -264,6 +264,38 @@ def test_perturbation_form_f32_accuracy():
     assert err_pert < err_abs / 50.0, (err_pert, err_abs)
 
 
+def test_ros2_mixed_precision_matches_f64_path():
+    """Mixed-precision Ros2 (f32 pert-form rational matvec + f32 inner
+    FGMRES basis, f64 outer residuals/updates — restarted iterative
+    refinement, solvers/fgmres_jit.py) must track the full-f64 device path:
+    measured 3-step deviation ~4e-6 of the per-variable scale (1.3e-4 for
+    the near-zero rho*w), 10x the f64 step rate on TPU."""
+    from wxfactory_tpu.integrators import Ros2
+
+    nel_h, nel_v, dt = 4, 2, 30.0
+    geom = make_cubed_sphere_3d(nel_h, nel_v, S, ZTOP, planet_scaling_factor=125.0,
+                                planet_is_rotating=False)
+    ops = make_dfr_operators(S, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    rhs = make_rhs_euler_cubesphere(geom, ops, metric)
+    q0 = jnp.asarray(dcmip_gravity_wave(geom))
+    rhs32 = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float32,
+                                      interior="xla", perturbation_base=q0)
+
+    ros_mixed = Ros2(rhs, tolerance=1e-7, linear_solver="fgmres_jit", rhs32=rhs32)
+    ros_f64 = Ros2(rhs, tolerance=1e-7, linear_solver="fgmres_jit")
+    qa = qb = q0
+    for _ in range(2):
+        qa = ros_mixed.step(qa, dt)
+        qb = ros_f64.step(qb, dt)
+    assert ros_mixed.solver_info.converged
+    qa, qb = np.asarray(qa), np.asarray(qb)
+    scale = np.abs(qb).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+    errv = np.abs((qa - qb) / scale).max(axis=(1, 2, 3, 4, 5))
+    assert errv[[0, 1, 2, 4]].max() < 5e-5, errv
+    assert errv[3] < 2e-3, errv
+
+
 def test_epi2_kiops_canonical_shape_matches_reference():
     """Golden trajectory AT THE CANONICAL dcmip31 SHAPE (reference
     config/dcmip31.ini: 12x12x3 elements, num_solpts=2, dt=30, epi2+kiops,

@@ -278,6 +278,31 @@ class TestFgmresJit:
         assert bool(info.converged)
         assert np.linalg.norm(b - a2 @ np.asarray(x)) / np.linalg.norm(b) < 1e-9
 
+    def test_mixed_precision_inner_reaches_f64_tolerance(self):
+        """A32 + basis_dtype=float32 (restarted iterative refinement: f32
+        inner Arnoldi, f64 outer residuals with the exact operator — see
+        fgmres_jit docstring) must reach an f64 relative residual of 1e-9,
+        far below single-precision resolution of a single cycle, because
+        each restart contracts the TRUE residual."""
+        import jax
+        import jax.numpy as jnp
+
+        from wxfactory_tpu.solvers import fgmres_jit
+
+        n = 120
+        rng = np.random.default_rng(5)
+        a = np.eye(n) + 0.5 / np.sqrt(n) * rng.standard_normal((n, n))
+        b = rng.standard_normal(n)
+        aj = jnp.asarray(a)
+        a32 = jnp.asarray(a, jnp.float32)
+        x, info = jax.jit(
+            lambda bb: fgmres_jit(lambda v: aj @ v, bb, tol=1e-9, restart=20,
+                                  max_outer=50, A32=lambda v: a32 @ v,
+                                  basis_dtype=jnp.float32)
+        )(jnp.asarray(b))
+        assert bool(info.converged)
+        assert np.linalg.norm(b - a @ np.asarray(x)) / np.linalg.norm(b) < 1e-9
+
     def test_restart_and_preconditioner(self):
         import jax
         import jax.numpy as jnp

@@ -161,6 +161,12 @@ SCHEMA: List[Field] = [
            "'complex' is accepted for reference compatibility and maps to jvp"),
     _f("Time_integration", "linear_solver", "str", "auto",
        choices=["auto", "fgmres", "fgmres_jit", "fgmres_jit_1s", "gcrot"]),
+    _f("Time_integration", "mixed_precision_krylov", "bool", False,
+       doc="Run the Epi/Ros2 Krylov hot loop (Arnoldi matvec + basis) in "
+           "float32 via a perturbation-form companion RHS around the "
+           "initial state, keeping controllers/residuals float64 "
+           "(~4-10x per step on TPU; cubed-sphere models, device-resident "
+           "solvers only)"),
     _f("Time_integration", "verbose_solver", "int", 0),
     _f("Time_integration", "gmres_restart", "int", 20, min=1),
     # Spatial discretization

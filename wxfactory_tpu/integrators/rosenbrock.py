@@ -23,6 +23,7 @@ class Ros2(Integrator):
         tolerance: float = 1e-7,
         gmres_restart: int = 30,
         linear_solver: str = "auto",
+        rhs32: Callable = None,
         **kwargs,
     ) -> None:
         """`linear_solver`: "fgmres" (host-orchestrated 1-sync), "fgmres_jit"
@@ -31,9 +32,18 @@ class Ros2(Integrator):
         norm-estimate orthogonalization — the multi-host operating point),
         "gcrot" (recycled-subspace GCROT(m,k), solvers/gcrot.py — reference
         ros2.py:40 offers the same pair), or "auto" (fgmres_jit when no —
-        generally untraceable — preconditioner is set)."""
+        generally untraceable — preconditioner is set).
+
+        ``rhs32``: optional float32 companion RHS (ideally the
+        perturbation-form operator, models/*.py perturbation_base). On the
+        device path the INNER FGMRES Arnoldi then runs the f32 rational
+        matvec on an f32 basis while every outer residual/update keeps the
+        exact f64 operator (restarted iterative refinement — see
+        solvers/fgmres_jit.py). ~9x per dcmip31 step on TPU (emulated-f64
+        matvec 58 ms vs 3.6 ms f32)."""
         super().__init__(**kwargs)
         self.rhs = rhs
+        self.rhs32 = rhs32
         self.tol = tolerance
         self.gmres_restart = gmres_restart
         self.linear_solver = linear_solver
@@ -59,6 +69,7 @@ class Ros2(Integrator):
             from ..solvers.fgmres_jit import fgmres_jit
 
             rhs = self.rhs
+            rhs32 = self.rhs32
             tol, restart = self.tol, self.gmres_restart
             max_outer = max(1, 20000 // restart)  # same budget as the host path
             one_sync = self.linear_solver == "fgmres_jit_1s"
@@ -72,9 +83,23 @@ class Ros2(Integrator):
                     jv = jax.jvp(rhs, (q,), (v.reshape(q.shape),))[1].ravel()
                     return v - half_dt * jv
 
+                if rhs32 is None:
+                    A32 = None
+                    basis_dtype = None
+                else:
+                    q32 = q.astype(jnp.float32)
+                    hdt32 = half_dt.astype(jnp.float32)
+
+                    def A32(v):
+                        jv = jax.jvp(rhs32, (q32,), (v.reshape(q.shape),))[1].ravel()
+                        return v - hdt32 * jv
+
+                    basis_dtype = jnp.float32
+
                 b = A(q_flat) + rhs(q).ravel() * dt
                 x, info = fgmres_jit(A, b, x0=q_flat, tol=tol, restart=restart,
-                                     max_outer=max_outer, one_sync=one_sync)
+                                     max_outer=max_outer, one_sync=one_sync,
+                                     A32=A32, basis_dtype=basis_dtype)
                 return x.reshape(q.shape), info
 
             self._dev_step = dev_step

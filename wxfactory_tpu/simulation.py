@@ -116,6 +116,27 @@ class Simulation:
         else:
             raise ValueError(f"Unsupported grid/equations: {c.grid_type}/{c.equations}")
 
+        # Optional f32 companion RHS for the Epi/Ros2 Krylov hot loop
+        # (mixed_precision_krylov): perturbation (base-state-split) form
+        # around the initial state, so the f32 matvec resolves the
+        # tendency-scale physics (see models/*.py perturbation_base). The
+        # XLA interior is required — the Krylov matvec is a jax.jvp.
+        self.rhs32 = None
+        if getattr(c, "mixed_precision_krylov", False) and self.dtype == jnp.float64:
+            if c.grid_type == "cubed_sphere" and c.equations == "shallow_water":
+                self.rhs32 = make_rhs_shallow_water(
+                    self.geom, self.ops, self.metric, topo=self.topo,
+                    dtype=jnp.float32, interior="xla", perturbation_base=jnp.asarray(q0),
+                )
+            elif (
+                c.grid_type == "cubed_sphere" and c.equations == "euler"
+                and c.case_number >= 13 and extra_forcing is None
+            ):
+                self.rhs32 = make_rhs_euler_cubesphere(
+                    self.geom, self.ops, self.metric, self.topology,
+                    dtype=jnp.float32, interior="xla", perturbation_base=jnp.asarray(q0),
+                )
+
         self.output = OutputManager(c, self.geom, self.ops, self.metric, self.topo)
 
         self.initial_q = jnp.asarray(q0, dtype=self.dtype)
@@ -260,10 +281,11 @@ class Simulation:
             return Epi(self.rhs, order, tolerance=c.tolerance,
                        exponential_solver=c.exponential_solver,
                        krylov_size=max(c.krylov_size, 1),
-                       init_substeps=(10 if order >= 3 else 1), **common)
+                       init_substeps=(10 if order >= 3 else 1),
+                       rhs32=self.rhs32, **common)
         if name == "ros2":
             return Ros2(self.rhs, tolerance=c.tolerance, gmres_restart=c.gmres_restart,
-                        linear_solver=c.linear_solver, **common)
+                        linear_solver=c.linear_solver, rhs32=self.rhs32, **common)
         if name == "rosexp2":
             from .integrators import RosExp2
 

@@ -42,14 +42,29 @@ def fgmres_jit(
     max_outer: int = 20,
     preconditioner: Optional[Callable] = None,
     one_sync: bool = False,
+    A32: Optional[Callable] = None,
+    basis_dtype=None,
 ):
     """Solve A x = b (A traceable (n,)->(n,)). Returns (x, FgmresJitInfo).
 
     Pure/traceable — wrap the call (with the operator closure) in one
     jax.jit, e.g. ``jax.jit(lambda q, b: fgmres_jit(lambda v: op(q, v), b))``.
-    """
+
+    ``A32`` + ``basis_dtype=jnp.float32`` switch the restart cycles to
+    mixed precision (restarted-GMRES iterative refinement, Carson & Higham
+    style): the INNER Arnoldi runs the cheap ``A32`` operator on a
+    basis_dtype Krylov basis (f32 matvec ~3.6 ms vs ~58 ms emulated-f64 on
+    dcmip31; the f64 CGS basis algebra alone costs ~14x its f32 cost on
+    TPU), while every OUTER residual ``r = b - A(x)`` and the solution
+    update stay in full precision with the exact operator — each restart
+    contracts the true f64 residual, so the final ``norm_r`` is an honest
+    f64 measure and tolerances ~1e-7 remain reachable. The Hessenberg
+    column/Givens/triangular algebra is (mmax+1)-small and stays in b's
+    dtype."""
     b = jnp.asarray(b).ravel()
     dtype = b.dtype
+    bd = dtype if basis_dtype is None else basis_dtype
+    A_in = A if A32 is None else A32
     n = b.shape[0]
     R = restart
     M = preconditioner if preconditioner is not None else (lambda v: v)
@@ -73,7 +88,7 @@ def fgmres_jit(
         j = st.j
         vj = lax.dynamic_slice(st.V, (j, jnp.int32(0)), (1, n))[0]
         z = M(vj)
-        w = A(z)
+        w = A_in(z)
         # Classical Gram-Schmidt against rows 0..j (one batched product).
         mask = kidx <= j
         if one_sync:
@@ -82,13 +97,15 @@ def fgmres_jit(
             # ||w - Vh||^2 = ||w||^2 - ||h||^2 (V orthonormal) — one
             # collective per iteration under GSPMD.
             G = jnp.concatenate([st.V, w[None, :]]) @ w  # (R+2,)
-            h = jnp.where(mask, G[: R + 1], 0.0)
-            w = w - h @ st.V
-            nrm = jnp.sqrt(jnp.maximum(G[R + 1] - h @ h, 0.0))
+            hb = jnp.where(mask, G[: R + 1], jnp.asarray(0.0, bd))
+            w = w - hb @ st.V
+            nrm = jnp.sqrt(jnp.maximum(G[R + 1] - hb @ hb, jnp.asarray(0.0, bd)))
         else:
-            h = jnp.where(mask, st.V @ w, 0.0)  # (R+1,)
-            w = w - h @ st.V
+            hb = jnp.where(mask, st.V @ w, jnp.asarray(0.0, bd))  # (R+1,)
+            w = w - hb @ st.V
             nrm = jnp.sqrt(w @ w)
+        h = hb.astype(dtype)
+        nrm = nrm.astype(dtype)
 
         # Apply the accumulated Givens rotations to the new column.
         def rot_body(i, hv):
@@ -114,8 +131,9 @@ def fgmres_jit(
         g = st.g.at[j].set(c * gj)
         g = g.at[j + 1].set(-s * gj)
 
+        nrm_b = nrm.astype(bd)
         V = lax.dynamic_update_slice(
-            st.V, jnp.where(nrm > 0, w / jnp.where(nrm > 0, nrm, 1.0), w)[None, :],
+            st.V, jnp.where(nrm_b > 0, w / jnp.where(nrm_b > 0, nrm_b, 1.0), w)[None, :],
             (j + 1, jnp.int32(0)),
         )
         Z = lax.dynamic_update_slice(st.Z, z[None, :], (j, jnp.int32(0)))
@@ -135,10 +153,10 @@ def fgmres_jit(
         outer: jnp.ndarray
 
     def outer_body(st: Outer) -> Outer:
-        V0 = jnp.zeros((R + 1, n), dtype)
-        V0 = V0.at[0].set(st.r / st.norm_r)
+        V0 = jnp.zeros((R + 1, n), bd)
+        V0 = V0.at[0].set((st.r / st.norm_r).astype(bd))
         inner0 = Inner(
-            V=V0, Z=jnp.zeros((R, n), dtype), Hcol=jnp.zeros((R + 1, R), dtype),
+            V=V0, Z=jnp.zeros((R, n), bd), Hcol=jnp.zeros((R + 1, R), dtype),
             cs=jnp.zeros((R,), dtype), sn=jnp.zeros((R,), dtype),
             g=jnp.zeros((R + 1,), dtype).at[0].set(st.norm_r),
             j=jnp.int32(0), done=jnp.asarray(False),
@@ -152,7 +170,9 @@ def fgmres_jit(
         Ht = jnp.where(cmask[None, :] & cmask[:, None], fin.Hcol[:R, :], 0.0)
         Ht = Ht + jnp.diag(jnp.where(cmask, 0.0, 1.0))
         y = jax.scipy.linalg.solve_triangular(Ht, jnp.where(cmask, fin.g[:R], 0.0))
-        x = st.x + y @ fin.Z
+        # The length-n update GEMV runs in the basis dtype; the solution,
+        # the residual and its norm stay full-precision with the exact A.
+        x = st.x + (y.astype(bd) @ fin.Z).astype(dtype)
         r = b - A(x)
         norm_r = jnp.sqrt(r @ r)
         return Outer(x, r, norm_r, st.niter + jdone, st.outer + 1)
