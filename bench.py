@@ -315,6 +315,37 @@ def bench_dcmip31_epi2(baselines, steps=3):
               "mixed path 1.21")
 
 
+def bench_dcmip31_ros2(baselines, steps=3):
+    """The reference's OTHER canonical dcmip31 operating mode: Ros2 +
+    FGMRES (rhs_benchmark configs there run both epi2/kiops and
+    ros2/fgmres). Mixed precision: f32 perturbation-form rational matvec +
+    f32 inner Arnoldi basis, f64 outer residuals (restarted iterative
+    refinement, solvers/fgmres_jit.py); parity gated by
+    tests/test_euler3d.py::test_ros2_mixed_precision_matches_f64_path."""
+    from wxfactory_tpu.integrators import Ros2
+
+    base = baselines.get("euler3d_dcmip31_ros2", {}).get("steps_per_s")
+    geom, ops, metric, q0, make_rhs = _e3_setup()
+    rhs = make_rhs(geom, ops, metric)
+    rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="xla",
+                     perturbation_base=q0)
+    ros = Ros2(rhs, tolerance=1e-7, gmres_restart=30, linear_solver="fgmres_jit",
+               rhs32=rhs32)
+    q = ros.step(q0, 30.0)  # warm-up/compile
+    jax.block_until_ready(q)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        q = ros.step(q, 30.0)
+    jax.block_until_ready(q)
+    sec = (time.perf_counter() - t0) / steps
+    assert np.isfinite(np.asarray(q)).all()
+    emit("euler3d_dcmip31_ros2_steps_per_s", 1.0 / sec, "steps/s", base,
+         note="Ros2 + device-resident FGMRES, MIXED precision (f32 pert-form "
+              "rational matvec + f32 inner basis, f64 outer iterative "
+              "refinement), dt=30; full-f64 device path measures 3.5 s/step "
+              "on this chip")
+
+
 def bench_e3_matrix(reps=2, nsteps=20):
     """The reference's constant-DOF dcmip31 RHS benchmark matrix
     (tests/rhs_benchmark/run.sh:66-70 there: num_solpts 2..6 with element
@@ -477,6 +508,7 @@ def main():
     bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None)
     bench_dcmip31_rhs(baselines)
     bench_dcmip31_epi2(baselines)
+    bench_dcmip31_ros2(baselines)
     bench_e3_matrix()
 
     emit_roofline()
