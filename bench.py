@@ -35,6 +35,8 @@ relay dispatch latency cancels.
 
 import json
 import os
+import signal
+import sys
 import time
 
 import jax
@@ -46,6 +48,32 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 RESULTS = []
+_FINAL_EMITTED = False
+
+# Budget machinery (VERDICT r3 Weak #1 / Next #3): the driver runs this
+# under a wall-clock cap; BENCH_r03 overran it (rc=124) and lost the tail.
+# Every stage now checks the remaining budget before starting, every metric
+# streams to BENCH_PARTIAL.jsonl on disk as it lands, expensive f64 truth
+# states cache to .bench_cache/ keyed by shape, and a SIGTERM/SIGALRM
+# handler emits the final summary record even if the cap fires mid-stage.
+T_START = time.time()
+DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", "1200"))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+PARTIAL_PATH = os.path.join(_HERE, "BENCH_PARTIAL.jsonl")
+CACHE_DIR = os.path.join(_HERE, ".bench_cache")
+
+
+def remaining_budget() -> float:
+    return DEADLINE_SECS - (time.time() - T_START)
+
+
+def stage_fits(estimate_secs: float, name: str) -> bool:
+    if remaining_budget() >= estimate_secs:
+        return True
+    emit(name, 0.0, "skipped",
+         note=f"SKIPPED: {remaining_budget():.0f}s left < ~{estimate_secs:.0f}s estimate "
+              f"(deadline {DEADLINE_SECS:.0f}s)")
+    return False
 
 
 def emit(metric, value, unit, baseline=None, note=None):
@@ -55,7 +83,56 @@ def emit(metric, value, unit, baseline=None, note=None):
         rec["note"] = note
     RESULTS.append(rec)
     print(json.dumps(rec), flush=True)
+    try:
+        with open(PARTIAL_PATH, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
     return rec
+
+
+def emit_final():
+    """The driver records the LAST stdout line; emit the headline summary
+    carrying every metric. Idempotent (also wired to SIGTERM/SIGALRM)."""
+    global _FINAL_EMITTED
+    if _FINAL_EMITTED or not RESULTS:
+        return
+    _FINAL_EMITTED = True
+    headline = next(
+        (r for r in RESULTS if r["metric"] == "sw_case6_rhs_gridpoints_per_s" and r["value"] > 0),
+        RESULTS[0],
+    )
+    final = dict(headline)
+    final["extra"] = {r["metric"]: {"value": r["value"], "unit": r["unit"],
+                                    "vs_baseline": r["vs_baseline"]} for r in RESULTS}
+    print(json.dumps(final), flush=True)
+
+
+def _on_timeout(signum, frame):
+    emit("bench_deadline_hit", float(time.time() - T_START), "s",
+         note=f"signal {signum} during a stage; summary emitted from completed metrics")
+    emit_final()
+    sys.stdout.flush()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_timeout)
+signal.signal(signal.SIGALRM, _on_timeout)
+# Fire ~20 s before the external cap so the summary still reaches stdout.
+signal.alarm(max(30, int(DEADLINE_SECS) + 20))
+
+
+def truth_cache(key: str, compute):
+    """Disk cache for expensive f64 drift/truth arrays, keyed by shape
+    (persists across rounds in .bench_cache/)."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"{key}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    out = compute()
+    np.savez(path, **out)
+    return out
 
 
 def load_baselines():
@@ -116,10 +193,27 @@ def _rk3_steps(rhs64, q, dt, nsteps):
     return q
 
 
+def _peak_bf16_flops() -> float:
+    """Per-chip bf16 MXU peak, from the device kind (ADVICE r3: don't
+    hard-code one generation); override with BENCH_PEAK_BF16_FLOPS."""
+    env = os.environ.get("BENCH_PEAK_BF16_FLOPS")
+    if env:
+        return float(env)
+    kind = (jax.devices()[0].device_kind or "").lower()
+    table = {  # published per-chip bf16 peaks
+        "v4": 275e12, "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+        "v6 lite": 918e12, "v6e": 918e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197e12  # assume v5e-class when unrecognized (recorded in notes)
+
+
+PEAK_BF16_FLOPS = _peak_bf16_flops()
 # Full-f32 (precision=HIGHEST) matmuls issue 6 bf16 MXU passes per
-# algorithmic matmul, so the achievable algorithmic peak on this chip is
-# ~197/6 TFLOP/s.
-PEAK_F32_FLOPS = 197e12 / 6.0
+# algorithmic matmul, so the achievable algorithmic peak is peak_bf16/6.
+PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 6.0
 
 
 def _flops_per_gp(fn, example_arg, gp):
@@ -149,7 +243,9 @@ def _mfu_note(make_rhs, geom, ops, metric, q64, base, gp, gps):
         return ""
     mfu = gps * fpg / PEAK_F32_FLOPS
     return (f"; ~{fpg:.0f} algorithmic FLOP/gp (XLA cost analysis), "
-            f"~{100 * mfu:.1f}% of the ~33 TFLOP/s full-f32 (6-pass) MXU peak")
+            f"~{100 * mfu:.1f}% of the {PEAK_F32_FLOPS / 1e12:.0f} TFLOP/s full-f32 "
+            f"(6-pass) MXU peak (assumed bf16 peak {PEAK_BF16_FLOPS / 1e12:.0f} TFLOP/s "
+            f"for {jax.devices()[0].device_kind!r})")
 
 
 def sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs32, nel, s):
@@ -361,6 +457,8 @@ def bench_e3_matrix(reps=2, nsteps=20):
 
     for s, N, how in shapes:
         name = f"euler3d_dcmip31_s{s}_gp_per_s"
+        if not stage_fits(120, name):
+            continue
         try:
             geom, ops, metric, q0, make_rhs = _e3_setup(nel_h=N, nel_v=N, s=s)
             rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32,
@@ -372,17 +470,41 @@ def bench_e3_matrix(reps=2, nsteps=20):
             # Accuracy gate at a 2-step drift state. Unlike the canonical
             # 12x12x3 shape (dz = 1667 m), these constant-DOF shapes pack
             # N*s vertical points into ztop = 10 km, so dt sits under the
-            # VERTICAL acoustic CFL: dz/(N*s)/c_s with margin. The f64
-            # truth runs on the HOST CPU backend, op-by-op (disable_jit):
-            # at ~1.3M gridpoints the emulated-f64 XLA path exhausts this
-            # chip, and whole-program CPU compiles at this size stall;
-            # eager dispatch costs ~11 s/eval, fine for 7 evals.
+            # VERTICAL acoustic CFL: dz/(N*s)/c_s with margin. The drift
+            # state comes from the (fast) f32 production path ON CHIP — the
+            # gate only needs a representative drifted state, not an
+            # f64-accurate trajectory; the single f64 TRUTH eval at that
+            # state runs on the HOST CPU backend op-by-op (whole-program
+            # CPU compiles at ~1.3M gridpoints stall; eager dispatch costs
+            # ~11 s — r3 paid 7 such evals per shape and blew the driver
+            # cap, VERDICT Weak #1) and caches to .bench_cache/.
             dtg = 0.25 * (10000.0 / (N * s)) / 340.0
-            with jax.default_device(jax.devices("cpu")[0]), jax.disable_jit():
-                rhs64 = make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")
-                qt_c = _rk3_steps(rhs64, jax.device_put(np.asarray(q0)), dtg, 2)
-                truth = np.asarray(rhs64(qt_c))
-            qt = jnp.asarray(np.asarray(qt_c))
+            dq0 = (q0 - rhs32.base_state).astype(jnp.float32)
+            dt32 = jnp.asarray(dtg, jnp.float32)
+            delta_rhs = rhs32.delta
+
+            @jax.jit
+            def drift2(dq):
+                def body(qq, _):
+                    q1 = qq + dt32 * delta_rhs(qq)
+                    q2 = 0.75 * qq + 0.25 * (q1 + dt32 * delta_rhs(q1))
+                    return qq / 3.0 + 2.0 / 3.0 * (q2 + dt32 * delta_rhs(q2)), None
+
+                return jax.lax.scan(body, dq, None, length=2)[0]
+
+            dqt32 = np.asarray(drift2(dq0), np.float32)
+            qt64 = np.asarray(rhs32.base_state, np.float64) + dqt32.astype(np.float64)
+
+            def compute_truth():
+                with jax.default_device(jax.devices("cpu")[0]), jax.disable_jit():
+                    rhs64 = make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")
+                    return {"truth": np.asarray(rhs64(jax.device_put(qt64)))}
+
+            import hashlib
+
+            key = f"e3truth_s{s}_N{N}_" + hashlib.md5(dqt32.tobytes()).hexdigest()[:10]
+            truth = truth_cache(key, compute_truth)["truth"]
+            qt = jnp.asarray(qt64)
             scale = np.abs(truth).max(axis=(1, 2, 3, 4, 5), keepdims=True)
             fused32 = np.asarray(rhs32.delta((qt - rhs32.base_state).astype(jnp.float32)))
             err = np.abs((fused32 - truth) / scale).max()
@@ -451,7 +573,7 @@ def bench_e3_matrix(reps=2, nsteps=20):
                     + 300 * 128                  # elementwise (VPU)
                 )
                 flops_gp = flops_row / gp_row
-                mfu = gps * flops_gp / (197e12 / 6.0)
+                mfu = gps * flops_gp / PEAK_F32_FLOPS
                 note += (f"; ~{flops_gp:.0f} FLOP/gp (lane util {gp_row}/128), "
                          f"~{100*mfu:.1f}% of 6-pass f32 MXU peak")
             emit(name, gps, "gridpoints/s", note=note)
@@ -481,43 +603,50 @@ def emit_roofline():
     elementwise_per_row = 130 * 128.0
     flops_per_gp = 1.15 * (gemm_flops_per_row + elementwise_per_row) / gp_per_row
     flops_per_s = s4["value"] * flops_per_gp
-    # v5e peak: 197 TFLOP/s bf16 MXU. Full-f32 GEMMs (precision=HIGHEST,
-    # the r3 operating point) issue 6 bf16 passes per algorithmic matmul,
-    # so the achievable peak is ~197/6 = 33 TFLOP/s of algorithmic FLOPs.
-    peak_f32 = 197e12 / 6.0
+    peak_f32 = PEAK_F32_FLOPS
     emit(
         "sw_s4_kernel_mxu_flops_per_s", flops_per_s, "FLOP/s",
         note=f"{flops_per_gp:.0f} algorithmic FLOP/gridpoint from operator shapes; "
-             f"~{100 * flops_per_s / peak_f32:.1f}% of the ~33 TFLOP/s full-f32 "
+             f"~{100 * flops_per_s / peak_f32:.1f}% of the {peak_f32 / 1e12:.0f} TFLOP/s full-f32 "
              "(6-pass) MXU peak; steady-state HBM ~0 (whole-run kernel keeps "
              "state in VMEM)",
     )
 
 
 def main():
+    # Fresh partial stream for this run.
+    try:
+        if os.path.exists(PARTIAL_PATH):
+            os.remove(PARTIAL_PATH)
+    except OSError:
+        pass
     baselines = load_baselines()
     sw_b = baselines.get("sw_case6_rhs", {}).get("gridpoints_per_s")
     sw_b64 = baselines.get("sw_case6_rhs_nel64", {}).get("gridpoints_per_s")
 
-    # Canonical case6 discretization (s=3): exact config shape + scaled-up.
-    # The nel=10 problem is sub-ms per 100 steps — use more reps for a
-    # stable marginal timing.
-    bench_sw(10, 3, 30.0, "sw_case6_canonical_gp_per_s", sw_b, nsteps=200, reps=10)
-    bench_sw(64, 3, 10.0, "sw_case6_rhs_gridpoints_per_s", sw_b64)
-    # The s=4-specialized pipeline at its tuned shape (KR whole-run kernel).
-    bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None)
-    bench_dcmip31_rhs(baselines)
-    bench_dcmip31_epi2(baselines)
-    bench_dcmip31_ros2(baselines)
-    bench_e3_matrix()
-
-    emit_roofline()
-
-    headline = next(r for r in RESULTS if r["metric"] == "sw_case6_rhs_gridpoints_per_s")
-    final = dict(headline)
-    final["extra"] = {r["metric"]: {"value": r["value"], "unit": r["unit"],
-                                    "vs_baseline": r["vs_baseline"]} for r in RESULTS}
-    print(json.dumps(final), flush=True)
+    # Stage order = importance (headline SW + canonical end-to-end first);
+    # each stage declares a rough worst-case estimate against the deadline.
+    try:
+        # Canonical case6 discretization (s=3): exact config shape +
+        # scaled-up. The nel=10 problem is sub-ms per 100 steps — use more
+        # reps for a stable marginal timing.
+        if stage_fits(120, "sw_case6_canonical_gp_per_s"):
+            bench_sw(10, 3, 30.0, "sw_case6_canonical_gp_per_s", sw_b, nsteps=200, reps=10)
+        if stage_fits(150, "sw_case6_rhs_gridpoints_per_s"):
+            bench_sw(64, 3, 10.0, "sw_case6_rhs_gridpoints_per_s", sw_b64)
+        # The s=4-specialized pipeline at its tuned shape (KR whole-run kernel).
+        if stage_fits(120, "sw_s4_rhs_gridpoints_per_s"):
+            bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None)
+        if stage_fits(150, "euler3d_dcmip31_rhs_gp_per_s"):
+            bench_dcmip31_rhs(baselines)
+        if stage_fits(120, "euler3d_dcmip31_epi2_steps_per_s"):
+            bench_dcmip31_epi2(baselines)
+        if stage_fits(120, "euler3d_dcmip31_ros2_steps_per_s"):
+            bench_dcmip31_ros2(baselines)
+        bench_e3_matrix()
+        emit_roofline()
+    finally:
+        emit_final()
 
 
 if __name__ == "__main__":

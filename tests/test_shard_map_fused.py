@@ -85,3 +85,44 @@ def test_fused_tile_step_euler3d_matches_global(nshard, pert):
     got = np.asarray(step(step(jax.device_put(q0, sharding))))
     scale = np.abs(want).max(axis=(1, 2, 3, 4, 5), keepdims=True)
     assert np.abs((got - want) / scale).max() < 1e-10
+
+
+@pytest.mark.parametrize("nshard", [1, 2])
+def test_fused_tile_step_euler3d_rotating_planet(nshard):
+    """Rotating-planet variant (ADVICE r3): the time-Christoffel (tch)
+    operand path of the fused tile step — per-panel slicing + (6,n,n,...)
+    stacking in shard_map_euler3d_fused.py — is only active when the planet
+    rotates; a mis-slice there would silently corrupt distributed DCMIP
+    21/22-style runs. Parity-check it against the global XLA step."""
+    from wxfactory_tpu.geometry import make_cubed_sphere_3d, make_metric_3d
+    from wxfactory_tpu.models import make_rhs_euler_cubesphere
+    from wxfactory_tpu.parallel.shard_map_euler3d_fused import (
+        make_shard_map_euler3d_step_fused,
+    )
+    from wxfactory_tpu.testcases.dcmip import acoustic_wave
+
+    ndev = 6 * nshard * nshard
+    if len(jax.devices()) < ndev:
+        pytest.skip(f"needs >= {ndev} virtual devices")
+    nel_h, nel_v, s, dt = 4, 3, 2, 1.0
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, 10000.0, planet_scaling_factor=1.0,
+                                planet_is_rotating=True)
+    ops = make_dfr_operators(s, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    assert np.abs(np.asarray(metric.christoffel[:, :3])).max() > 0.0  # tch active
+    q0 = jnp.asarray(acoustic_wave(geom))
+    rhs = jax.jit(make_rhs_euler_cubesphere(geom, ops, metric, interior="xla"))
+
+    def plain(qq):
+        q1 = qq + rhs(qq) * dt
+        q2 = 0.75 * qq + 0.25 * (q1 + rhs(q1) * dt)
+        return qq / 3.0 + 2.0 / 3.0 * (q2 + rhs(q2) * dt)
+
+    want = np.asarray(plain(plain(q0)))
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(6, nshard, nshard), ("panel", "y", "x"))
+    step, sharding = make_shard_map_euler3d_step_fused(
+        geom, ops, metric, mesh, dt, dtype=jnp.float64, perturbation_base=q0,
+    )
+    got = np.asarray(step(step(jax.device_put(q0, sharding))))
+    scale = np.abs(want).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+    assert np.abs((got - want) / scale).max() < 1e-10

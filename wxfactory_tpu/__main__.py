@@ -26,7 +26,24 @@ def main(argv=None) -> int:
              "Perfetto-viewable; the TPU analogue of the reference's NSight "
              "hookup, scripts/wx.sh:23 there)",
     )
+    # Multi-controller (multi-host) execution — the analogue of the
+    # reference's `mpirun -n N ./WxFactory` (one process per host here, the
+    # mesh spans every host's devices; reference process_topology.py:50).
+    parser.add_argument(
+        "--coordinator", metavar="HOST:PORT", default=None,
+        help="jax.distributed coordinator address (multi-host runs; launch the "
+             "same command on every host with its own --process-id)",
+    )
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="Total number of controller processes")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="This process's index in [0, num-processes)")
     args = parser.parse_args(argv)
+
+    if args.num_processes is not None and args.num_processes > 1:
+        from .parallel import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     if args.config_options:
         from .config import schema_documentation
@@ -56,9 +73,14 @@ def main(argv=None) -> int:
         else:
             run()
     except Exception:
-        import traceback
+        # Crash traceback from the primary process only, unless overridden
+        # (reference WxFactory:114-143 + --show-every-crash).
+        from .parallel import is_primary
 
-        traceback.print_exc()
+        if args.show_every_crash or is_primary():
+            import traceback
+
+            traceback.print_exc()
         return 1
     return 0
 

@@ -1,14 +1,29 @@
 """Weak-scaling benchmark: grid-points/s at constant per-device load.
 
-The BASELINE.md north star: weak-scaling efficiency of the shallow-water
-RHS from 1 device to a full mesh (target >= 80%). The state is sharded over
-the (panel, y, x) element axes; halo gathers become ICI collectives under
-GSPMD. On a CPU host this exercises the virtual-device path
-(XLA_FLAGS=--xla_force_host_platform_device_count=N); on a TPU slice it
-measures the real fabric.
+The BASELINE.md north star: weak-scaling efficiency of the cubed-sphere
+step from 1 device to a full mesh (target >= 80%). Four measurable paths
+(VERDICT r3 Weak #3 asked for the production path, not just the GSPMD
+fallback):
+
+  * ``gspmd``    — the plain global RHS + TVD-RK3 under GSPMD sharding
+                   (any device count; the fallback distributed path).
+  * ``fused-sw`` — the PRODUCTION distributed step: the fused Pallas
+                   single-tile SW mega-kernel inside shard_map with
+                   edge-colored ppermute halo rounds
+                   (parallel/shard_map_sw_fused.py); needs a 6*N^2 mesh.
+  * ``fused-e3`` — same for 3D Euler (parallel/shard_map_euler3d_fused.py).
+  * ``epi2``     — the sharded exponential hot loop: EPI2 + device-resident
+                   KIOPS on the GSPMD-sharded state (the state-shaped
+                   Krylov basis keeps every dot one fused all-reduce,
+                   solvers/kiops_jit.py).
+
+On a CPU host this exercises the virtual-device partitioning path
+(XLA_FLAGS=--xla_force_host_platform_device_count=N; Pallas kernels run in
+interpret mode — the numbers measure partitioning/collective overhead, not
+fabric bandwidth). On a TPU slice the same code measures the real ICI.
 
 Usage:
-    python -m wxfactory_tpu.benchmarks.weak_scaling --base-nel 16 --steps 10
+    python -m wxfactory_tpu.benchmarks.weak_scaling --path fused-sw --steps 3
 """
 
 import argparse
@@ -30,22 +45,32 @@ def mesh_shape(n: int):
     return p, y, rest // y
 
 
-def run_one(devices, base_nel: int, num_solpts: int, nsteps: int, dtype):
+def _sw_parts(nel, num_solpts, dtype):
     from ..geometry import make_cubed_sphere_2d, make_metric_2d
     from ..models import make_rhs_shallow_water
     from ..ops.dfr import make_dfr_operators
     from ..testcases import williamson_case6
 
-    n = len(devices)
-    p, y, x = mesh_shape(n)
-    # Constant load per device: scale the element grid with the mesh.
-    nel = base_nel * max(y, x)
     geom = make_cubed_sphere_2d(nel, num_solpts)
     ops = make_dfr_operators(num_solpts)
     metric = make_metric_2d(geom)
-    rhs = make_rhs_shallow_water(geom, ops, metric, dtype=dtype)
-    q = jnp.asarray(williamson_case6(geom), dtype=dtype)
-    dt = jnp.asarray(30.0, dtype=dtype)
+    q = jnp.asarray(williamson_case6(geom))
+    return geom, ops, metric, q
+
+
+def run_gspmd(devices, base_nel, num_solpts, nsteps, dtype):
+    from ..models import make_rhs_shallow_water
+    from ..ops.dfr import make_dfr_operators
+
+    n = len(devices)
+    p, y, x = mesh_shape(n)
+    nel = base_nel * max(y, x)
+    geom, ops, metric, q = _sw_parts(nel, num_solpts, dtype)
+    from ..models import make_rhs_shallow_water as mk
+
+    rhs = mk(geom, ops, metric, dtype=dtype)
+    q = q.astype(dtype)
+    dt = jnp.asarray(30.0, dtype)
 
     mesh = Mesh(np.array(devices).reshape(p, y, x), axis_names=("panel", "y", "x"))
     sharding = NamedSharding(mesh, P(None, "panel", "y", "x", None))
@@ -60,41 +85,150 @@ def run_one(devices, base_nel: int, num_solpts: int, nsteps: int, dtype):
 
         return jax.lax.scan(body, q, None, length=nsteps)[0]
 
-    out = multi_step(q)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    out = multi_step(q)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
-
+    elapsed = _time2(multi_step, q)
     pts = 6 * nel * nel * num_solpts**2
     return pts * nsteps * 3 / elapsed, pts
 
 
+def run_fused_sw(devices, base_nel, num_solpts, nsteps, dtype):
+    """Production distributed step: fused Pallas tile kernel in shard_map.
+    len(devices) must be 6*N^2; per-tile load constant (base_nel elems)."""
+    from ..parallel.shard_map_sw_fused import make_shard_map_sw_step_fused
+
+    n = len(devices)
+    N = int(round(math.sqrt(n / 6)))
+    assert 6 * N * N == n, f"fused path needs 6*N^2 devices, got {n}"
+    nel = base_nel * N
+    geom, ops, metric, q = _sw_parts(nel, num_solpts, dtype)
+    mesh = Mesh(np.array(devices).reshape(6, N, N), axis_names=("panel", "y", "x"))
+    step, sharding = make_shard_map_sw_step_fused(
+        geom, ops, metric, mesh, 30.0, dtype=dtype, perturbation_base=q
+    )
+    q = jax.device_put(q, sharding)
+
+    def multi(qq):
+        for _ in range(nsteps):
+            qq = step(qq)
+        return qq
+
+    elapsed = _time2(multi, q)
+    pts = 6 * nel * nel * num_solpts**2
+    return pts * nsteps * 3 / elapsed, pts
+
+
+def run_fused_e3(devices, base_nel, num_solpts, nsteps, dtype):
+    from ..geometry import make_cubed_sphere_3d, make_metric_3d
+    from ..ops.dfr import make_dfr_operators
+    from ..parallel.shard_map_euler3d_fused import make_shard_map_euler3d_step_fused
+    from ..testcases.dcmip import dcmip_gravity_wave
+
+    n = len(devices)
+    N = int(round(math.sqrt(n / 6)))
+    assert 6 * N * N == n, f"fused path needs 6*N^2 devices, got {n}"
+    nel = base_nel * N
+    nel_v = 3
+    geom = make_cubed_sphere_3d(nel, nel_v, num_solpts, 10000.0,
+                                planet_scaling_factor=125.0, planet_is_rotating=False)
+    ops = make_dfr_operators(num_solpts, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    q = jnp.asarray(dcmip_gravity_wave(geom))
+    mesh = Mesh(np.array(devices).reshape(6, N, N), axis_names=("panel", "y", "x"))
+    step, sharding = make_shard_map_euler3d_step_fused(
+        geom, ops, metric, mesh, 1.0, dtype=dtype, perturbation_base=q
+    )
+    q = jax.device_put(q, sharding)
+
+    def multi(qq):
+        for _ in range(nsteps):
+            qq = step(qq)
+        return qq
+
+    elapsed = _time2(multi, q)
+    pts = 6 * nel * nel * nel_v * num_solpts**3
+    return pts * nsteps * 3 / elapsed, pts
+
+
+def run_epi2(devices, base_nel, num_solpts, nsteps, dtype):
+    """Sharded exponential hot loop: EPI2 + kiops_jit on the GSPMD state."""
+    from ..integrators import Epi
+
+    n = len(devices)
+    p, y, x = mesh_shape(n)
+    nel = base_nel * max(y, x)
+    geom, ops, metric, q = _sw_parts(nel, num_solpts, jnp.float64)
+    from ..models import make_rhs_shallow_water as mk
+
+    rhs = mk(geom, ops, metric)
+    mesh = Mesh(np.array(devices).reshape(p, y, x), axis_names=("panel", "y", "x"))
+    sharding = NamedSharding(mesh, P(None, "panel", "y", "x", None))
+    q = jax.device_put(q, sharding)
+    epi = Epi(rhs, order=2, tolerance=1e-7, exponential_solver="kiops_jit",
+              mmin=16, mmax=64)
+    q1 = epi.step(q, 60.0)  # compile
+    jax.block_until_ready(q1)
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        q1 = epi.step(q1, 60.0)
+    jax.block_until_ready(q1)
+    elapsed = time.perf_counter() - t0
+    pts = 6 * nel * nel * num_solpts**2
+    return pts * nsteps / elapsed, pts
+
+
+def _time2(fn, q):
+    out = fn(q)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(q)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+PATHS = {"gspmd": run_gspmd, "fused-sw": run_fused_sw, "fused-e3": run_fused_e3,
+         "epi2": run_epi2}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--base-nel", type=int, default=16)
-    parser.add_argument("--num-solpts", type=int, default=4)
-    parser.add_argument("--steps", type=int, default=10)
-    parser.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    parser.add_argument("--base-nel", type=int, default=4,
+                        help="elements per device axis (per tile for fused paths)")
+    parser.add_argument("--num-solpts", type=int, default=2)
+    parser.add_argument("--steps", type=int, default=3)
+    parser.add_argument("--dtype", default="f64", choices=["f32", "f64"])
+    parser.add_argument("--path", default="gspmd", choices=sorted(PATHS))
     parser.add_argument("--device-counts", type=int, nargs="*", default=None)
+    parser.add_argument(
+        "--cpu-devices", type=int, default=None,
+        help="force the CPU backend with N virtual devices (the axon TPU "
+             "plugin ignores JAX_PLATFORMS=cpu, so env vars alone don't work)",
+    )
     args = parser.parse_args(argv)
+
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
     dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
     all_devices = jax.devices()
-    counts = args.device_counts or sorted({1, 2, min(4, len(all_devices)), min(6, len(all_devices)),
-                                           len(all_devices)})
-    counts = [c for c in counts if c <= len(all_devices)]
+    nd = len(all_devices)
+    if args.device_counts:
+        counts = [c for c in args.device_counts if c <= nd]
+    elif args.path.startswith("fused"):
+        counts = [6 * k * k for k in (1, 2, 3) if 6 * k * k <= nd]
+    else:
+        counts = sorted({1, 2, min(4, nd), min(6, nd), nd})
 
     base_rate = None
     for n in counts:
-        rate, pts = run_one(all_devices[:n], args.base_nel, args.num_solpts, args.steps, dtype)
+        rate, pts = PATHS[args.path](all_devices[:n], args.base_nel,
+                                     args.num_solpts, args.steps, dtype)
         per_dev = rate / n
         if base_rate is None:
             base_rate = per_dev
         eff = per_dev / base_rate * 100.0
-        print(f"devices={n:3d} mesh={mesh_shape(n)} points={pts:9d}: "
-              f"{rate:.3e} pts/s total, {per_dev:.3e}/dev, efficiency {eff:5.1f}%")
+        print(f"path={args.path} devices={n:3d} mesh={mesh_shape(n)} points={pts:9d}: "
+              f"{rate:.3e} pts/s total, {per_dev:.3e}/dev, efficiency {eff:5.1f}%",
+              flush=True)
 
 
 if __name__ == "__main__":

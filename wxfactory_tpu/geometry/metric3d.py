@@ -19,7 +19,9 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..ops.dfr import DFROperators
-from ..parallel.topology import EAST, NORTH, SOUTH, WEST, CubedSphereTopology
+# Deferred: parallel.topology itself imports geometry (panel Jacobians), so a
+# module-level import here would make `import wxfactory_tpu.parallel` circular.
+EAST, NORTH, SOUTH, WEST = 3, 1, 0, 2  # = parallel.topology constants (asserted there)
 from .cubed_sphere_3d import CubedSphere3D
 
 
@@ -60,8 +62,10 @@ def _faces_from_itf_z(itf: np.ndarray) -> np.ndarray:
     return np.concatenate([itf[..., :-1, :, :, :], itf[..., 1:, :, :, :]], axis=-1)
 
 
-def make_metric_3d(geom: CubedSphere3D, ops: DFROperators, topology: CubedSphereTopology = None) -> Metric3D:
+def make_metric_3d(geom: CubedSphere3D, ops: DFROperators, topology=None) -> Metric3D:
     if topology is None:
+        from ..parallel.topology import CubedSphereTopology
+
         topology = CubedSphereTopology(geom)
     s = geom.num_solpts
     ss = s * s

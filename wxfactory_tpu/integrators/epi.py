@@ -108,7 +108,10 @@ class Epi(Integrator):
         if init_method is not None or self.n_prev == 0:
             self.init_method = init_method
         else:
-            self.init_method = Epi(rhs, 2, tolerance, exponential_solver, krylov_size, mmin, mmax)
+            # The bootstrap sub-integrator gets the same f32 companion so
+            # mixed precision applies from the very first (sub)step too.
+            self.init_method = Epi(rhs, 2, tolerance, exponential_solver, krylov_size, mmin, mmax,
+                                   rhs32=rhs32)
         self.init_substeps = init_substeps
 
         # One jitted program for every Jacobian action this integrator needs.
@@ -143,11 +146,14 @@ class Epi(Integrator):
 
         @partial(jax.jit, static_argnums=())
         def dev_step(q, prev_q, prev_rhs, dt, m0):
+            # Everything stays on the NATURAL state shape (kiops_jit is
+            # shape-agnostic): under GSPMD a raveled view of the mesh-sharded
+            # state has no representable sharding, so ravel/reshape would
+            # force an all-to-all relayout every Krylov iteration.
             rhs_q = rhs(q)
-            fq = rhs_q.ravel()
 
             def jvp(v):
-                return jax.jvp(rhs, (q,), (v.reshape(q.shape),))[1].ravel()
+                return jax.jvp(rhs, (q,), (v,))[1]
 
             if rhs32 is None:
                 kry_jvp = jvp
@@ -158,13 +164,14 @@ class Epi(Integrator):
                 q32 = q.astype(jnp.float32)
 
                 def kry_jvp(v):
-                    t = v.reshape(q.shape).astype(jnp.float32)
-                    return jax.jvp(rhs32, (q32,), (t,))[1].ravel()
+                    return jax.jvp(rhs32, (q32,), (v.astype(jnp.float32),))[1]
 
-            rows = [jnp.zeros_like(fq), fq] + [jnp.zeros_like(fq) for _ in range(max_phi - 1)]
+            rows = [jnp.zeros_like(rhs_q), rhs_q] + [
+                jnp.zeros_like(rhs_q) for _ in range(max_phi - 1)
+            ]
             for i in range(n_prev):
-                dq = (prev_q[i] - q).ravel()
-                r = (prev_rhs[i] - rhs_q).ravel() - jvp(dq)
+                dq = prev_q[i] - q
+                r = (prev_rhs[i] - rhs_q) - jvp(dq)
                 for k in range(A_tbl.shape[0]):
                     rows[k + offset] = rows[k + offset] + A_tbl[k, i] * r
             vec = jnp.stack(rows)
@@ -182,7 +189,7 @@ class Epi(Integrator):
                 full_ortho=mixed,
                 basis_dtype=jnp.float32 if mixed else None,
             )
-            return q + w.reshape(q.shape) * dt, rhs_q, stats
+            return q + w * dt, rhs_q, stats
 
         return dev_step
 
@@ -310,7 +317,7 @@ class EpiStiff(Epi):
         self._phi_offset = 3  # EpiStiff residuals start at phi_3
         self._dev_step = None
         self.init_method = Epi(rhs, 2, self.tol, self.exponential_solver, self.krylov_size,
-                               self.mmin, self.mmax)
+                               self.mmin, self.mmax, rhs32=self.rhs32)
 
     def __step__(self, q, dt: float):
         if self.dt and abs(self.dt - dt) > 1e-10:

@@ -76,11 +76,13 @@ class Ros2(Integrator):
 
             @jax.jit
             def dev_step(q, dt):
+                # The solve runs on the NATURAL state shape (fgmres_jit is
+                # shape-agnostic): under GSPMD a raveled view of the sharded
+                # state would force an all-to-all relayout every iteration.
                 half_dt = 0.5 * dt
-                q_flat = q.ravel()
 
                 def A(v):
-                    jv = jax.jvp(rhs, (q,), (v.reshape(q.shape),))[1].ravel()
+                    jv = jax.jvp(rhs, (q,), (v,))[1]
                     return v - half_dt * jv
 
                 if rhs32 is None:
@@ -91,16 +93,16 @@ class Ros2(Integrator):
                     hdt32 = half_dt.astype(jnp.float32)
 
                     def A32(v):
-                        jv = jax.jvp(rhs32, (q32,), (v.reshape(q.shape),))[1].ravel()
+                        jv = jax.jvp(rhs32, (q32,), (v,))[1]
                         return v - hdt32 * jv
 
                     basis_dtype = jnp.float32
 
-                b = A(q_flat) + rhs(q).ravel() * dt
-                x, info = fgmres_jit(A, b, x0=q_flat, tol=tol, restart=restart,
+                b = A(q) + rhs(q) * dt
+                x, info = fgmres_jit(A, b, x0=q, tol=tol, restart=restart,
                                      max_outer=max_outer, one_sync=one_sync,
                                      A32=A32, basis_dtype=basis_dtype)
-                return x.reshape(q.shape), info
+                return x, info
 
             self._dev_step = dev_step
 

@@ -14,9 +14,9 @@ from typing import Optional
 import numpy as np
 
 from ..config import Configuration
+from ..parallel.distributed import gather_global, is_primary
 from .diagnostics import global_integral_2d, potential_enstrophy, total_energy
 from .solver_stats import SolverStatsOutput
-from .state import load_state, save_state
 
 
 class OutputManager:
@@ -27,20 +27,41 @@ class OutputManager:
         self.metric = metric
         self.topo = topo
 
+        # Host-side effects (files, stdout, SQLite) happen on the primary
+        # process only — the rank-0 gating of the reference's wx_mpi.py,
+        # expressed as jax.process_index()==0 (parallel/distributed.py).
+        self.primary = is_primary()
+
         self.output_dir = config.output_dir
-        if self._any_output_enabled():
+        if self.primary and self._any_output_enabled():
             os.makedirs(self.output_dir, exist_ok=True)
 
         self.solver_stats: Optional[SolverStatsOutput] = None
-        if config.store_solver_stats:
+        if config.store_solver_stats and self.primary:
             self.solver_stats = SolverStatsOutput(config)
 
         self.writer = None
-        if config.output_freq > 0 and config.output_format == "netcdf" and config.grid_type == "cubed_sphere":
+        self.fst_writer = None
+        if (
+            self.primary
+            and config.output_freq > 0
+            and config.output_format == "netcdf"
+            and config.grid_type == "cubed_sphere"
+        ):
             from .netcdf import make_writer
 
             path = os.path.join(self.output_dir, f"{config.base_output_file}.nc")
             self.writer = make_writer(path, geom, metric, ops, config.equations, topo=topo)
+        elif (
+            self.primary
+            and config.output_freq > 0
+            and config.output_format == "fst"
+            and config.grid_type == "cubed_sphere"
+        ):
+            from .fst import FstWriter
+
+            path = os.path.join(self.output_dir, f"{config.base_output_file}.fst")
+            self.fst_writer = FstWriter(path, geom, metric, ops, config.equations, dt=config.dt)
 
         self.config_hash = hash(config.state_id_params()) & 0xFFFFFFFFFFFF
         self.initial_integrals = None
@@ -63,12 +84,15 @@ class OutputManager:
         return os.path.join(self.output_dir, f"{base}.{step_id:08d}.npy")
 
     def load_state_from_file(self, step_id: int, expected_shape) -> np.ndarray:
-        state, _, _ = load_state(self.state_file_name(step_id), panel_major=self._panel_major())
+        from ..parallel.distributed import load_state_distributed
+
+        state, _ = load_state_distributed(self.state_file_name(step_id), panel_major=self._panel_major())
         if tuple(state.shape) != tuple(expected_shape):
             raise ValueError(
                 f"Saved state for step {step_id} has shape {state.shape}, expected {expected_shape}"
             )
-        print(f"Starting simulation from step {step_id} (rather than 0)")
+        if self.primary:
+            print(f"Starting simulation from step {step_id} (rather than 0)")
         return state
 
     def _panel_major(self) -> bool:
@@ -76,20 +100,25 @@ class OutputManager:
 
     # ------------------------------------------------------------------
     def step(self, q, step_id: int, sim_time: float) -> None:
+        """Per-step output actions. The state gather is collective (every
+        process participates, parallel/distributed.py gather_global); the
+        file/stdout effects run on the primary only."""
         c = self.config
         if c.output_freq > 0 and step_id % c.output_freq == 0:
             t0 = time.time()
-            self.__write_result__(q, step_id, sim_time)
+            self.__write_result__(gather_global(q), step_id, sim_time)
             self.total_write_time += time.time() - t0
             self.num_writes += 1
         if c.save_state_freq > 0 and step_id % c.save_state_freq == 0:
             t0 = time.time()
-            save_state(np.asarray(q), c, self.state_file_name(step_id), panel_major=self._panel_major())
+            from ..parallel.distributed import save_state_distributed
+
+            save_state_distributed(q, c, self.state_file_name(step_id), panel_major=self._panel_major())
             self.total_save_state_time += time.time() - t0
             self.num_save_states += 1
         if c.stat_freq > 0 and step_id % c.stat_freq == 0:
             t0 = time.time()
-            self.__blockstats__(np.asarray(q), step_id)
+            self.__blockstats__(gather_global(q), step_id)
             self.total_blockstat_time += time.time() - t0
             self.num_blockstats += 1
 
@@ -114,6 +143,9 @@ class OutputManager:
             )
 
     def __write_result__(self, q, step_id: int, sim_time: float):
+        if self.fst_writer is not None:
+            self.fst_writer.write_sw(step_id, np.asarray(q))
+            return
         if self.writer is None:
             return
         if self.config.equations == "shallow_water":
@@ -123,6 +155,8 @@ class OutputManager:
 
     def __blockstats__(self, q, step_id: int):
         c = self.config
+        if not self.primary:
+            return
         if c.grid_type != "cubed_sphere" or c.equations != "shallow_water":
             return
         from ..testcases.shallow_water import height_case1, height_case2
@@ -175,9 +209,11 @@ class OutputManager:
     def finalize(self, total_time: Optional[float] = None):
         if self.writer is not None:
             self.writer.close()
+        if self.fst_writer is not None:
+            self.fst_writer.close()
         if self.solver_stats is not None:
             self.solver_stats.close()
-        if self.config.store_total_time and total_time is not None:
+        if self.primary and self.config.store_total_time and total_time is not None:
             path = os.path.join(self.output_dir, f"runtime_{self.config.time_integrator}.txt")
             with open(path, "a") as fh:
                 fh.write(

@@ -39,13 +39,17 @@ def save_state(state: np.ndarray, config: Configuration, path: str, panel_major:
         fh.write(bytes(config.raw_text, "utf-8"))
 
 
-def load_state(path: str, panel_major: bool = True) -> Tuple[np.ndarray, Optional[Configuration], str]:
+def load_state(
+    path: str, panel_major: bool = True, parse_config: bool = True
+) -> Tuple[np.ndarray, Optional[Configuration], str]:
     """Read a state file; returns (state, config, version). The state comes
-    back in the in-memory (nvar, 6, ...) layout when panel_major."""
+    back in the in-memory (nvar, 6, ...) layout when panel_major. With
+    ``parse_config=False`` the third-party config text is returned raw
+    (states written by other tools may not validate against the schema)."""
     with open(path, "rb") as fh:
         payload = np.load(fh)
         version = str(fh.readline(), "utf-8").strip()
         config_text = str(fh.read(), "utf-8").strip()
-    config = Configuration(config_text) if config_text else None
+    config = Configuration(config_text) if (config_text and parse_config) else config_text or None
     state = from_file_layout(payload) if panel_major else payload
     return state, config, version

@@ -154,6 +154,27 @@ class Simulation:
 
         self.integrator = self._create_integrator()
 
+        if getattr(c, "mixed_precision_krylov", False):
+            # The f32 companion only feeds the DEVICE-resident Krylov
+            # solvers; flag the knob as a no-op otherwise so users don't
+            # flip it and silently measure the f64 path (ADVICE r3).
+            name = c.time_integrator.lower()
+            consumes = (
+                (name.startswith("epi") and c.exponential_solver == "kiops_jit")
+                or (name == "ros2" and c.linear_solver.startswith("fgmres_jit"))
+            )
+            if self.rhs32 is None:
+                print(
+                    "WARNING: mixed_precision_krylov is set but no f32 companion RHS "
+                    "is available for this model/case; the knob has no effect"
+                )
+            elif not consumes:
+                print(
+                    f"WARNING: mixed_precision_krylov is set but {c.time_integrator} with "
+                    f"exponential_solver={c.exponential_solver!r}/linear_solver={c.linear_solver!r} "
+                    "cannot consume it — use kiops_jit (Epi/Srerk) or fgmres_jit (Ros2)"
+                )
+
         from .ops.filters import make_apply_filters
 
         self.apply_filters = make_apply_filters(c, self.ops, self.metric, self.geom)
@@ -353,12 +374,14 @@ class Simulation:
         step_id = self.starting_step
         num_steps = int(math.ceil((c.t_end - t) / c.dt)) if c.t_end > t else 0
 
+        from .parallel.distributed import primary_print
+
         t_start = time.time()
         self.output.step(q, step_id, t)  # initial output
         while t < c.t_end - 1e-10:
             step_id += 1
             q, t = self.step(q, step_id, t)
             if c.verbose_solver > 0 or step_id % max(1, num_steps // 10) == 0:
-                print(f"Step {step_id}/{self.starting_step + num_steps} (t = {t:.1f} s)", flush=True)
+                primary_print(f"Step {step_id}/{self.starting_step + num_steps} (t = {t:.1f} s)", flush=True)
         self.output.finalize(total_time=time.time() - t_start)
         return q

@@ -6,6 +6,15 @@ implicit solve (e.g. a Ros2 step) is a single device program — the host
 variant pays one dispatch per Krylov iteration (~10-20 ms over the axon
 relay).
 
+Vectors keep their NATURAL (possibly multi-axis) shape end to end — the
+Krylov basis is ``(restart+1,) + b.shape`` and every dot is a full-tensor
+contraction. Under GSPMD with `b` sharded over the mesh this is the
+scalable distributed form: dots lower to ONE fused all-reduce, axpys and
+the basis stay sharded, and no ravel/reshape forces a relayout (a 1D view
+of a mesh-sharded state has no representable sharding, so the partitioner
+would otherwise all-to-all every iteration — measured on the 8-device CPU
+mesh, tests/test_solvers_sharded.py).
+
 Orthogonalization is classical Gram-Schmidt as one batched masked product
 (one fused reduction) plus the explicit new-vector norm (a second) —
 2 collectives per iteration under GSPMD. With ``one_sync=True`` the norm
@@ -45,7 +54,8 @@ def fgmres_jit(
     A32: Optional[Callable] = None,
     basis_dtype=None,
 ):
-    """Solve A x = b (A traceable (n,)->(n,)). Returns (x, FgmresJitInfo).
+    """Solve A x = b. `A` is traceable on arrays of b's shape (any rank).
+    Returns (x, FgmresJitInfo) with x of b's shape.
 
     Pure/traceable — wrap the call (with the operator closure) in one
     jax.jit, e.g. ``jax.jit(lambda q, b: fgmres_jit(lambda v: op(q, v), b))``.
@@ -54,29 +64,47 @@ def fgmres_jit(
     mixed precision (restarted-GMRES iterative refinement, Carson & Higham
     style): the INNER Arnoldi runs the cheap ``A32`` operator on a
     basis_dtype Krylov basis (f32 matvec ~3.6 ms vs ~58 ms emulated-f64 on
-    dcmip31; the f64 CGS basis algebra alone costs ~14x its f32 cost on
-    TPU), while every OUTER residual ``r = b - A(x)`` and the solution
-    update stay in full precision with the exact operator — each restart
-    contracts the true f64 residual, so the final ``norm_r`` is an honest
-    f64 measure and tolerances ~1e-7 remain reachable. The Hessenberg
-    column/Givens/triangular algebra is (mmax+1)-small and stays in b's
-    dtype."""
-    b = jnp.asarray(b).ravel()
+    dcmip31; the f64 basis algebra alone costs ~14x its f32 cost on TPU),
+    while every OUTER residual ``r = b - A(x)`` and the solution update
+    stay in full precision with the exact operator — each restart contracts
+    the true f64 residual, so the final ``norm_r`` is an honest f64 measure
+    and tolerances ~1e-7 remain reachable. The Hessenberg column/Givens/
+    triangular algebra is (mmax+1)-small and stays in b's dtype."""
+    b = jnp.asarray(b)
     dtype = b.dtype
-    bd = dtype if basis_dtype is None else basis_dtype
+    if basis_dtype is None:
+        # An A32 operator without an explicit basis dtype would silently run
+        # a half-mixed configuration (f32 matvec promoted into an f64 basis:
+        # f64 basis cost, f32 operator accuracy) — default the basis to the
+        # reduced precision the operator provides.
+        basis_dtype = jnp.float32 if A32 is not None else dtype
+    bd = basis_dtype
     A_in = A if A32 is None else A32
-    n = b.shape[0]
+    shape = b.shape
+    nax = tuple(range(len(shape)))  # the vector axes (contracted in dots)
     R = restart
     M = preconditioner if preconditioner is not None else (lambda v: v)
-    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).ravel()
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).reshape(shape)
 
-    norm_b = jnp.sqrt(b @ b)
+    def dot(u, v):
+        return jnp.sum(u * v)
+
+    def rows_dot(Vs, v):
+        """(k,)+shape  x  shape -> (k,): the batched Gram product (one fused
+        reduction under GSPMD)."""
+        return jnp.tensordot(Vs, v, axes=(tuple(a + 1 for a in nax), nax))
+
+    def combine(coeffs, Vs):
+        """(k,) x (k,)+shape -> shape."""
+        return jnp.tensordot(coeffs, Vs, axes=(0, 0))
+
+    norm_b = jnp.sqrt(dot(b, b))
     tol_rel = tol * norm_b
     kidx = jnp.arange(R + 1)
 
     class Inner(NamedTuple):
-        V: jnp.ndarray  # (R+1, n) Krylov basis
-        Z: jnp.ndarray  # (R, n) preconditioned vectors
+        V: jnp.ndarray  # (R+1,) + shape Krylov basis
+        Z: jnp.ndarray  # (R,) + shape preconditioned vectors
         Hcol: jnp.ndarray  # (R+1, R) rotated Hessenberg columns (upper tri)
         cs: jnp.ndarray  # (R,) Givens cosines
         sn: jnp.ndarray  # (R,) Givens sines
@@ -86,7 +114,7 @@ def fgmres_jit(
 
     def inner_body(st: Inner) -> Inner:
         j = st.j
-        vj = lax.dynamic_slice(st.V, (j, jnp.int32(0)), (1, n))[0]
+        vj = lax.dynamic_index_in_dim(st.V, j, axis=0, keepdims=False)
         z = M(vj)
         w = A_in(z)
         # Classical Gram-Schmidt against rows 0..j (one batched product).
@@ -96,14 +124,14 @@ def fgmres_jit(
             # the orthogonalized norm is the Pythagorean estimate
             # ||w - Vh||^2 = ||w||^2 - ||h||^2 (V orthonormal) — one
             # collective per iteration under GSPMD.
-            G = jnp.concatenate([st.V, w[None, :]]) @ w  # (R+2,)
+            G = rows_dot(jnp.concatenate([st.V, w[None]]), w)  # (R+2,)
             hb = jnp.where(mask, G[: R + 1], jnp.asarray(0.0, bd))
-            w = w - hb @ st.V
+            w = w - combine(hb, st.V)
             nrm = jnp.sqrt(jnp.maximum(G[R + 1] - hb @ hb, jnp.asarray(0.0, bd)))
         else:
-            hb = jnp.where(mask, st.V @ w, jnp.asarray(0.0, bd))  # (R+1,)
-            w = w - hb @ st.V
-            nrm = jnp.sqrt(w @ w)
+            hb = jnp.where(mask, rows_dot(st.V, w), jnp.asarray(0.0, bd))  # (R+1,)
+            w = w - combine(hb, st.V)
+            nrm = jnp.sqrt(dot(w, w))
         h = hb.astype(dtype)
         nrm = nrm.astype(dtype)
 
@@ -132,11 +160,9 @@ def fgmres_jit(
         g = g.at[j + 1].set(-s * gj)
 
         nrm_b = nrm.astype(bd)
-        V = lax.dynamic_update_slice(
-            st.V, jnp.where(nrm_b > 0, w / jnp.where(nrm_b > 0, nrm_b, 1.0), w)[None, :],
-            (j + 1, jnp.int32(0)),
-        )
-        Z = lax.dynamic_update_slice(st.Z, z[None, :], (j, jnp.int32(0)))
+        vnew = jnp.where(nrm_b > 0, w / jnp.where(nrm_b > 0, nrm_b, 1.0), w)
+        V = lax.dynamic_update_index_in_dim(st.V, vnew, j + 1, axis=0)
+        Z = lax.dynamic_update_index_in_dim(st.Z, z, j, axis=0)
         Hcol = lax.dynamic_update_slice(st.Hcol, hfull[:, None], (jnp.int32(0), j))
         cs = st.cs.at[j].set(c)
         sn = st.sn.at[j].set(s)
@@ -153,10 +179,10 @@ def fgmres_jit(
         outer: jnp.ndarray
 
     def outer_body(st: Outer) -> Outer:
-        V0 = jnp.zeros((R + 1, n), bd)
+        V0 = jnp.zeros((R + 1,) + shape, bd)
         V0 = V0.at[0].set((st.r / st.norm_r).astype(bd))
         inner0 = Inner(
-            V=V0, Z=jnp.zeros((R, n), bd), Hcol=jnp.zeros((R + 1, R), dtype),
+            V=V0, Z=jnp.zeros((R,) + shape, bd), Hcol=jnp.zeros((R + 1, R), dtype),
             cs=jnp.zeros((R,), dtype), sn=jnp.zeros((R,), dtype),
             g=jnp.zeros((R + 1,), dtype).at[0].set(st.norm_r),
             j=jnp.int32(0), done=jnp.asarray(False),
@@ -170,15 +196,15 @@ def fgmres_jit(
         Ht = jnp.where(cmask[None, :] & cmask[:, None], fin.Hcol[:R, :], 0.0)
         Ht = Ht + jnp.diag(jnp.where(cmask, 0.0, 1.0))
         y = jax.scipy.linalg.solve_triangular(Ht, jnp.where(cmask, fin.g[:R], 0.0))
-        # The length-n update GEMV runs in the basis dtype; the solution,
-        # the residual and its norm stay full-precision with the exact A.
-        x = st.x + (y.astype(bd) @ fin.Z).astype(dtype)
+        # The state-sized update runs in the basis dtype; the solution, the
+        # residual and its norm stay full-precision with the exact A.
+        x = st.x + combine(y.astype(bd), fin.Z).astype(dtype)
         r = b - A(x)
-        norm_r = jnp.sqrt(r @ r)
+        norm_r = jnp.sqrt(dot(r, r))
         return Outer(x, r, norm_r, st.niter + jdone, st.outer + 1)
 
     r0 = b - A(x)
-    init = Outer(x, r0, jnp.sqrt(r0 @ r0), jnp.int32(0), jnp.int32(0))
+    init = Outer(x, r0, jnp.sqrt(dot(r0, r0)), jnp.int32(0), jnp.int32(0))
     out = lax.while_loop(
         lambda s_: (s_.norm_r >= tol_rel) & (s_.outer < max_outer) & (norm_b > 0),
         outer_body,

@@ -10,12 +10,20 @@ scaling-squaring Taylor on the masked fixed-size H — see _expm_taylor) and
 the tau/m adaptivity controller all run on device with fixed (mmax+1)-sized
 V/H buffers and masking, so one EPI step is one program.
 
+Krylov vectors keep their NATURAL (possibly multi-axis, mesh-sharded) state
+shape: the basis is ``(mmax+1,) + shape`` and the reference's p augmented
+rows (kiops.py:181-183 there) live as a separate tiny ``(mmax+1, p)``
+REPLICATED buffer, so under GSPMD every dot is one fused all-reduce and no
+ravel forces a relayout (a 1D view of a mesh-sharded state has no
+representable sharding — the partitioner would all-to-all every iteration).
+
 Algorithm and controller semantics replicate kiops.py line for line
 (Gaudreault, Rainwater & Tokman 2018; reference solvers/kiops.py:152-338),
 including the reference's quirks (the persistent H across substeps, the
 `i = p - k + 1` restart weights), so results agree with the host version to
-roundoff on the same trajectory. Reductions are plain jnp dots — under
-GSPMD they lower to mesh collectives, 2 per iteration like the reference.
+roundoff on the same trajectory. Reductions are plain jnp contractions —
+under GSPMD they lower to mesh collectives, 2 per iteration like the
+reference (1 with ``one_sync``).
 """
 
 from typing import Callable, NamedTuple
@@ -66,11 +74,13 @@ def kiops_jit(
     task1: bool = False,
     full_ortho: bool = False,
     basis_dtype=None,
+    one_sync: bool = False,
 ):
     """Evaluate w = phi_0(tau A) u[0] + phi_1(tau A) u[1] + ... at tau_end.
 
-    `A` must be traceable ((n,) -> (n,), typically an RHS jvp);
-    `u` has shape (p+1, n). Returns (w, KiopsJitStats) with w of shape (n,).
+    `A` must be traceable on arrays of u's row shape (any rank — typically
+    the RHS jvp on the natural state shape); `u` has shape (p+1,) + shape.
+    Returns (w, KiopsJitStats) with w of that row shape.
 
     Pure/traceable — callers wrap it (plus their vec construction and state
     update) in ONE jax.jit so a fresh `A` closure per call does not retrace:
@@ -82,27 +92,52 @@ def kiops_jit(
     relies on the exact Krylov identity A V = V H + r e^T, and an operator
     noise of eps gets amplified by the (unboundedly ill-conditioned)
     oblique IOP basis — measured 58x result error at iop=2 with a 2e-7
-    matvec on dcmip31, vs ~1e-6 with CGS2. Costs 4 fixed-size (mmax+1, n)
-    GEMVs per iteration, negligible next to the RHS jvp.
+    matvec on dcmip31, vs ~1e-6 with CGS2. Costs 4 fixed-size (mmax+1, ...)
+    contractions per iteration, negligible next to the RHS jvp.
 
     ``basis_dtype`` (default: u's dtype) stores the Krylov basis V and runs
-    the length-n vector algebra (matvec input, CGS2 projections, axpys,
-    result GEMV) in that dtype, while H, beta, the controller, and the
-    small-matrix exponential stay in u's dtype. With f64 phi-vectors and
-    basis_dtype=float32 this is the full mixed-precision operating point
-    for an f32 matvec: the subspace accuracy is f32-limited by the operator
-    anyway, and on TPU (emulated f64; f64 GEMVs avoid the MXU entirely) the
-    f64 CGS2 costs ~450 ms per EPI2 step vs ~25 ms in f32 — measured 14x
-    on the (mmax+1, n) Gram products. `A` is called with (and must return)
-    basis_dtype vectors."""
+    the state-sized vector algebra (matvec input, CGS2 projections, axpys,
+    result combination) in that dtype, while H, beta, the controller, and
+    the small-matrix exponential stay in u's dtype. With f64 phi-vectors
+    and basis_dtype=float32 this is the full mixed-precision operating
+    point for an f32 matvec: the subspace accuracy is f32-limited by the
+    operator anyway, and on TPU (emulated f64; f64 GEMVs avoid the MXU
+    entirely) the f64 CGS2 costs ~450 ms per EPI2 step vs ~25 ms in f32 —
+    measured 14x on the (mmax+1, n) Gram products. `A` is called with (and
+    must return) basis_dtype arrays.
+
+    ``one_sync`` fuses the new vector's own norm into the SAME batched Gram
+    product ([rows; v] @ v) and takes the orthogonalized norm from the
+    Pythagorean identity ||v - h@rows||^2 = ||v||^2 - ||h||^2 — ONE
+    collective per Arnoldi iteration under GSPMD instead of two, the
+    device-resident twin of the reference's norm-estimate family
+    (kiops_nest.py / icwy_neiop.py there; clamped at zero => treated as
+    happy breakdown, the same cancellation trade those solvers make). With
+    ``full_ortho`` it applies the estimate after the second CGS pass
+    (skipping that pass would forfeit the reorthogonalization the f32
+    operators need) — 2 collectives instead of 3."""
     u = jnp.asarray(u)
     dtype = u.dtype
     bd = dtype if basis_dtype is None else basis_dtype
-    ppo, n = u.shape
+    ppo = u.shape[0]
+    shape = u.shape[1:]
+    nax = tuple(range(len(shape)))
     p = ppo - 1
     if p == 0:
         p = 1
-        u = jnp.concatenate([u, jnp.zeros((1, n), dtype)], axis=0)
+        u = jnp.concatenate([u, jnp.zeros((1,) + shape, dtype)], axis=0)
+
+    def dot_full(xb, xa, yb, ya):
+        """Augmented inner product: state part (one fused all-reduce under
+        GSPMD) + tiny replicated augmented part."""
+        return jnp.sum(xb * yb) + xa @ ya
+
+    def rows_dot(Vb, Va, vb, va):
+        """(k,)+shape Gram product against one augmented vector -> (k,)."""
+        return jnp.tensordot(Vb, vb, axes=(tuple(a + 1 for a in nax), nax)) + Va @ va
+
+    def combine(coeffs, Vb):
+        return jnp.tensordot(coeffs, Vb, axes=(0, 0))
 
     f = lambda v: jnp.asarray(v, dtype)
     sgn = f(1.0) if tau_end >= 0 else f(-1.0)
@@ -114,14 +149,13 @@ def kiops_jit(
     delta = f(1.4)
 
     # Scale the phi-coefficient rows to unit order of magnitude.
-    norm_u = jnp.max(jnp.sum(jnp.abs(u[1:, :]), axis=1))
+    norm_u = jnp.max(jnp.sum(jnp.abs(u[1:]), axis=tuple(a + 1 for a in nax)))
     ex = jnp.ceil(jnp.log2(norm_u))
     use_scale = (ppo > 1) & (norm_u > 0)
     nu = jnp.where(use_scale, 2.0**-ex, 1.0).astype(dtype)
     mu = jnp.where(use_scale, 2.0**ex, 1.0).astype(dtype)
-    u_flip = (nu * jnp.flipud(u[1:, :])).astype(bd)  # (p, n)
+    u_flip = (nu * jnp.flipud(u[1:])).astype(bd)  # (p,) + shape
 
-    np_ = n + p
     ridx = jnp.arange(mmax + 1)
     # Restart weights for the augmented rows (reference kiops.py:160-163,
     # including its `i = p - k + 1` exponent choice).
@@ -131,8 +165,9 @@ def kiops_jit(
     )
 
     class S(NamedTuple):
-        w: jnp.ndarray
-        V: jnp.ndarray
+        w: jnp.ndarray  # shape, full precision accumulant
+        Vb: jnp.ndarray  # (mmax+1,) + shape basis (state part)
+        Va: jnp.ndarray  # (mmax+1, p) basis (augmented part, replicated)
         H: jnp.ndarray
         j: jnp.ndarray
         m: jnp.ndarray
@@ -157,38 +192,68 @@ def kiops_jit(
     def restart(s: S) -> S:
         aug = mu * (s.tau_now**aug_i) / aug_fact
         aug = aug.at[p - 1].set(mu)  # V[0, n+p-1] = mu (overrides the k-loop)
-        v0 = jnp.concatenate([s.w, aug])  # full precision: w is the accumulant
-        beta = jnp.sqrt(v0 @ v0)
-        V = lax.dynamic_update_slice(
-            s.V, (v0 / beta).astype(bd)[None, :], (jnp.int32(0), jnp.int32(0))
-        )
-        return s._replace(V=V, beta=beta)
+        beta = jnp.sqrt(dot_full(s.w, aug, s.w, aug))
+        Vb = lax.dynamic_update_index_in_dim(s.Vb, (s.w / beta).astype(bd), 0, axis=0)
+        Va = lax.dynamic_update_index_in_dim(s.Va, (aug / beta).astype(bd), 0, axis=0)
+        return s._replace(Vb=Vb, Va=Va, beta=beta)
 
     def arnoldi_cond(s: S):
         return (s.j < s.m) & (~s.happy)
 
     def arnoldi_body(s: S) -> S:
         j = s.j + 1  # the row being built (host loop increments first)
-        vprev = lax.dynamic_slice(s.V, (j - 1, jnp.int32(0)), (1, np_))[0]
-        av = A(vprev[:n]) + vprev[n : n + p] @ u_flip
-        vj = jnp.concatenate([av, vprev[n + 1 : n + p], jnp.zeros((1,), bd)])
+        vprev_b = lax.dynamic_index_in_dim(s.Vb, j - 1, axis=0, keepdims=False)
+        vprev_a = lax.dynamic_index_in_dim(s.Va, j - 1, axis=0, keepdims=False)
+        vjb = A(vprev_b) + combine(vprev_a, u_flip)
+        vja = jnp.concatenate([vprev_a[1:], jnp.zeros((1,), bd)])
 
         oldcol = lax.dynamic_slice(s.H, (jnp.int32(0), j - 1), (mmax + 1, 1))[:, 0]
+        nrm_est = None
         if full_ortho:
             # Full CGS2: project on ALL previous basis rows, twice.
             rmask = ridx < j
-            h1 = jnp.where(rmask, s.V @ vj, jnp.asarray(0.0, bd))
-            vj = vj - h1 @ s.V
-            h2 = jnp.where(rmask, s.V @ vj, jnp.asarray(0.0, bd))
-            vj = vj - h2 @ s.V
+            h1 = jnp.where(rmask, rows_dot(s.Vb, s.Va, vjb, vja), jnp.asarray(0.0, bd))
+            vjb = vjb - combine(h1, s.Vb)
+            vja = vja - h1 @ s.Va
+            if one_sync:
+                # Second pass with the norm fused into the same batched
+                # product — 2 collectives/iter instead of 3.
+                G = rows_dot(
+                    jnp.concatenate([s.Vb, vjb[None]]),
+                    jnp.concatenate([s.Va, vja[None]]),
+                    vjb, vja,
+                )  # (mmax+2,)
+                h2 = jnp.where(rmask, G[: mmax + 1], jnp.asarray(0.0, bd))
+                vjb = vjb - combine(h2, s.Vb)
+                vja = vja - h2 @ s.Va
+                nrm_est = jnp.sqrt(jnp.maximum(G[mmax + 1] - h2 @ h2, jnp.asarray(0.0, bd)))
+            else:
+                h2 = jnp.where(rmask, rows_dot(s.Vb, s.Va, vjb, vja), jnp.asarray(0.0, bd))
+                vjb = vjb - combine(h2, s.Vb)
+                vja = vja - h2 @ s.Va
             newcol = jnp.where(rmask, (h1 + h2).astype(dtype), oldcol)
         else:
             # Incomplete orthogonalization: the last `iop` basis rows only.
             ilow = jnp.maximum(0, j - iop)
-            rows = lax.dynamic_slice(s.V, (ilow, jnp.int32(0)), (iop, np_))
+            rows_b = lax.dynamic_slice_in_dim(s.Vb, ilow, iop, axis=0)
+            rows_a = lax.dynamic_slice_in_dim(s.Va, ilow, iop, axis=0)
             rmask = (ilow + jnp.arange(iop)) < j
-            hvals = jnp.where(rmask, rows @ vj, jnp.asarray(0.0, bd))
-            vj = vj - hvals @ rows
+            if one_sync:
+                # Norm fused into the Gram product: [rows; v] @ v — ONE
+                # collective/iter (the kiops_nest/icwy_neiop structure).
+                G = rows_dot(
+                    jnp.concatenate([rows_b, vjb[None]]),
+                    jnp.concatenate([rows_a, vja[None]]),
+                    vjb, vja,
+                )  # (iop+1,)
+                hvals = jnp.where(rmask, G[:iop], jnp.asarray(0.0, bd))
+                vjb = vjb - combine(hvals, rows_b)
+                vja = vja - hvals @ rows_a
+                nrm_est = jnp.sqrt(jnp.maximum(G[iop] - hvals @ hvals, jnp.asarray(0.0, bd)))
+            else:
+                hvals = jnp.where(rmask, rows_dot(rows_b, rows_a, vjb, vja), jnp.asarray(0.0, bd))
+                vjb = vjb - combine(hvals, rows_b)
+                vja = vja - hvals @ rows_a
 
             # H[ilow:j, j-1] = hvals (other rows of the column keep their —
             # possibly stale — values, exactly like the reference).
@@ -198,7 +263,7 @@ def kiops_jit(
             newcol = jnp.where(colmask, scatter, oldcol)
         H = lax.dynamic_update_slice(s.H, newcol[:, None], (jnp.int32(0), j - 1))
 
-        nrm = jnp.sqrt(vj @ vj)
+        nrm = jnp.sqrt(dot_full(vjb, vja, vjb, vja)) if nrm_est is None else nrm_est
         happy = nrm < tol
         # On the happy break the host leaves V[j] unnormalized and H[j, j-1]
         # untouched, and does not count the iteration.
@@ -208,10 +273,11 @@ def kiops_jit(
             lambda H: lax.dynamic_update_slice(H, nrm.astype(dtype).reshape(1, 1), (j, j - 1)),
             H,
         )
-        vrow = jnp.where(happy, vj, vj / nrm)
-        V = lax.dynamic_update_slice(s.V, vrow[None, :], (j, jnp.int32(0)))
+        inv = jnp.where(happy, jnp.asarray(1.0, bd), 1.0 / jnp.where(happy, 1.0, nrm))
+        Vb = lax.dynamic_update_index_in_dim(s.Vb, vjb * inv, j, axis=0)
+        Va = lax.dynamic_update_index_in_dim(s.Va, vja * inv, j, axis=0)
         return s._replace(
-            V=V, H=H, j=j, happy=happy, ksteps=s.ksteps + jnp.where(happy, 0, 1)
+            Vb=Vb, Va=Va, H=H, j=j, happy=happy, ksteps=s.ksteps + jnp.where(happy, 0, 1)
         )
 
     def control(s: S) -> S:
@@ -291,9 +357,10 @@ def kiops_jit(
         # --- accept / reject ---
         accept = omega <= delta
         fcol = jnp.where(ridx < j, F[:, 0], 0.0)
-        # The result GEMV runs in the basis dtype (fcol is (mmax+1,)-small;
-        # an f64 V GEMV would dominate the whole evaluation on TPU).
-        w_acc = s.beta * (fcol.astype(bd) @ s.V[:, :n]).astype(dtype)
+        # The result combination runs in the basis dtype (fcol is
+        # (mmax+1,)-small; an f64 basis contraction would dominate the whole
+        # evaluation on TPU).
+        w_acc = s.beta * combine(fcol.astype(bd), s.Vb).astype(dtype)
         w = jnp.where(accept, w_acc, s.w)
         # Reject undoes the phi_1 coupling entry (H[0, j] = 0).
         H = lax.cond(
@@ -326,7 +393,8 @@ def kiops_jit(
 
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     init = S(
-        w=u[0, :], V=jnp.zeros((mmax + 1, np_), bd), H=jnp.zeros((mmax + 1, mmax + 1), dtype),
+        w=u[0], Vb=jnp.zeros((mmax + 1,) + shape, bd), Va=jnp.zeros((mmax + 1, p), bd),
+        H=jnp.zeros((mmax + 1, mmax + 1), dtype),
         j=i32(0), m=jnp.clip(i32(m_init), mmin, mmax), beta=f(0.0),
         tau_now=f(0.0), tau=tau_end_a, happy=jnp.asarray(False),
         omega=f(jnp.nan), oldm=i32(-1), oldtau=f(jnp.nan), order=f(0.0), kest=f(2.0),

@@ -1,8 +1,12 @@
 """DCMIP test cases for the 3D Euler equations on the cubed sphere.
 
 Capability parity with the reference's init/dcmip.py. Cases implemented:
-31 (non-hydrostatic gravity wave, reduced planet X=125), 77 (acoustic wave).
-Each returns the global state ``Q[5, 6, nk, ny, nx, s^3]``.
+11/12 (3D advection: deformational flow / Hadley-like circulation, with the
+prescribed time-dependent wind overwrites the step loop applies), 20
+(steady state at rest over a Schar mountain), 21/22 (Schar mountain waves
+without/with shear, plus the Rayleigh damping forcing), 31 (non-hydrostatic
+gravity wave, reduced planet X=125), and 77 (acoustic wave). Each returns
+the global state ``Q[5, 6, nk, ny, nx, s^3]``.
 
 Reduced-planet configuration lives in the geometry factory
 (make_cubed_sphere_3d(planet_scaling_factor=..., planet_is_rotating=...)).
