@@ -91,8 +91,12 @@ def main():
     epi2 = Epi(rhs, order=2, tolerance=1e-7, exponential_solver="kiops_jit",
                mmin=16, mmax=64)
     q_re = epi2.step(q_re, dt)
+    # gather_global is COLLECTIVE: every process must call it (putting it
+    # inside the is_primary() branch deadlocks the primary — the exact
+    # failure mode the rank-0 gating design must avoid).
+    restart_result = gather_global(q_re)
     if is_primary():
-        np.save(os.path.join(outdir, "result_restart.npy"), gather_global(q_re))
+        np.save(os.path.join(outdir, "result_restart.npy"), restart_result)
 
     jax.distributed.shutdown()
     print(f"worker {pid}: OK", flush=True)
