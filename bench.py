@@ -559,18 +559,23 @@ def bench_e3_matrix(reps=2, nsteps=20):
             # + ~220 elementwise ops/lane) — fused path only.
             note = f"constant-DOF dcmip31 matrix, {how}; gate {err:.1e}"
             if fused:
-                g = pe3.pick_g3(s, N, N)
+                g = pe3.grid_plan(s, N, N)[0]
                 gp_row = g * s**3
                 # Algorithmic FLOPs per 128-lane state row, from the
                 # pipeline's GEMM shapes (pert form; elementwise ~300/lane):
+                # Split trace layout (g*2s^2 > 64): x/y/z get separate
+                # trace/correction GEMMs (3 families instead of 2 fused
+                # registers) — more FLOPs per row, but 2-3x the gridpoints
+                # per row (ops/pallas_euler3d.py is_split_layout).
+                nfam = 3 if pe3.is_split_layout(s, g) else 2
                 flops_row = (
-                    2 * (2 * 5 * 2 * 128 * 128)  # state+base traces (e_xy, e_z)
-                    + 5 * 2 * 384 * 128          # interior divergence bundle
-                    + 2 * (2 * 128 * 384)        # dlogp (delta + base)
-                    + 7 * 2 * 256 * 128          # boundary corrections
-                    + 2 * (2 * 2 * 128 * 384)    # face-log corrections
-                    + 2 * 128 * 128              # gravity hfk
-                    + 300 * 128                  # elementwise (VPU)
+                    2 * (nfam * 5 * 2 * 128 * 128)      # state+base traces
+                    + 5 * 2 * 384 * 128                 # interior divergence bundle
+                    + 2 * (2 * 128 * 384)               # dlogp (delta + base)
+                    + 7 * 2 * (nfam * 128) * 128        # boundary corrections
+                    + 2 * (nfam * 2 * 128 * 384)        # face-log corrections
+                    + 2 * 128 * 128                     # gravity hfk
+                    + 300 * 128                         # elementwise (VPU)
                 )
                 flops_gp = flops_row / gp_row
                 mfu = gps * flops_gp / PEAK_F32_FLOPS

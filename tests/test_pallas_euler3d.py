@@ -180,7 +180,7 @@ def test_balanced_offset_restores_base_state_rhs():
     assert err_bal < err_plain * 1e-3, (err_bal, err_plain)
 
 
-@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 8, 2), (6, 4, 3)])
+@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 8, 2), (6, 4, 3), (16, 4, 2)])
 def test_generic_shapes_match_xla(nel_h, nel_v, s):
     """The generalized pipeline (num_solpts 2..5, g|nel_h row packings with
     NaN-safe lane padding) at the canonical dcmip31 discretization (12x12x3,
@@ -221,7 +221,7 @@ def test_generic_chained_stage_s2():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(q1), rtol=1e-12, atol=1e-12)
 
 
-@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 2, 3)])
+@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 2, 3), (16, 4, 2)])
 def test_pert_kernel_matches_xla_pert(nel_h, nel_v, s):
     """Perturbation-form 3D mega kernel (base planes/halos + delta math) vs
     the jnp perturbation core: exact algebra in f64, and delta-state RK

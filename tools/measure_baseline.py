@@ -134,6 +134,18 @@ def time_euler3d_epi2_step(nel_h=12, nel_v=3, num_solpts=2, ztop=10000.0, steps=
     return {"seconds_per_step": sec, "steps_per_s": 1.0 / sec}
 
 
+def time_euler3d_ros2_step(nel_h=12, nel_v=3, num_solpts=2, ztop=10000.0, steps=2):
+    """Reference Ros2+FGMRES seconds/step on dcmip31 (the reference's other
+    canonical operating mode, tests/rhs_benchmark configs there)."""
+    from ref_harness import reference_euler3d_ros2_steps
+
+    t0 = time.perf_counter()
+    reference_euler3d_ros2_steps(31, nel_h, nel_v, num_solpts, ztop, 30.0, steps,
+                                 tolerance=1e-7, gmres_restart=30)
+    sec = (time.perf_counter() - t0) / steps
+    return {"seconds_per_step": sec, "steps_per_s": 1.0 / sec}
+
+
 def main():
     import platform
 
@@ -144,6 +156,7 @@ def main():
         "sw_case6_rhs_nel64": time_sw_rhs(6, 64, 3, iters=5),
         "euler3d_dcmip31_rhs": time_euler3d_rhs(31, 12, 3, 2),  # config/dcmip31.ini:58-65
         "euler3d_dcmip31_epi2": time_euler3d_epi2_step(12, 3, 2),
+        "euler3d_dcmip31_ros2": time_euler3d_ros2_step(12, 3, 2),
     }
     path = os.path.join(os.path.dirname(__file__), "..", "BASELINE_MEASURED.json")
     with open(path, "w") as f:

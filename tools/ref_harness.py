@@ -487,6 +487,86 @@ def reference_euler3d_epi_steps(
     return np.stack(results, axis=2)  # (num_steps, nv, 6, ...)
 
 
+def reference_euler3d_ros2_steps(
+    case_number: int,
+    nel_h: int,
+    nel_v: int,
+    num_solpts: int,
+    ztop: float,
+    dt: float,
+    num_steps: int,
+    tolerance: float = 1e-7,
+    gmres_restart: int = 30,
+):
+    """Run the reference Ros2 integrator (integrators/ros2.py there:
+    FGMRES on (I - dt/2 J)) for `num_steps` steps on a 3D Euler case.
+    Returns the global state after each step."""
+    _install_fake_modules()
+
+    def tile_run(rank):
+        from types import SimpleNamespace
+
+        from mpi4py import MPI
+
+        import device as device_mod
+
+        dev = device_mod.CpuDevice(MPI.COMM_WORLD)
+
+        from process_topology import ProcessTopology
+
+        ptopo = ProcessTopology(dev)
+
+        param = SimpleNamespace(
+            case_number=case_number,
+            depth_approx="shallow",
+            filter_apply=False,
+            expfilter_apply=False,
+            apply_sponge=False,
+            num_elements_horizontal=nel_h,
+            num_elements_vertical=nel_v,
+            num_solpts=num_solpts,
+            ztop=ztop,
+            dt=dt,
+            t_end=dt * num_steps,
+            tolerance=tolerance,
+            jacobian_method="complex",
+            time_integrator="ros2",
+            gmres_restart=gmres_restart,
+            linear_solver="fgmres",
+            verbose_solver=0,
+        )
+
+        from geometry.cubed_sphere_3d import CubedSphere3D
+        from geometry.metric3d import Metric3DTopo
+        from geometry.operators import DFROperators
+
+        geom = CubedSphere3D(nel_h, nel_v, num_solpts, 0.0, 0.0, 0.0, ztop, ptopo, param, dev)
+        mtrx = DFROperators(geom, param, dev)
+        metric = Metric3DTopo(geom, mtrx)
+
+        from init.initialize import initialize_euler
+
+        Q, _topo = initialize_euler(geom, metric, mtrx, param)
+
+        from pde.pde_euler_cubesphere import PDEEulerCubesphere
+        from rhs.rhs_dfr import RHSDirecFluxReconstruction_mpi
+
+        pde = PDEEulerCubesphere(geom, param, metric)
+        rhs_fn = RHSDirecFluxReconstruction_mpi(pde, geom, mtrx, metric, None, ptopo, param, Q.shape)
+
+        from integrators.ros2 import Ros2
+
+        stepper = Ros2(param, rhs_fn, device=dev)
+        states = []
+        for _ in range(num_steps):
+            Q = stepper.step(Q, dt)
+            states.append(np.asarray(Q).copy())
+        return np.stack(states)
+
+    results = run_lockstep(6, tile_run)
+    return np.stack(results, axis=2)  # (num_steps, nv, 6, ...)
+
+
 def reference_sw_steps(case_number: int, nel_per_tile: int, num_solpts: int,
                        dt: float, num_steps: int):
     """Run the reference SW model for `num_steps` TVD-RK3 steps

@@ -740,7 +740,7 @@ def make_rhs_euler_cubesphere(
 
     con = pe3.build_constants(ops, metric, nel_h, nel_v, s, dtype=dtype)
     hops = pe3.build_halo_ops(ops, topology, s, dtype=dtype)
-    ty = pe3.pick_ty(s, nel_h, nel_v)
+    _g, ty, _rowpad = pe3.grid_plan(s, nel_h, nel_v)
     interp = jax.default_backend() != "tpu"
 
     pbase = None

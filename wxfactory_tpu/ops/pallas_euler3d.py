@@ -69,15 +69,20 @@ IDX_RHO_THETA = 4
 
 def pick_g3(num_solpts: int, nel_h: int, nel_v: int = None):
     """Elements-per-row packing g with g | nel_h that fits the state
-    (g*s^3 <= 128) and the split trace layout (g*2*s^2 <= 64), preferring
-    the largest g. With ``nel_v`` given, g is co-optimized with the y-slab
-    height: a g whose blocks admit NO Mosaic-legal ty (ty*nel_v*(nel_h/g)
-    % 8 != 0 for every ty | nel_h) is skipped in favor of a smaller one —
-    e.g. (s=2, 30^3) needs g=5/ty=2, not the greedy g=6 (no valid ty)."""
+    (g*s^3 <= 128) and one face family per 128-lane trace register
+    (g*2*s^2 <= 128), preferring the largest g. When the packing exceeds
+    the half-register bound (g*2s^2 > 64) the pipeline switches to the
+    SPLIT trace layout — separate x and y face registers
+    (is_split_layout) — which is what lets s=2 fill 16 elements/row
+    (128/128 state lanes, r3 ran 40-48) and s=3 reach 4 (108/128 vs 81).
+    With ``nel_v`` given, g is co-optimized with the y-slab height: a g
+    whose blocks admit NO Mosaic-legal ty (ty*nel_v*(nel_h/g) % 8 != 0 for
+    every ty | nel_h) is skipped in favor of a smaller one — e.g.
+    (s=2, 30^3) needs g=15/ty=2, not a g with no valid ty."""
     s = num_solpts
     if s**3 > 128:
         return None
-    cap = min(128 // s**3, 64 // (2 * s * s))
+    cap = min(128 // s**3, 64 // (s * s))
     fallback = None
     for g in range(min(cap, nel_h), 0, -1):
         if nel_h % g:
@@ -92,16 +97,56 @@ def pick_g3(num_solpts: int, nel_h: int, nel_v: int = None):
     return fallback
 
 
+def is_split_layout(num_solpts: int, g: int) -> bool:
+    """True when the x/y face traces need SEPARATE 128-lane registers
+    (g*2s^2 > 64): each family then uses lanes [0, g*2s^2) of its own
+    register instead of sharing one register at a 64-lane offset."""
+    return g * 2 * num_solpts * num_solpts > 64
+
+
+_PANEL_ROWS_BUDGET = 1024  # whole-panel blocks: VMEM row cap per block
+
+
+def grid_plan(num_solpts: int, nel_h: int, nel_v: int):
+    """(g, ty, rowpad) of the grid (km3_fused) pipeline, or None.
+
+    Prefers the y-slab decomposition (rowpad = 0, Mosaic-legal ty) at the
+    maximum packing g. When the divisibility constraint would force a
+    smaller g (e.g. canonical dcmip31 12x12x3 at s=2: ty-compatible g = 6 =
+    48/128 lanes, but g = 12 = 96/128 has no legal ty) — or no ty exists at
+    all (s=4 at 15^3) — it switches to WHOLE-PANEL blocks with the rows
+    padded to a multiple of 8 (the km3_tile row-padding mechanism,
+    dims["rows"]), as long as the panel fits the VMEM row budget."""
+    s = num_solpts
+    if s**3 > 128:
+        return None
+    g_free = pick_g3(s, nel_h)
+    if g_free is None:
+        return None
+    g_ty = pick_g3(s, nel_h, nel_v)
+    ty = pick_ty(s, nel_h, nel_v)
+    if g_ty is not None and ty is not None and g_ty >= g_free:
+        return g_ty, ty, 0
+    rows6 = nel_h * nel_v * (nel_h // g_free)
+    Rp6 = -(-rows6 // 8) * 8
+    if Rp6 > _PANEL_ROWS_BUDGET:
+        # Whole-panel blocks too big; fall back to the slab decomposition
+        # when one exists.
+        if g_ty is not None and ty is not None:
+            return g_ty, ty, 0
+        return None
+    return g_free, nel_h, Rp6 - rows6
+
+
 def supported(num_solpts: int, nel_h: int, nel_v: int, nvar: int, dtype) -> bool:
     """Shapes/dtypes the fused 3D pipeline handles; others fall back to XLA.
 
-    Needs a row packing g | nel_h with g*s^3 <= 128 and g*2s^2 <= 64, plus
-    a y-slab height ty | nel_h whose block rows ty*nel_v*(nel_h/g) tile the
-    (8, 128) layout. float64 only off-TPU (interpret mode)."""
+    Needs a grid plan (grid_plan): either a y-slab decomposition whose
+    block rows tile the (8, 128) layout, or whole-panel blocks with padded
+    rows. float64 only off-TPU (interpret mode)."""
     if nvar != 5 or not (2 <= num_solpts <= 5):
         return False
-    g = pick_g3(num_solpts, nel_h, nel_v)
-    if g is None or pick_ty(num_solpts, nel_h, nel_v) is None:
+    if grid_plan(num_solpts, nel_h, nel_v) is None:
         return False
     if dtype in (jnp.float32, np.float32):
         return True
@@ -134,56 +179,95 @@ def pick_ty(num_solpts: int, nel_h: int, nel_v: int, vmem_budget_rows: int = 128
 
 
 def _pk(num_solpts: int, nel_h: int, nel_v: int = None, g: int = None):
+    """(s, g, s^3, nxp, rowpad) of the packing. With ``nel_v`` given the
+    grid plan decides g AND the per-panel row padding (whole-panel-block
+    mode); an explicit ``g`` (the tile path, which pads its own rows) or a
+    missing nel_v means rowpad 0."""
     s = num_solpts
-    if g is None:
-        g = pick_g3(s, nel_h, nel_v)
-    return s, g, s**3, nel_h // g
+    if g is not None:
+        return s, g, s**3, nel_h // g, 0
+    if nel_v is None:
+        g = pick_g3(s, nel_h)
+        return s, g, s**3, nel_h // g, 0
+    g, _ty, rowpad = grid_plan(s, nel_h, nel_v)
+    return s, g, s**3, nel_h // g, rowpad
 
 
-def pack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4, g: int = None) -> np.ndarray:
-    """Model layout (..., 6, nk, ny, nx, s^3) -> packed (..., R, 128)."""
-    s, g, s3, nxp = _pk(s, nel_h, nel_v, g)
+def _pad_panel_rows(b, rowpad: int, fill=None, xp=np):
+    """(..., 6, rows6, 128) -> (..., 6, rows6+rowpad, 128): append pad rows
+    per panel (NaN-safe fill per leading variable when given)."""
+    if rowpad == 0:
+        return b
+    shape = b.shape[:-2] + (rowpad, LANES)
+    if fill is None:
+        pad = xp.zeros(shape, b.dtype)
+    else:
+        f = xp.asarray(fill, b.dtype).reshape((len(fill),) + (1,) * (len(shape) - 1))
+        pad = xp.broadcast_to(f, shape)
+    return xp.concatenate([b, pad], axis=-2)
+
+
+def pack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4, g: int = None,
+              rowpad: int = None) -> np.ndarray:
+    """Model layout (..., 6, nk, ny, nx, s^3) -> packed (..., R, 128).
+    ``rowpad`` overrides the grid plan's per-panel row padding (used by
+    build_constants, which also takes an explicit g)."""
+    s, g, s3, nxp, rp = _pk(s, nel_h, nel_v, g)
+    if rowpad is not None:
+        rp = rowpad
     lead = a.shape[:-5]
     b = np.moveaxis(a, -4, -3)  # (..., 6, ny, nk, nx, s3)
     b = b.reshape(lead + (6, nel_h, nel_v, nxp, g * s3))
     pad = np.zeros(lead + (6, nel_h, nel_v, nxp, 128 - g * s3), b.dtype)
-    return np.concatenate([b, pad], axis=-1).reshape(lead + (6 * nel_h * nel_v * nxp, LANES))
+    b = np.concatenate([b, pad], axis=-1).reshape(lead + (6, nel_h * nel_v * nxp, LANES))
+    b = _pad_panel_rows(b, rp, xp=np)
+    return b.reshape(lead + (6 * b.shape[-2], LANES))
 
 
 def unpack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4) -> np.ndarray:
     """Packed (..., R, 128) -> model layout (..., 6, nk, ny, nx, s^3)."""
-    s, g, s3, nxp = _pk(s, nel_h, nel_v)
+    s, g, s3, nxp, rp = _pk(s, nel_h, nel_v)
     lead = a.shape[:-2]
-    b = a.reshape(lead + (6, nel_h, nel_v, nxp, LANES))[..., : g * s3]
+    b = a.reshape(lead + (6, nel_h * nel_v * nxp + rp, LANES))
+    b = b[..., : nel_h * nel_v * nxp, : g * s3]
     b = b.reshape(lead + (6, nel_h, nel_v, nxp * g, s3))
     b = np.moveaxis(b, -3, -4) if isinstance(a, np.ndarray) else jnp.moveaxis(b, -3, -4)
     return b
 
 
 def pack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
-    s, g, s3, nxp = _pk(s, nel_h, nel_v)
+    s, g, s3, nxp, rp = _pk(s, nel_h, nel_v)
     lead = a.shape[:-5]
     b = jnp.moveaxis(a, -4, -3).reshape(lead + (6, nel_h, nel_v, nxp, g * s3))
     pad = jnp.zeros(lead + (6, nel_h, nel_v, nxp, 128 - g * s3), b.dtype)
-    return jnp.concatenate([b, pad], axis=-1).reshape(lead + (6 * nel_h * nel_v * nxp, LANES))
+    b = jnp.concatenate([b, pad], axis=-1).reshape(lead + (6, nel_h * nel_v * nxp, LANES))
+    b = _pad_panel_rows(b, rp, xp=jnp)
+    return b.reshape(lead + (6 * b.shape[-2], LANES))
 
 
 def pack_state_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
-    """pack_rows_jnp for a (5, ...) STATE: pads filled NaN-safely
-    (rho/rho*theta = 1, momenta = 0)."""
-    s_, g, s3, nxp = _pk(s, nel_h, nel_v)
+    """pack_rows_jnp for a (5, ...) STATE: lane AND panel-row pads filled
+    NaN-safely (rho/rho*theta = 1, momenta = 0)."""
+    s_, g, s3, nxp, rp = _pk(s, nel_h, nel_v)
     qp = pack_rows_jnp(a, nel_h, nel_v, s)
-    if g * s3 == 128:
+    if g * s3 == 128 and rp == 0:
         return qp
-    lane = jnp.arange(LANES) >= g * s3
+    rows6p = nel_h * nel_v * nxp + rp
+    lanepad = jnp.arange(LANES) >= g * s3
+    rowmask = jnp.arange(rows6p) >= (rows6p - rp) if rp else None
+    mask = jnp.broadcast_to(lanepad[None, :], (rows6p, LANES))
+    if rp:
+        mask = mask | rowmask[:, None]
+    mask = jnp.tile(mask, (6, 1))
     fill = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0], qp.dtype)[:, None, None]
-    return jnp.where(lane[None, None, :], fill, qp)
+    return jnp.where(mask[None, :, :], fill, qp)
 
 
 def unpack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
-    s, g, s3, nxp = _pk(s, nel_h, nel_v)
+    s, g, s3, nxp, rp = _pk(s, nel_h, nel_v)
     lead = a.shape[:-2]
-    b = a.reshape(lead + (6, nel_h, nel_v, nxp, LANES))[..., : g * s3]
+    b = a.reshape(lead + (6, nel_h * nel_v * nxp + rp, LANES))
+    b = b[..., : nel_h * nel_v * nxp, : g * s3]
     b = b.reshape(lead + (6, nel_h, nel_v, nxp, g, s3))
     b = b.reshape(lead + (6, nel_h, nel_v, nel_h, s3))
     return jnp.moveaxis(b, -3, -4).reshape(lead + (6, nel_v, nel_h, nel_h, s3))
@@ -207,17 +291,23 @@ class E3Constants(NamedTuple):
     wpres_int: jnp.ndarray  # sum_d (sqrtG h^{d3}) @ D_d (constant interior term)
     tch: tuple | None  # 9 full-size time Christoffels (rotating planets)
     # interface metric in slot layout, single panel
-    itf_xy: tuple  # (sg, hd, h0, h1, h2) each (R6, 128)
-    itf_z: tuple  # (sg, hd, h0, h1, h2) each (R6, 128), lanes 0..63
+    itf_xy: tuple  # (sg, hd, h0, h1, h2) each (R6, 128); x-only in split mode
+    itf_z: tuple  # (sg, hd, h0, h1, h2) each (R6, 128), lanes 0..T
     # operator matrices
-    e_xy: jnp.ndarray  # (128, 128) state row -> x|y face traces
-    e_z: jnp.ndarray  # (128, 128) state row -> z face traces (lanes 0..63)
+    e_xy: jnp.ndarray  # (128, 128) state row -> x|y face traces (x-only in split)
+    e_z: jnp.ndarray  # (128, 128) state row -> z face traces (lanes 0..T)
     dd: jnp.ndarray  # (384, 128) [fx|fy|fz] -> x+y+z divergence sum
     dlp: jnp.ndarray  # (128, 384) logp -> per-direction interior gradient
-    corr: jnp.ndarray  # (256, 128) [xy-slot|z-slot] face fluxes -> correction sum
-    lfc_xy: jnp.ndarray  # (128, 384) xy-slot face logp -> per-direction correction
+    corr: jnp.ndarray  # (256|384, 128) [xy|z] (or [x|y|z]) face fluxes -> correction
+    lfc_xy: jnp.ndarray  # (128, 384) xy-slot (or x-slot) face logp -> per-dir corr
     lfc_z: jnp.ndarray  # (128, 384) z-slot face logp -> per-direction correction
     hfk: jnp.ndarray  # (128, 128) block-diag highfilter_k (gravity)
+    # SPLIT trace layout (is_split_layout: g*2s^2 > 64) — the x and y face
+    # families each get a full 128-lane register; these hold the y family's
+    # counterparts (None in the combined layout).
+    e_y: jnp.ndarray = None  # (128, 128) state row -> y face traces
+    lfc_y: jnp.ndarray = None  # (128, 384) y-slot face logp -> d=1 correction
+    itf_y: tuple = None  # y-family interface metric, (R6, 128) each
 
 
 def _bdg(a: np.ndarray, g: int, lanes: int = LANES) -> np.ndarray:
@@ -234,11 +324,14 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
     """Precompute every constant array of the fused 3D pipeline (host).
     ``g`` overrides the row packing (the single-tile path uses tile_plan's
     packing, which has no y-slab divisibility constraint)."""
-    G = pick_g3(s, nel_h, nel_v) if g is None else g
+    if g is None:
+        G, _ty, rowpad = grid_plan(s, nel_h, nel_v)
+    else:
+        G, rowpad = g, 0
     SS, S3 = s * s, s**3
     TSS = 2 * SS  # trace lanes per element per family
     nxp = nel_h // G
-    rows6 = nel_h * nel_v * nxp  # rows per panel
+    rows6 = nel_h * nel_v * nxp  # rows per panel (excluding row pads)
     f64 = lambda a: np.asarray(a, np.float64)
 
     # --- operator matrices -------------------------------------------------
@@ -246,12 +339,17 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
     dx3, dy3, dz3 = f64(ops.derivative_x3), f64(ops.derivative_y3), f64(ops.derivative_z3)
     cwe, csn, cdu = f64(ops.correction_WE3), f64(ops.correction_SN3), f64(ops.correction_DU3)
 
-    e_xy = np.zeros((LANES, LANES))
+    split = is_split_layout(s, G)
+    yoff = 0 if split else 64  # y-family lane offset within its register
+
+    e_xy = np.zeros((LANES, LANES))  # x-only when split
+    e_y_m = np.zeros((LANES, LANES)) if split else None
     e_z = np.zeros((LANES, LANES))
     for g in range(G):
         sl = slice(g * S3, (g + 1) * S3)
         e_xy[sl, g * TSS : (g + 1) * TSS] = ex3  # west|east
-        e_xy[sl, 64 + g * TSS : 64 + (g + 1) * TSS] = ey3  # south|north
+        ytgt = e_y_m if split else e_xy
+        ytgt[sl, yoff + g * TSS : yoff + (g + 1) * TSS] = ey3  # south|north
         e_z[sl, g * TSS : (g + 1) * TSS] = ez3  # down|up
 
     dd = np.zeros((3 * LANES, LANES))
@@ -264,17 +362,22 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
         for d, m in enumerate((dx3, dy3, dz3)):
             dlp[g * S3 : (g + 1) * S3, d * LANES + g * S3 : d * LANES + (g + 1) * S3] = m
 
-    # Correction: input [xy-slot row | z-slot row] (256 lanes), output s^3.
-    corr = np.zeros((2 * LANES, LANES))
+    # Correction GEMM: input [xy-slot row | z-slot row] (256 lanes) in the
+    # combined layout, [x | y | z] (384) in the split layout; output s^3.
+    corr = np.zeros(((3 if split else 2) * LANES, LANES))
     lfc_xy = np.zeros((LANES, 3 * LANES))
+    lfc_y_m = np.zeros((LANES, 3 * LANES)) if split else None
     lfc_z = np.zeros((LANES, 3 * LANES))
+    ycorr = LANES if split else 0  # y block offset in corr's input rows
+    zcorr = 2 * LANES if split else LANES
     for g in range(G):
         out = slice(g * S3, (g + 1) * S3)
         corr[g * TSS : (g + 1) * TSS, out] = cwe
-        corr[64 + g * TSS : 64 + (g + 1) * TSS, out] = csn
-        corr[LANES + g * TSS : LANES + (g + 1) * TSS, out] = cdu
+        corr[ycorr + yoff + g * TSS : ycorr + yoff + (g + 1) * TSS, out] = csn
+        corr[zcorr + g * TSS : zcorr + (g + 1) * TSS, out] = cdu
         lfc_xy[g * TSS : (g + 1) * TSS, 0 * LANES + g * S3 : 0 * LANES + (g + 1) * S3] = cwe
-        lfc_xy[64 + g * TSS : 64 + (g + 1) * TSS, 1 * LANES + g * S3 : 1 * LANES + (g + 1) * S3] = csn
+        ylfc = lfc_y_m if split else lfc_xy
+        ylfc[yoff + g * TSS : yoff + (g + 1) * TSS, 1 * LANES + g * S3 : 1 * LANES + (g + 1) * S3] = csn
         lfc_z[g * TSS : (g + 1) * TSS, 2 * LANES + g * S3 : 2 * LANES + (g + 1) * S3] = cdu
 
     hfk = _bdg(f64(ops.highfilter_k), G)
@@ -309,7 +412,10 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
         tch = None
     else:
         tch = tuple(
-            jnp.asarray(pack_rows(tch_np[a, b], nel_h, nel_v, s, g=G), dtype=dtype)
+            # Full-size per-panel field: row-padded alongside the state so
+            # tch blocks align in whole-panel (rowpad > 0) mode.
+            jnp.asarray(pack_rows(tch_np[a, b], nel_h, nel_v, s, g=G, rowpad=rowpad),
+                        dtype=dtype)
             for a in range(3)
             for b in range(3)
         )
@@ -323,12 +429,12 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
     wpres_int = panel0(wp)
 
     # --- interface metric in trace-slot layout ------------------------------
-    def slot_xy(m_i, m_j):
-        """m_i: (nk, ny, nx+1, ss) x-interfaces, m_j: (nk, ny+1, nx, ss) of
-        panel 0 -> (rows6, 128) slot layout. Every element's west/south slot
-        carries its west/south interface metric, its east/north ("h2") slot
-        the east/north one — panel edges AND interior y-slab boundaries read
-        the h2 slots. Pads stay 1.0 (safe under sqrt/divide)."""
+    def slot_x(m_i):
+        """m_i: (nk, ny, nx+1, ss) x-interfaces of panel 0 -> (rows6, 128)
+        x-register slots. Every element's west slot carries its west
+        interface metric, its east ("h2") slot the east one — panel edges
+        AND interior y-slab boundaries read the h2 slots. Pads stay 1.0
+        (safe under sqrt/divide)."""
         out = np.ones((rows6, LANES))
         for ky in range(nel_h):
             for kz in range(nel_v):
@@ -339,9 +445,26 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
                         b = g * TSS
                         out[row, b : b + SS] = m_i[kz, ky, ex]  # west itf
                         out[row, b + SS : b + TSS] = m_i[kz, ky, ex + 1]  # east itf
-                        out[row, 64 + b : 64 + b + SS] = m_j[kz, ky, ex]  # south
-                        out[row, 64 + b + SS : 64 + b + TSS] = m_j[kz, ky + 1, ex]  # north
         return out
+
+    def slot_y(m_j, out=None):
+        """m_j: (nk, ny+1, nx, ss) y-interfaces -> y-register slots at lane
+        offset ``yoff`` (their own register when split, upper half of the
+        shared register otherwise)."""
+        out = np.ones((rows6, LANES)) if out is None else out
+        for ky in range(nel_h):
+            for kz in range(nel_v):
+                for x2 in range(nxp):
+                    row = (ky * nel_v + kz) * nxp + x2
+                    for g in range(G):
+                        ex = G * x2 + g
+                        b = yoff + g * TSS
+                        out[row, b : b + SS] = m_j[kz, ky, ex]  # south
+                        out[row, b + SS : b + TSS] = m_j[kz, ky + 1, ex]  # north
+        return out
+
+    def slot_xy(m_i, m_j):
+        return slot_y(m_j, out=slot_x(m_i))
 
     def slot_z(m_k):
         """m_k: (nk+1, ny, nx, ss) -> (rows6, 128), lanes g*2ss+[d|u]*ss+k."""
@@ -372,13 +495,14 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
     hj = lambda a, b: p0_itf(metric.h_contra_itf_j[a, b], scale=hsc_j)
     hk = lambda a, b: p0_itf(metric.h_contra_itf_k[a, b], scale=hsc_k)
 
-    itf_xy = (
-        slot_xy(sg_i, sg_j),
-        slot_xy(hi(0, 0), hj(1, 1)),
-        slot_xy(hi(0, 0), hj(1, 0)),
-        slot_xy(hi(0, 1), hj(1, 1)),
-        slot_xy(hi(0, 2), hj(1, 2)),
-    )
+    x_pairs = ((sg_i, sg_j), (hi(0, 0), hj(1, 1)), (hi(0, 0), hj(1, 0)),
+               (hi(0, 1), hj(1, 1)), (hi(0, 2), hj(1, 2)))
+    if split:
+        itf_xy = tuple(slot_x(mi) for mi, _ in x_pairs)
+        itf_y = tuple(slot_y(mj) for _, mj in x_pairs)
+    else:
+        itf_xy = tuple(slot_xy(mi, mj) for mi, mj in x_pairs)
+        itf_y = None
     itf_z = (
         slot_z(sg_k),
         slot_z(hk(2, 2)),
@@ -395,6 +519,9 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
         itf_xy=ct(itf_xy), itf_z=ct(itf_z),
         e_xy=c(e_xy), e_z=c(e_z), dd=c(dd), dlp=c(dlp), corr=c(corr),
         lfc_xy=c(lfc_xy), lfc_z=c(lfc_z), hfk=c(hfk),
+        e_y=(c(e_y_m) if split else None),
+        lfc_y=(c(lfc_y_m) if split else None),
+        itf_y=(ct(itf_y) if split else None),
     )
 
 
@@ -468,20 +595,49 @@ def _km3_body(
     dtype = q.dtype
     f = lambda v: jnp.asarray(v, dtype)
 
+    # Trace layout: combined (x lanes [0, 64) | y lanes [64, 128) of ONE
+    # register, T = G*TSS <= 64) or SPLIT (g*2s^2 > 64): the x and y face
+    # families are stacked along ROWS — a (2*Rp, 128) array with x rows
+    # first — and each family uses lanes [0, T) of its own register. All
+    # row rolls wrap within the stacked array; every cross-half wrap lands
+    # on positions the masks overwrite (the same argument that covers the
+    # combined layout's own wraps).
+    split = is_split_layout(s, G)
+    Rt = 2 * Rp if split else Rp
+
     # All index math stays strictly int32 via lax ops: Python-int floor
     # division would promote through int64/f32 converts that Mosaic cannot
     # lower (its convert rule recurses).
     i32 = jnp.int32
     lane = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 0)
-    is_x = lane < 64
-    # Face parity on HALF-relative lanes (the y family starts at lane 64,
-    # a multiple of 2*s^2 only for s in {2, 4}).
-    lrel = jnp.where(is_x, lane, lane - 64)
+
+    # --- state-register masks (interior + z family, shape (Rp, 128)) ------
+    lo_half_s = jax.lax.rem(lane, i32(TSS)) < SS
+    in_fam_s = lane < T
+    zd = lo_half_s & in_fam_s
+    zu = (~lo_half_s) & in_fam_s
+    kz_s = jax.lax.rem(jax.lax.div(row, i32(nxp)), i32(nk))
+    kz0 = kz_s == 0
+    kztop = kz_s == nk - 1
+
+    # --- xy-trace-register masks (shape (Rt, 128)) ------------------------
+    if split:
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (Rt, LANES), 1)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (Rt, LANES), 0)
+        is_x = srow < Rp
+        rrow = jnp.where(is_x, srow, srow - Rp)
+        lrel = lane_t
+    else:
+        srow = row
+        is_x = lane < 64
+        rrow = srow
+        # Face parity on HALF-relative lanes (the y family starts at lane
+        # 64, a multiple of 2*s^2 only for s in {2, 4}).
+        lrel = jnp.where(is_x, lane, lane - 64)
     lo_half = jax.lax.rem(lrel, i32(TSS)) < SS
-    x2 = jax.lax.rem(row, i32(nxp))
-    kz = jax.lax.rem(jax.lax.div(row, i32(nxp)), i32(nk))
-    kyl = jax.lax.div(row, i32(nkxp))
+    x2 = jax.lax.rem(rrow, i32(nxp))
+    kyl = jax.lax.div(rrow, i32(nkxp))
 
     in_fam = lrel < T  # used trace lanes (the rest is zero padding)
     xw = is_x & lo_half & in_fam
@@ -496,18 +652,25 @@ def _km3_body(
     north_edge = last_ky & (ytile == n_ytiles - 1)
     west_col = x2 == 0
     east_col = x2 == nxp - 1
-    kz0 = kz == 0
-    kztop = kz == nk - 1
 
     mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=dtype)
 
     # --- extrapolation to faces (rho, rho*theta in log space) -------------
     def traces_raw(rows_in):
         big = jnp.concatenate(rows_in, axis=0)
-        t_xy = mm(big, con["e_xy"])
         t_z = mm(big, con["e_z"])
         n = rows_in[0].shape[0]
         sp = lambda t: [t[i * n : (i + 1) * n] for i in range(5)]
+        if split:
+            # Separate x / y family GEMMs, stacked along rows per variable.
+            t_x = mm(big, con["e_xy"])
+            t_y = mm(big, con["e_y"])
+            t_xy = [
+                jnp.concatenate([t_x[i * n : (i + 1) * n], t_y[i * n : (i + 1) * n]], axis=0)
+                for i in range(5)
+            ]
+            return t_xy, sp(t_z)
+        t_xy = mm(big, con["e_xy"])
         return sp(t_xy), sp(t_z)
 
     def traces(rows_in):
@@ -544,12 +707,22 @@ def _km3_body(
         trp, _ = dtraces(qprev, base["q0prev"], trp0, None)
         trn, _ = dtraces(qnext, base["q0next"], trn0, None)
 
-    pad_lead = lambda a: jnp.pad(a, ((0, Rp - a.shape[0]), (0, 0)))
-    # pad_tail places rows at the REAL tail [Rb - n, Rb) (north masks cover
-    # exactly those rows), with any whole-tile pad rows after.
-    pad_tail = lambda a: jnp.pad(a, ((Rb - a.shape[0], Rp - Rb), (0, 0)))
-    # (ty*nk, 128) -> (Rp, 128)
-    rep = lambda a: jnp.pad(jnp.repeat(a, nxp, axis=0), ((0, Rp - Rb), (0, 0)))
+    # pyl places an (nkxp,)-row array at the y-family's LEADING rows of the
+    # xy-register layout; pyt at the REAL tail [Rb - n, Rb) (north masks
+    # cover exactly those rows), with any whole-tile pad rows after. The
+    # *_tr variants take a trace array (which carries an x half in split
+    # mode) and keep only its y-family rows.
+    if split:
+        pyl = lambda a: jnp.pad(a, ((Rp, Rp - a.shape[0]), (0, 0)))
+        pyt = lambda a: jnp.pad(a, ((Rp + Rb - a.shape[0], Rp - Rb), (0, 0)))
+        pyl_tr = lambda a: pyl(a[a.shape[0] // 2 :])
+        pyt_tr = lambda a: pyt(a[a.shape[0] // 2 :])
+    else:
+        pyl = lambda a: jnp.pad(a, ((0, Rp - a.shape[0]), (0, 0)))
+        pyt = lambda a: jnp.pad(a, ((Rb - a.shape[0], Rp - Rb), (0, 0)))
+        pyl_tr, pyt_tr = pyl, pyt
+    # (ty*nk, 128) -> (Rt, 128) (x-family rows; y rows never selected)
+    rep = lambda a: jnp.pad(jnp.repeat(a, nxp, axis=0), ((0, Rt - Rb), (0, 0)))
 
     # --- L/R interface states ---------------------------------------------
     b80 = np.int32((128 - (T - SS)) % 128)  # prev-row last-group east -> g0 west
@@ -564,20 +737,20 @@ def _km3_body(
             t = tr_[v]
             lx = jnp.where(lrel < SS, roll(roll(t, 1, 0), b80, 1), roll(t, bss, 1))
             ly = roll(roll(t, nkxp, 0), mss, 1)
-            ly = jnp.where(first_ky, pad_lead(roll(trp_[v], mss, 1)), ly)
+            ly = jnp.where(first_ky, pyl_tr(roll(trp_[v], mss, 1)), ly)
             l = jnp.where(is_x, lx, ly)
             hwe_v = rep(hwe_[v])
             # Only the g0 element's west slot (lanes 0..ss-1) sits on the
             # panel boundary; other groups' west interfaces are row-interior.
             l = jnp.where(is_x & (lrel < SS) & west_col, hwe_v, l)
-            l = jnp.where(ys & south_edge, pad_lead(hs_[v]), l)
+            l = jnp.where(ys & south_edge, pyl(hs_[v]), l)
             # h2 slots: east/north boundary interfaces — L is the element's
             # own east/north face (already in place).
             l = jnp.where(east_b | north_b, t, l)
             r = t
             r = jnp.where(east_b, hwe_v, r)
-            rn = pad_tail(roll(trn_[v], bss, 1))
-            r = jnp.where(north_b, jnp.where(north_edge, pad_tail(hn_[v]), rn), r)
+            rn = pyt_tr(roll(trn_[v], bss, 1))
+            r = jnp.where(north_b, jnp.where(north_edge, pyt(hn_[v]), rn), r)
             L_xy.append(l)
             R_xy.append(r)
 
@@ -586,7 +759,7 @@ def _km3_body(
             # Ground mirror (kz=0 down slots) and rigid-lid h2 (kz=nk-1 up
             # slots): L is the element's own face; the flipped normal speed
             # is applied below (reference pde_euler_cubesphere.py:150-156).
-            lz = jnp.where((is_x & lo_half & kz0) | (is_x & ~lo_half & kztop), tz, lz)
+            lz = jnp.where((zd & kz0) | (zu & kztop), tz, lz)
             L_z.append(lz)
             R_z.append(tz)
         return L_xy, R_xy, L_z, R_z
@@ -596,9 +769,6 @@ def _km3_body(
         L0_xy, R0_xy, L0_z, R0_z = assemble(
             tr0, trz0, trp0, trn0, base["hwe0"], base["hs0"], base["hn0"]
         )
-
-    zd = is_x & lo_half & in_fam
-    zu = is_x & ~lo_half & in_fam
 
     # --- Rusanov at every slot (both xy families in one pass; z its own) ---
     def rusanov(L, R, msg, mhd, mh0, mh1, mh2, vnL, vnR):
@@ -657,7 +827,15 @@ def _km3_body(
         dflux[3] = dflux[3] + mh2 * dpsum
         return dflux, dwadv, mh2 * dpsum, mh2 * psum0, pL0, pR0, dpL, dpR
 
-    msg, mhd, mh0, mh1, mh2 = con["itf_xy"]
+    if split:
+        # Stack the per-family interface metric to match the stacked
+        # xy-trace rows (x rows first).
+        msg, mhd, mh0, mh1, mh2 = (
+            jnp.concatenate([xa, ya], axis=0)
+            for xa, ya in zip(con["itf_xy"], con["itf_y"])
+        )
+    else:
+        msg, mhd, mh0, mh1, mh2 = con["itf_xy"]
     msgz, mhdz, mh0z, mh1z, mh2z = con["itf_z"]
     vsel_xy = lambda L: jnp.where(is_x, L[1], L[2]) / L[0]
 
@@ -700,9 +878,9 @@ def _km3_body(
 
     def fill_xy(a):
         f_g0 = roll(a, mss, 1)
-        f_g1 = roll(roll(a, Rp - 1, 0), b48, 1)
+        f_g1 = roll(roll(a, Rt - 1, 0), b48, 1)
         fe = jnp.where(g1, f_g1, f_g0)
-        fn = roll(roll(a, Rp - nkxp, 0), bss, 1)
+        fn = roll(roll(a, Rt - nkxp, 0), bss, 1)
         out = jnp.where(xe & ~keep_xe, fe, a)
         return jnp.where(yn & ~keep_yn, fn, out)
 
@@ -806,17 +984,27 @@ def _km3_body(
     dlogp = mm(dlp_point, con["dlp"])  # (Rb, 384)
 
     # --- boundary corrections (w momentum row skipped, as in the bundle) ---
-    rows6_ = [cat([Fxy[v], Fz[v]]) for v in (0, 1, 2, 4)]
-    rows6_.append(cat([wadv_xy, wadv_z]))
-    rows6_.append(cat([wpf_xy, wpf_z]))
+    # Split mode: the stacked xy arrays unstack into [x | y | z] lanes.
+    catc = (
+        (lambda a, z_: cat([a[:Rp], a[Rp:], z_])) if split else (lambda a, z_: cat([a, z_]))
+    )
+    rows6_ = [catc(Fxy[v], Fz[v]) for v in (0, 1, 2, 4)]
+    rows6_.append(catc(wadv_xy, wadv_z))
+    rows6_.append(catc(wpf_xy, wpf_z))
     if base is not None:
-        rows6_.append(cat([wpf0_xy, wpf0_z]))  # base wpres/p -> wcorr0
+        rows6_.append(catc(wpf0_xy, wpf0_z))  # base wpres/p -> wcorr0
     nrows_c = len(rows6_)
     co = mm(jnp.concatenate(rows6_, axis=0), con["corr"])
     cvr = [co[i * Rp : (i + 1) * Rp] for i in range(nrows_c)]
     cv = [cvr[0], cvr[1], cvr[2], None, cvr[3], cvr[4], cvr[5]]
 
-    dlp = dlogp + mm(lf_xy, con["lfc_xy"]) + mm(lf_z, con["lfc_z"])
+    if split:
+        lfc_sum = lambda a, z_: (
+            mm(a[:Rp], con["lfc_xy"]) + mm(a[Rp:], con["lfc_y"]) + mm(z_, con["lfc_z"])
+        )
+    else:
+        lfc_sum = lambda a, z_: mm(a, con["lfc_xy"]) + mm(z_, con["lfc_z"])
+    dlp = dlogp + lfc_sum(lf_xy, lf_z)
     dlp_x, dlp_y, dlp_z = dlp[:, :LANES], dlp[:, LANES : 2 * LANES], dlp[:, 2 * LANES :]
 
     if base is None:
@@ -832,11 +1020,7 @@ def _km3_body(
         # split expands as d[(W + c) p] = (W + c0) dp + dc p and
         # d[p sgh dlp] = p0 ddlp + dp dlp_abs (jnp core lines 538-587).
         wcorr0 = cvr[6]
-        dlp0 = (
-            mm(jnp.log(p0), con["dlp"])
-            + mm(lf0_xy, con["lfc_xy"])
-            + mm(lf0_z, con["lfc_z"])
-        )
+        dlp0 = mm(jnp.log(p0), con["dlp"]) + lfc_sum(lf0_xy, lf0_z)
         dlpa = dlp0 + dlp
         sp3 = lambda a: (a[:, :LANES], a[:, LANES : 2 * LANES], a[:, 2 * LANES :])
         dlpa_x, dlpa_y, dlpa_z = sp3(dlpa)
@@ -1018,17 +1202,26 @@ def build_halo_ops(ops, topology, s: int = 4, dtype=jnp.float32) -> HaloOps:
     return HaloOps(c(ex3[:, :SS]), c(ex3[:, SS:]), c(ey3[:, :SS]), c(ey3[:, SS:]), c(conv))
 
 
+def _grid_view(qp, nel_h, nel_v, s):
+    """Packed (5, R, 128) -> (5, 6, ny, nk, nxp, g*s3) view of the REAL
+    rows/lanes (drops per-panel row pads and lane pads)."""
+    s, G, S3, nxp, rp = _pk(s, nel_h, nel_v)
+    rows6 = nel_h * nel_v * nxp
+    v = qp.reshape(5, 6, rows6 + rp, LANES)[:, :, :rows6, : G * S3]
+    return v.reshape(5, 6, nel_h, nel_v, nxp, G * S3)
+
+
 def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: int = 4):
     """qp: (5, R, 128) packed state -> (hwe, hs, hn) kernel halo inputs.
 
     hwe: (6*n_ytiles, tynk_pad, 128) west halo at lanes [0, ss), east at
     [T-ss, T), rows (ky_local, kz) per (panel, ytile) chunk; hs/hn:
     (6, nkxp, 128) south/north halo faces in ys/yn slot lanes."""
-    s, G, S3, nxp = _pk(s, nel_h, nel_v)
+    s, G, S3, nxp, _rp = _pk(s, nel_h, nel_v)
     SS = s * s
     nk, ny = nel_v, nel_h
 
-    qv = qp.reshape(5, 6, ny, nk, nxp, LANES)[..., : G * S3]
+    qv = _grid_view(qp, nel_h, nel_v, s)
 
     def logged(strip):
         # rows (rho, u1, u2, w, rho*theta) -> log on rows 0 and 4
@@ -1059,7 +1252,7 @@ def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: i
 def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: int = 4):
     """Neighbour exchange + momentum rotation + kernel-input formatting on
     an outgoing trace pool (5, 4[S,N,W,E], 6, nk, nh, ss)."""
-    s, G, _S3, nxp = _pk(s, nel_h, nel_v)
+    s, G, _S3, nxp, _rp = _pk(s, nel_h, nel_v)
     SS = s * s
     TSS = 2 * SS
     T = G * TSS
@@ -1098,13 +1291,15 @@ def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, 
     hwe = jnp.pad(hwe, ((0, 0), (0, 0), (0, 0), (0, tynk_pad - tynk), (0, 0)))
     hwe = jnp.moveaxis(hwe, 0, 2).reshape(6 * n_ytiles, 5, tynk_pad, LANES)
 
-    # hs rows (p, kz, x2): group g's face lanes go to 64 + g*2ss + [0, ss)
-    # (ys slots); hn to the matching yn slots (+ss).
+    # hs rows (p, kz, x2): group g's face lanes go to the ys slots of the
+    # y-family register (offset 64 in the combined layout, 0 when the
+    # families are split); hn to the matching yn slots (+ss).
+    yoff = 0 if is_split_layout(s, G) else 64
     ks = np.zeros((G * SS, LANES))
     kn = np.zeros((G * SS, LANES))
     for g in range(G):
-        ks[g * SS + np.arange(SS), 64 + g * TSS + np.arange(SS)] = 1.0
-        kn[g * SS + np.arange(SS), 64 + g * TSS + SS + np.arange(SS)] = 1.0
+        ks[g * SS + np.arange(SS), yoff + g * TSS + np.arange(SS)] = 1.0
+        kn[g * SS + np.arange(SS), yoff + g * TSS + SS + np.arange(SS)] = 1.0
     sr = halo[:, 0].reshape(5, 6, nkxp, G * SS)
     nr = halo[:, 1].reshape(5, 6, nkxp, G * SS)
     hs = sr @ jnp.asarray(ks, dtype=dtype)
@@ -1121,7 +1316,7 @@ def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty:
     east at [T-ss, T) — the strided big-state gathers that make XLA
     extraction expensive. The south/north grid rows are contiguous row
     slices of ``qp``, so their (edge-sized) extrapolation stays in XLA."""
-    s, G, S3, nxp = _pk(s, nel_h, nel_v)
+    s, G, S3, nxp, _rp = _pk(s, nel_h, nel_v)
     SS = s * s
     T = G * 2 * SS
     nk, ny = nel_v, nel_h
@@ -1137,7 +1332,7 @@ def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty:
     w_pool = fmt(wst)
     e_pool = fmt(est)
 
-    qv = qp.reshape(5, 6, ny, nkxp, LANES)[..., : G * S3]
+    qv = _grid_view(qp, nel_h, nel_v, s).reshape(5, 6, ny, nkxp, G * S3)
     logged = lambda a: jnp.concatenate([jnp.log(a[0:1]), a[1:4], jnp.log(a[4:5])], axis=0)
     expd = lambda a: jnp.concatenate([jnp.exp(a[0:1]), a[1:4], jnp.exp(a[4:5])], axis=0)
     sst = qv[:, :, 0].reshape(5, 6, nk, nxp, G, S3)
@@ -1170,9 +1365,9 @@ class E3PertBase(NamedTuple):
 
 def _edge_strips(qp, nel_h, nel_v, s):
     """State views feeding the four outward-edge extrapolations."""
-    s, G, S3, nxp = _pk(s, nel_h, nel_v)
+    s, G, S3, nxp, _rp = _pk(s, nel_h, nel_v)
     nk, ny = nel_v, nel_h
-    qv = qp.reshape(5, 6, ny, nk, nxp, LANES)[..., : G * S3]
+    qv = _grid_view(qp, nel_h, nel_v, s)
     west = qv[:, :, :, :, 0, :S3]
     east = qv[:, :, :, :, -1, (G - 1) * S3 :]
     south = qv[:, :, 0].reshape(5, 6, nk, nxp, G, S3)
@@ -1187,7 +1382,7 @@ def build_pert_base(q0_64, rhs0_64, topology, ops, nel_h, nel_v, ty, s, dtype) -
     q0p = pack_state_jnp(jnp.asarray(q0_64, jnp.float64), nel_h, nel_v, s)
     rhs0p = pack_rows_jnp(jnp.asarray(rhs0_64, jnp.float64), nel_h, nel_v, s)
     hwe0, hs0, hn0 = edge_halo(q0p, topology, hops64, nel_h, nel_v, ty, s)
-    s_, G, _S3, nxp = _pk(s, nel_h, nel_v)
+    s_, G, _S3, nxp, _rp = _pk(s, nel_h, nel_v)
     SS = s_ * s_
     nk, ny = nel_v, nel_h
     west, east, south, north = _edge_strips(q0p, nel_h, nel_v, s)
@@ -1206,7 +1401,7 @@ def build_pert_base(q0_64, rhs0_64, topology, ops, nel_h, nel_v, ty, s, dtype) -
 def _delta_pools(dqp, pbase: E3PertBase, hops: HaloOps, nel_h, nel_v, s):
     """Delta outward-face trace pools: linear extrapolation for the momenta,
     t0 * expm1(E . log1p(d/base)) for the log-space rows."""
-    s_, G, _S3, nxp = _pk(s, nel_h, nel_v)
+    s_, G, _S3, nxp, _rp = _pk(s, nel_h, nel_v)
     SS = s_ * s_
     nk = nel_v
     west, east, south, north = _edge_strips(dqp, nel_h, nel_v, s)
@@ -1241,7 +1436,7 @@ def halo_from_slabs_delta(we, dqp, pbase: E3PertBase, topology, hops: HaloOps,
     """Chained-mode delta halo stage: the kernel-emitted west/east slabs
     already hold DELTA traces (the pert lwe path); the south/north rows are
     delta-extrapolated here from the packed delta state + base pools."""
-    s_, G, S3, nxp = _pk(s, nel_h, nel_v)
+    s_, G, S3, nxp, _rp = _pk(s, nel_h, nel_v)
     SS = s_ * s_
     T = G * 2 * SS
     nk, ny = nel_v, nel_h
@@ -1285,6 +1480,8 @@ def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
         "e_xy": con.e_xy, "e_z": con.e_z, "dd": con.dd, "dlp": con.dlp,
         "corr": con.corr, "lfc_xy": con.lfc_xy, "lfc_z": con.lfc_z,
         "hfk": con.hfk, "tch": tch_block,
+        "e_y": con.e_y, "lfc_y": con.lfc_y,
+        "itf_y": None if con.itf_y is None else tuple(sl(a) for a in con.itf_y),
     }
     return d
 
@@ -1295,13 +1492,19 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
     """Reference driver: run the kernel body block-by-block with jnp.roll.
     Bit-identical semantics to the pallas path; used by the parity tests.
     With ``pert``, qp carries the PERTURBATION (base-state-split form)."""
-    s, G, _S3, nxp = _pk(s, nel_h, nel_v)
+    s, G, _S3, nxp, rp = _pk(s, nel_h, nel_v)
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
     rows6 = ny * nkxp
     n_ytiles = ny // ty
     Rb = ty * nkxp
+    Rbp = Rb + rp  # whole-panel rowpad mode: blocks carry pad rows (ty = ny)
+    stride6 = rows6 + rp  # per-panel row stride in the packed arrays
     dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G}
+    if rp:
+        assert ty == ny and n_ytiles == 1, "rowpad implies whole-panel blocks"
+        dims["rows"] = Rbp
+        con = _pad_constants_rows(con._replace(tch=None), rows6, Rbp)._replace(tch=con.tch)
 
     if pert is None:
         hwe, hs, hn = edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
@@ -1311,27 +1514,27 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
     for p in range(6):
         pan = []
         for i in range(n_ytiles):
-            r0 = p * rows6 + i * Rb
-            q = qp[:, r0 : r0 + Rb]
-            pr = p * rows6 + max(i * ty - 1, 0) * nkxp
-            nx_ = p * rows6 + min(i * ty + ty, ny - 1) * nkxp
+            r0 = p * stride6 + i * Rb
+            q = qp[:, r0 : r0 + Rbp]
+            pr = p * stride6 + max(i * ty - 1, 0) * nkxp
+            nx_ = p * stride6 + min(i * ty + ty, ny - 1) * nkxp
             qprev = qp[:, pr : pr + nkxp]
             qnext = qp[:, nx_ : nx_ + nkxp]
             c0 = i * Rb
             tch_block = (
-                tuple(a[r0 : r0 + Rb] for a in con.tch) if con.tch is not None else None
+                tuple(a[r0 : r0 + Rbp] for a in con.tch) if con.tch is not None else None
             )
-            cblk = _const_blocks(con, c0, c0 + Rb, Rb, nkxp, tch_block)
+            cblk = _const_blocks(con, c0, c0 + Rbp, Rb, nkxp, tch_block)
             base = None
             if pert is not None:
                 base = {
-                    "q0": pert.q0p[:, r0 : r0 + Rb],
+                    "q0": pert.q0p[:, r0 : r0 + Rbp],
                     "q0prev": pert.q0p[:, pr : pr + nkxp],
                     "q0next": pert.q0p[:, nx_ : nx_ + nkxp],
                     "hwe0": pert.hwe0[p * n_ytiles + i, :, : ty * nk],
                     "hs0": pert.hs0[p],
                     "hn0": pert.hn0[p],
-                    "rhs0": pert.rhs0p[:, r0 : r0 + Rb],
+                    "rhs0": pert.rhs0p[:, r0 : r0 + Rbp],
                 }
             o = _km3_body(
                 q, qprev, qnext, hwe[p * n_ytiles + i, :, : ty * nk], hs[p], hn[p],
@@ -1361,21 +1564,29 @@ def km3_fused(
     the slabs are log-extrapolated from the OUTPUT state) also returns the
     (we, ssl, nsl) edge-trace slabs for ``halo_from_slabs`` so the next
     stage needs no XLA extraction over the big state."""
-    s, G, _S3, nxp = _pk(s, nel_h, nel_v)
+    s, G, _S3, nxp, rp = _pk(s, nel_h, nel_v)
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
     rows6 = ny * nkxp
     n_ytiles = ny // ty
     Rb = ty * nkxp
+    Rbp = Rb + rp  # whole-panel rowpad mode (ty = ny): blocks carry pad rows
     tynk = ty * nk
     tynk_pad = hwe.shape[-2]
     dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G}
-    slim_neighbors = (nkxp % 8) == 0  # neighbor-sliver blocks are Mosaic-legal
+    if rp:
+        assert ty == ny and n_ytiles == 1, "rowpad implies whole-panel blocks"
+        dims["rows"] = Rbp
+        con = _pad_constants_rows(con._replace(tch=None), rows6, Rbp)._replace(tch=con.tch)
+    # Neighbor-sliver blocks need nkxp-unit addressing over the rows, which
+    # row padding breaks; the one-hot row-select path covers that case.
+    slim_neighbors = (nkxp % 8) == 0 and rp == 0
     with_stage = stage_a is not None
     with_x = with_stage and (stage_a != 0.0)
     with_bal = bal is not None
     with_pert = pert is not None
     with_tch = con.tch is not None
+    with_split = con.itf_y is not None  # split x/y trace registers
     if emit_slabs and not with_stage:
         raise ValueError("emit_slabs needs a stage combination (output must be a state)")
     dtype = qp.dtype
@@ -1396,6 +1607,11 @@ def km3_fused(
         itf_xy = tuple(next(it) for _ in range(5))
         itf_z = tuple(next(it) for _ in range(5))
         e_xy, e_z, dd, dlp, corr, lfc_xy, lfc_z, hfk = (next(it) for _ in range(n_mats))
+        if with_split:
+            itf_y = tuple(next(it) for _ in range(5))
+            e_y, lfc_y = next(it), next(it)
+        else:
+            itf_y, e_y, lfc_y = None, None, None
         tch = tuple(next(it) for _ in range(9)) if with_tch else None
         bal_ref = next(it) if with_bal else None
         if with_pert:
@@ -1439,6 +1655,9 @@ def km3_fused(
             "corr": rd(corr), "lfc_xy": rd(lfc_xy), "lfc_z": rd(lfc_z),
             "hfk": rd(hfk),
             "tch": tuple(rd(a) for a in tch) if with_tch else None,
+            "itf_y": tuple(rd(a) for a in itf_y) if with_split else None,
+            "e_y": rd(e_y) if with_split else None,
+            "lfc_y": rd(lfc_y) if with_split else None,
         }
         base = None
         if with_pert:
@@ -1472,23 +1691,23 @@ def km3_fused(
         for v in range(5):
             o_ref[v] = out[v]
 
-    blk5 = pl.BlockSpec((5, Rb, LANES), lambda i, p: (zero, p * n_ytiles + i, zero))
+    blk5 = pl.BlockSpec((5, Rbp, LANES), lambda i, p: (zero, p * n_ytiles + i, zero))
     if slim_neighbors:
         slab = lambda rowsel: pl.BlockSpec((5, nkxp, LANES), rowsel)
         prev_spec = slab(lambda i, p: (zero, p * ny + jnp.maximum(i * ty - 1, 0), zero))
         next_spec = slab(lambda i, p: (zero, p * ny + jnp.minimum(i * ty + ty, ny - 1), zero))
     else:
         prev_spec = pl.BlockSpec(
-            (5, Rb, LANES), lambda i, p: (zero, p * n_ytiles + jnp.maximum(i - 1, 0), zero)
+            (5, Rbp, LANES), lambda i, p: (zero, p * n_ytiles + jnp.maximum(i - 1, 0), zero)
         )
         next_spec = pl.BlockSpec(
-            (5, Rb, LANES), lambda i, p: (zero, p * n_ytiles + jnp.minimum(i + 1, n_ytiles - 1), zero)
+            (5, Rbp, LANES), lambda i, p: (zero, p * n_ytiles + jnp.minimum(i + 1, n_ytiles - 1), zero)
         )
     hwe_spec = pl.BlockSpec((1, 5, tynk_pad, LANES), lambda i, p: (p * n_ytiles + i, zero, zero, zero))
     edge_spec = pl.BlockSpec((1, 5, nkxp, LANES), lambda i, p: (p, zero, zero, zero))
-    pan = lambda: pl.BlockSpec((Rb, LANES), lambda i, p: (i, zero))
+    pan = lambda: pl.BlockSpec((Rbp, LANES), lambda i, p: (i, zero))
     full = lambda a: pl.BlockSpec(a.shape, lambda i, p: tuple(zero for _ in a.shape))
-    tch_spec = pl.BlockSpec((Rb, LANES), lambda i, p: (p * n_ytiles + i, zero))
+    tch_spec = pl.BlockSpec((Rbp, LANES), lambda i, p: (p * n_ytiles + i, zero))
 
     in_specs = [blk5, prev_spec, next_spec, hwe_spec, edge_spec, edge_spec]
     args = [qp, qp, qp, hwe, hs, hn]
@@ -1502,6 +1721,9 @@ def km3_fused(
     mats = [con.e_xy, con.e_z, con.dd, con.dlp, con.corr, con.lfc_xy, con.lfc_z, con.hfk]
     in_specs += [full(a) for a in mats]
     args += mats
+    if with_split:
+        in_specs += [pan() for _ in range(5)] + [full(con.e_y), full(con.lfc_y)]
+        args += list(con.itf_y) + [con.e_y, con.lfc_y]
     if with_tch:
         in_specs += [tch_spec for _ in range(9)]
         args += list(con.tch)
@@ -1518,20 +1740,20 @@ def km3_fused(
         in_specs.append(pl.BlockSpec((1, 1), lambda i, p: (zero, zero), memory_space=pltpu.SMEM))
         args.append(jnp.asarray(cdt, dtype=dtype).reshape(1, 1))
     if emit_slabs:
-        lwe_np = np.zeros((2 * tynk, Rb), np.float32)
+        lwe_np = np.zeros((2 * tynk, Rbp), np.float32)
         for r in range(tynk):
             lwe_np[r, r * nxp] = 1.0
             lwe_np[tynk + r, r * nxp + nxp - 1] = 1.0
-        in_specs.append(pl.BlockSpec((2 * tynk, Rb), lambda i, p: (zero, zero)))
+        in_specs.append(pl.BlockSpec((2 * tynk, Rbp), lambda i, p: (zero, zero)))
         args.append(jnp.asarray(lwe_np, dtype=dtype))
     if not slim_neighbors:
-        sel_p = np.zeros((nkxp, Rb), np.float64)
-        sel_n = np.zeros((nkxp, Rb), np.float64)
+        sel_p = np.zeros((nkxp, Rbp), np.float64)
+        sel_n = np.zeros((nkxp, Rbp), np.float64)
         for j in range(nkxp):
             sel_p[j, (ty - 1) * nkxp + j] = 1.0
             sel_n[j, j] = 1.0
         for m_ in (sel_p, sel_n):
-            in_specs.append(pl.BlockSpec((nkxp, Rb), lambda i, p: (zero, zero)))
+            in_specs.append(pl.BlockSpec((nkxp, Rbp), lambda i, p: (zero, zero)))
             args.append(jnp.asarray(m_, dtype=dtype))
 
     out_specs = [blk5]
@@ -1637,6 +1859,12 @@ def pad_tile_constants(con: E3Constants, nel_t: int, nel_v: int, s: int) -> E3Co
     metric factors 1, Christoffels 0). ``tch`` is NOT padded here — the
     caller passes per-panel tile slices and pads them alongside."""
     g, nxp, rows, Rp = tile_plan(nel_t, nel_v, s)
+    return _pad_constants_rows(con, rows, Rp)
+
+
+def _pad_constants_rows(con: E3Constants, rows: int, Rp: int) -> E3Constants:
+    """Row-pad the single-panel constant fields to Rp rows (NaN-safe fills;
+    also used by km3_fused's whole-panel rowpad mode)."""
     if Rp == rows:
         return con
 
@@ -1654,6 +1882,7 @@ def pad_tile_constants(con: E3Constants, nel_t: int, nel_v: int, s: int) -> E3Co
         itf_xy=tuple(pad(a, 1.0) for a in con.itf_xy),
         itf_z=tuple(pad(a, 1.0) for a in con.itf_z),
         tch=None if con.tch is None else tuple(pad(a, 0.0) for a in con.tch),
+        itf_y=None if con.itf_y is None else tuple(pad(a, 1.0) for a in con.itf_y),
     )
 
 
@@ -1667,11 +1896,12 @@ def tile_halo_mats(nel_t: int, nel_v: int, s: int, dtype):
     kwe = np.zeros((2 * SS, LANES))
     kwe[np.arange(SS), np.arange(SS)] = 1.0
     kwe[SS + np.arange(SS), T - SS + np.arange(SS)] = 1.0
+    yoff = 0 if is_split_layout(s, g) else 64
     ks = np.zeros((g * SS, LANES))
     kn = np.zeros((g * SS, LANES))
     for gg in range(g):
-        ks[gg * SS + np.arange(SS), 64 + gg * TSS + np.arange(SS)] = 1.0
-        kn[gg * SS + np.arange(SS), 64 + gg * TSS + SS + np.arange(SS)] = 1.0
+        ks[gg * SS + np.arange(SS), yoff + gg * TSS + np.arange(SS)] = 1.0
+        kn[gg * SS + np.arange(SS), yoff + gg * TSS + SS + np.arange(SS)] = 1.0
     c = lambda a: jnp.asarray(a, dtype)
     return c(kwe), c(ks), c(kn)
 
@@ -1720,6 +1950,7 @@ def km3_tile(
     with_x = with_stage and (stage_a != 0.0)
     with_base = base is not None
     with_tch = con.tch is not None
+    with_split = con.itf_y is not None  # split x/y trace registers
     if emit_slabs and not with_stage:
         raise ValueError("emit_slabs needs a stage combination (output must be a state)")
     dtype = qp.dtype
@@ -1747,6 +1978,9 @@ def km3_tile(
         itf_xy = tuple(next(it) for _ in range(5))
         itf_z = tuple(next(it) for _ in range(5))
         mats = {k: next(it) for k in ("e_xy", "e_z", "dd", "dlp", "corr", "lfc_xy", "lfc_z", "hfk")}
+        if with_split:
+            itf_y = tuple(next(it) for _ in range(5))
+            mats["e_y"], mats["lfc_y"] = next(it), next(it)
         tch = tuple(next(it) for _ in range(9)) if with_tch else None
         if with_base:
             q0_ref, rhs0_ref, hwe0_ref, hs0_ref, hn0_ref = (next(it) for _ in range(5))
@@ -1767,7 +2001,10 @@ def km3_tile(
             "itf_xy": tuple(rd(a) for a in itf_xy),
             "itf_z": tuple(rd(a) for a in itf_z),
             "tch": tuple(rd(a) for a in tch) if with_tch else None,
+            "itf_y": tuple(rd(a) for a in itf_y) if with_split else None,
         }
+        if not with_split:
+            cblk["e_y"] = cblk["lfc_y"] = None
         cblk.update({k: rd(v) for k, v in mats.items()})
 
         # The y-neighbour slabs are never SELECTED with a single y-block
@@ -1802,6 +2039,8 @@ def km3_tile(
     args += list(con.h) + list(con.chs) + [con.wpres_int]
     args += list(con.itf_xy) + list(con.itf_z)
     args += [con.e_xy, con.e_z, con.dd, con.dlp, con.corr, con.lfc_xy, con.lfc_z, con.hfk]
+    if with_split:
+        args += list(con.itf_y) + [con.e_y, con.lfc_y]
     if with_tch:
         args += list(con.tch)
     if with_base:

@@ -176,6 +176,7 @@ def make_shard_map_euler3d_step_fused(
             return a
         return jnp.concatenate([a, jnp.full((Rp - rows, 128), fill, a.dtype)], 0)
 
+    split = c00.itf_y is not None  # split x/y trace registers (pe3)
     _ROWF = (  # (field picker, pad fill)
         [(lambda c: c.sqrtg, 1.0), (lambda c: c.inv_sqrtg, 1.0), (lambda c: c.inv_dzdeta, 1.0)]
         + [(lambda c, i=i: c.h[i], 1.0) for i in range(6)]
@@ -183,6 +184,7 @@ def make_shard_map_euler3d_step_fused(
         + [(lambda c: c.wpres_int, 0.0)]
         + [(lambda c, i=i: c.itf_xy[i], 1.0) for i in range(5)]
         + [(lambda c, i=i: c.itf_z[i], 1.0) for i in range(5)]
+        + ([(lambda c, i=i: c.itf_y[i], 1.0) for i in range(5)] if split else [])
     )
 
     def tile_stack(fn):
@@ -326,6 +328,8 @@ def make_shard_map_euler3d_step_fused(
             tch=tuple(f["tch"][a] for a in range(9)) if with_tch else None,
             e_xy=c00.e_xy, e_z=c00.e_z, dd=c00.dd, dlp=c00.dlp,
             corr=c00.corr, lfc_xy=c00.lfc_xy, lfc_z=c00.lfc_z, hfk=c00.hfk,
+            itf_y=tuple(f[f"c{38 + i}"] for i in range(5)) if split else None,
+            e_y=c00.e_y, lfc_y=c00.lfc_y,
         )
         base = None
         if pert:
