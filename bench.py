@@ -10,9 +10,13 @@ Metrics (BASELINE.md "Numbers to be measured"), all on the real TPU chip:
   * sw_case6_canonical_gp_per_s     — the exact case6.ini shape (nel=10).
   * sw_s4_rhs_gridpoints_per_s      — the s=4-specialized pipeline at its
     tuned shape (whole-run KR kernel when available).
+  * sw_galewsky_gp_per_s            — canonical galewsky jet (nel=64, s=7).
   * euler3d_dcmip31_rhs_gp_per_s    — canonical dcmip31 (nel 12x12x3, s=2).
   * euler3d_dcmip31_epi2_steps_per_s— end-to-end exponential stepping
     (EPI2 + device-resident KIOPS, ONE XLA program per step).
+  * euler3d_dcmip31_ros2_steps_per_s— implicit stepping (Ros2 + FGMRES).
+  * euler3d_dcmip31_s{2..6}_gp_per_s— the reference's constant-DOF RHS
+    benchmark matrix (tests/rhs_benchmark/run.sh there).
 
 vs_baseline ratios come from BASELINE_MEASURED.json — produced by running
 the REFERENCE's own RHS/integrator on this host (tools/measure_baseline.py;
@@ -157,16 +161,17 @@ def _marginal_time(fn, reps):
     return max(t2 - t1, 1e-9), out
 
 
-def _sw_setup(nel, s):
+def _sw_setup(nel, s, case="case6"):
     from wxfactory_tpu.geometry import make_cubed_sphere_2d, make_metric_2d
     from wxfactory_tpu.models import make_rhs_shallow_water
     from wxfactory_tpu.ops.dfr import make_dfr_operators
-    from wxfactory_tpu.testcases import williamson_case6
+    from wxfactory_tpu.testcases import case_galewsky, williamson_case6
 
     geom = make_cubed_sphere_2d(nel, s)
     ops = make_dfr_operators(s)
     metric = make_metric_2d(geom)
-    q64 = jnp.asarray(williamson_case6(geom))
+    ic = case_galewsky if case == "galewsky" else williamson_case6
+    q64 = jnp.asarray(ic(geom))
     return geom, ops, metric, q64, make_rhs_shallow_water
 
 
@@ -248,13 +253,20 @@ def _mfu_note(make_rhs, geom, ops, metric, q64, base, gp, gps):
             f"for {jax.devices()[0].device_kind!r})")
 
 
-def sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs32, nel, s):
+def sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs32, nel, s, case="case6"):
     """f32 production kernel vs f64 XLA truth at a 4-step drift state;
-    absolute criterion GATE_REL on the per-variable tendency scale."""
-    rhs64 = jax.jit(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla"))
-    dt = 150.0 * (10.0 / nel) * (3.0 / s)  # ~half the explicit CFL
-    qt = _rk3_steps(rhs64, q64, dt, 4)
-    truth = np.asarray(rhs64(qt))
+    absolute criterion GATE_REL on the per-variable tendency scale. The
+    (expensive, emulated-f64-on-TPU) drift/truth pair caches to
+    .bench_cache/ so only the first run of a round pays it."""
+
+    def compute():
+        rhs64 = jax.jit(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla"))
+        dt = 150.0 * (10.0 / nel) * (3.0 / s)  # ~half the explicit CFL
+        qt = _rk3_steps(rhs64, q64, dt, 4)
+        return {"qt": np.asarray(qt), "truth": np.asarray(rhs64(qt))}
+
+    c = truth_cache(f"swtruth_v1_{case}_nel{nel}_s{s}", compute)
+    qt, truth = jnp.asarray(c["qt"]), c["truth"]
     scale = np.abs(truth).max(axis=(1, 2, 3, 4), keepdims=True)
     if hasattr(rhs32, "delta"):
         fused32 = np.asarray(rhs32.delta((qt - rhs32.base_state).astype(jnp.float32)))
@@ -264,8 +276,8 @@ def sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs32, nel, s):
     return bool(err_fused < GATE_REL), float(err_fused)
 
 
-def bench_sw(nel, s, dt, metric_name, baseline_gps, nsteps=100, reps=3):
-    geom, ops, metric, q64, make_rhs = _sw_setup(nel, s)
+def bench_sw(nel, s, dt, metric_name, baseline_gps, nsteps=100, reps=3, case="case6"):
+    geom, ops, metric, q64, make_rhs = _sw_setup(nel, s, case)
     # Production operating point: f32 perturbation (base-state-split) form,
     # base = the initial condition (re-based periodically in long runs).
     rhs = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="pallas",
@@ -274,7 +286,7 @@ def bench_sw(nel, s, dt, metric_name, baseline_gps, nsteps=100, reps=3):
         emit(metric_name, 0.0, "gridpoints/s", note="no fused pipeline for this shape")
         return
 
-    ok, err_fused = sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs, nel, s)
+    ok, err_fused = sw_parity_gate(geom, ops, metric, q64, make_rhs, rhs, nel, s, case)
     if not ok:
         emit(metric_name, 0.0, "gridpoints/s",
              note=f"ACCURACY GATE FAILED: kernel err {err_fused:.2e} "
@@ -344,10 +356,15 @@ def bench_dcmip31_rhs(baselines, reps=5, nsteps=150):
              note="no fused 3D pipeline for this shape")
         return
 
-    # ABSOLUTE accuracy gate at a 4-step drift state (same design as SW).
-    rhs64 = jax.jit(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla"))
-    qt = _rk3_steps(rhs64, q0, 0.5, 4)
-    truth = np.asarray(rhs64(qt))
+    # ABSOLUTE accuracy gate at a 4-step drift state (same design as SW),
+    # drift/truth pair cached to .bench_cache/.
+    def compute():
+        rhs64 = jax.jit(make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla"))
+        qt = _rk3_steps(rhs64, q0, 0.5, 4)
+        return {"qt": np.asarray(qt), "truth": np.asarray(rhs64(qt))}
+
+    c = truth_cache("e3truth_v1_canonical_12x12x3_s2", compute)
+    qt, truth = jnp.asarray(c["qt"]), c["truth"]
     scale = np.abs(truth).max(axis=(1, 2, 3, 4, 5), keepdims=True)
     fused32 = np.asarray(rhs32(qt.astype(jnp.float32)))
     err_fused = np.abs((fused32 - truth) / scale).max()
@@ -409,6 +426,21 @@ def bench_dcmip31_epi2(baselines, steps=3):
               "Arnoldi matvec, f32 CGS2 basis, f64 H/controller/expm), dt=30; "
               "r2 full-f64 path was 0.456 steps/s on this chip, f64-basis "
               "mixed path 1.21")
+
+    # Chunked production stepping: N steps per XLA program (lax.scan with
+    # the Krylov warm start as a device carry, integrators/epi.py
+    # steps_device) — amortizes the per-step dispatch + stats round trip.
+    chunk = 10
+    q = epi.steps_device(q, 30.0, chunk)  # compile
+    jax.block_until_ready(q)
+    t0 = time.perf_counter()
+    q = epi.steps_device(q, 30.0, chunk)
+    jax.block_until_ready(q)
+    sec_c = (time.perf_counter() - t0) / chunk
+    assert np.isfinite(np.asarray(q)).all()
+    emit("euler3d_dcmip31_epi2_chunked_steps_per_s", 1.0 / sec_c, "steps/s", base,
+         note=f"EPI2 + device-resident KIOPS, {chunk} steps per dispatch "
+              "(steps_device lax.scan), same mixed precision")
 
 
 def bench_dcmip31_ros2(baselines, steps=3):
@@ -642,6 +674,10 @@ def main():
         # The s=4-specialized pipeline at its tuned shape (KR whole-run kernel).
         if stage_fits(120, "sw_s4_rhs_gridpoints_per_s"):
             bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None)
+        # Canonical galewsky jet (config/galewsky.ini: nel=64, num_solpts=7,
+        # explicit stepping) through the generic fused pipeline.
+        if stage_fits(200, "sw_galewsky_gp_per_s"):
+            bench_sw(64, 7, 10.0, "sw_galewsky_gp_per_s", None, case="galewsky")
         if stage_fits(150, "euler3d_dcmip31_rhs_gp_per_s"):
             bench_dcmip31_rhs(baselines)
         if stage_fits(120, "euler3d_dcmip31_epi2_steps_per_s"):

@@ -335,3 +335,38 @@ def test_rhs_timing_sampled_in_real_run(tmp_path):
             "halo_exchange"} <= stages
     assert steps == {1, 2}
     assert all(r[2] > 0.0 for r in rows)
+
+
+def test_device_step_chunk_matches_single_steps(tmp_path):
+    """`device_step_chunk` (TPU-native extension: N steps per device
+    dispatch, simulation.py run loop) must not change the trajectory, must
+    still land checkpoints exactly on their configured steps, and must
+    store per-chunk solver stats."""
+    import sqlite3
+
+    base_ini = CASE6_INI.format(t_end=6 * 1800, integrator="epi2", starting_step=0,
+                                save_freq=3, outdir=str(tmp_path / "single")).replace(
+        "exponential_solver = pmex", "exponential_solver = kiops_jit")
+    base_ini += "store_solver_stats = 1\n"  # appends inside [Output_options]
+    q_single = np.asarray(Simulation(Configuration(base_ini)).run())
+
+    chunk_ini = CASE6_INI.format(t_end=6 * 1800, integrator="epi2", starting_step=0,
+                                 save_freq=3, outdir=str(tmp_path / "chunk")).replace(
+        "exponential_solver = pmex",
+        "exponential_solver = kiops_jit\ndevice_step_chunk = 4")
+    chunk_ini += "store_solver_stats = 1\n"
+    sim = Simulation(Configuration(chunk_ini))
+    # The event calendar (save_state_freq=3) caps chunks at the checkpoint
+    # steps: 3,3 (never the full 4).
+    assert sim._chunk_len(0, 0.0) == 3
+    assert sim._chunk_len(3, 3 * 1800.0) == 3
+    q_chunk = np.asarray(sim.run())
+
+    scale = np.abs(q_single).max(axis=(1, 2, 3, 4), keepdims=True)
+    np.testing.assert_allclose(q_chunk / scale, q_single / scale, atol=1e-9)
+    # Checkpoints landed on steps 3 and 6, identically placed.
+    for sid in (3, 6):
+        assert os.path.exists(sim.output.state_file_name(sid)), sid
+    db = sqlite3.connect(os.path.join(str(tmp_path / "chunk"), "solver_stats.db"))
+    steps = [r[0] for r in db.execute("SELECT step_id FROM results_data ORDER BY step_id")]
+    assert steps == [3, 6]  # one aggregate row per chunk

@@ -91,6 +91,25 @@ def test_epi3_device_resident_multistep(bubble):
     assert _rel_err(qd, qr) < 1e-7
 
 
+def test_epi_steps_device_scan_matches_single_steps(bubble):
+    """steps_device (N device-resident EPI steps as ONE lax.scan program,
+    device-side Krylov warm start) must reproduce the repeated-single-step
+    trajectory exactly, for the memoryless order (2) AND a multistep order
+    (3, history riding the scan carry)."""
+    q0, rhs, qr = bubble
+    for order in (2, 3):
+        single = Epi(rhs, order=order, tolerance=1e-12, exponential_solver="kiops_jit")
+        chunked = Epi(rhs, order=order, tolerance=1e-12, exponential_solver="kiops_jit")
+        qs = q0
+        for _ in range(4):
+            qs = single.step(qs, 0.5)
+        qc = chunked.steps_device(q0, 0.5, 4)
+        assert _rel_err(qc, qs) < 1e-12, order
+        assert chunked.krylov_size == single.krylov_size, order
+        # Continuation after the chunk also agrees (history carried out).
+        assert _rel_err(chunked.steps_device(qc, 0.5, 1), single.step(qs, 0.5)) < 1e-12
+
+
 def test_epistiff_device_resident(bubble):
     q0, rhs, qr = bubble
     dev = EpiStiff(rhs, order=4, tolerance=1e-12, exponential_solver="kiops_jit")

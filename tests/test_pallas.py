@@ -215,3 +215,8 @@ def test_tvdrk3_uses_packed_chain_and_matches_plain():
     w = np.asarray(qb)
     scale = np.abs(w).max(axis=(1, 2, 3, 4), keepdims=True)
     np.testing.assert_allclose(np.asarray(qa) / scale, w / scale, atol=1e-11)
+
+    # Chunked device stepping (steps_device = ONE lax.scan program over the
+    # fused stage chain) reproduces the repeated-single-step trajectory.
+    qc = Tvdrk3(rhs).steps_device(q, dt, 3)
+    np.testing.assert_allclose(np.asarray(qc) / scale, np.asarray(qa) / scale, atol=1e-11)

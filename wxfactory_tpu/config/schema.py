@@ -161,6 +161,14 @@ SCHEMA: List[Field] = [
            "'complex' is accepted for reference compatibility and maps to jvp"),
     _f("Time_integration", "linear_solver", "str", "auto",
        choices=["auto", "fgmres", "fgmres_jit", "fgmres_jit_1s", "gcrot"]),
+    _f("Time_integration", "device_step_chunk", "int", 1, min=1,
+       doc="Run up to N equal timesteps per device dispatch (ONE XLA program "
+           "per chunk: lax.scan over the whole step for Epi/kiops_jit, over "
+           "the fused Pallas stage chain for explicit schemes). Outputs, "
+           "checkpoints and stats land exactly on their configured steps; "
+           "solver stats/NaN checks are per CHUNK in between. TPU-native "
+           "extension (no reference equivalent): amortizes the per-step "
+           "host dispatch latency"),
     _f("Time_integration", "mixed_precision_krylov", "bool", False,
        doc="Run the Epi/Ros2 Krylov hot loop (Arnoldi matvec + basis) in "
            "float32 via a perturbation-form companion RHS around the "

@@ -57,3 +57,16 @@ class Integrator(ABC):
         self.sim_time += dt
         self.num_completed_steps += 1
         return result
+
+    def steps_device(self, q, dt: float, nsteps: int):
+        """Advance ``nsteps`` equal timesteps as few host round trips as the
+        scheme allows. Base fallback: repeated single steps (semantics
+        identical to calling `step` in a loop; `solver_info` reflects the
+        last step). Device-resident schemes override this with ONE XLA
+        program per chunk (Epi/kiops_jit: lax.scan over the whole step;
+        packed explicit: scan over the fused Pallas stage chain), which is
+        the production fast path the `device_step_chunk` config knob selects
+        (simulation.py)."""
+        for _ in range(nsteps):
+            q = self.step(q, dt)
+        return q

@@ -25,6 +25,14 @@ from ..solvers import kiops, pmex
 from .base import Integrator, SolverInfo
 
 
+def _single_device(q) -> bool:
+    """True when q lives on one device (flat Krylov vectors are the faster
+    layout there); False on a multi-device mesh (keep the state shape so
+    dots stay fused all-reduces without relayouts)."""
+    sharding = getattr(q, "sharding", None)
+    return sharding is None or len(sharding.device_set) <= 1
+
+
 def alpha_coeff(c) -> np.ndarray:
     """Coefficients of stiffness-resilient exponential methods from node
     values c (reference integrator.py:135-146)."""
@@ -129,11 +137,20 @@ class Epi(Integrator):
         self._dev_step = None  # built lazily for exponential_solver="kiops_jit"
         self._phi_offset = 2  # vec row of the first history residual
 
-    def _build_dev_step(self):
+    def _build_dev_step(self, flat: bool):
         """ONE jitted program for the whole EPI step: RHS, history-residual
         jvps, vec assembly, the full device-resident KIOPS evaluation
         (solvers/kiops_jit.py) and the state update. The host path pays one
-        device dispatch per Krylov iteration; this pays one per STEP."""
+        device dispatch per Krylov iteration; this pays one per STEP.
+
+        ``flat``: run the Krylov algebra on RAVELED vectors — the right
+        layout on a single device, where the state's small trailing dim
+        (s^3 <= 128) would otherwise waste most of each 128-lane vector
+        register in the basis ops (measured 119 -> 76 ms/step on canonical
+        dcmip31). On a MULTI-DEVICE mesh the natural state shape is used
+        instead: a 1D view of a mesh-sharded state has no representable
+        sharding, so ravel/reshape would force an all-to-all relayout every
+        iteration (kiops_jit is shape-agnostic either way)."""
         from functools import partial
 
         from ..solvers.kiops_jit import kiops_jit
@@ -143,17 +160,15 @@ class Epi(Integrator):
         A_tbl = jnp.asarray(self.A) if self.A.size else None
         n_prev, max_phi, offset = self.n_prev, self.max_phi, self._phi_offset
         tol, mmin, mmax = self.tol, self.mmin, self.mmax
+        shp = (lambda a, q: a.reshape(q.shape)) if flat else (lambda a, q: a)
+        vv = (lambda a: a.ravel()) if flat else (lambda a: a)
 
         @partial(jax.jit, static_argnums=())
         def dev_step(q, prev_q, prev_rhs, dt, m0):
-            # Everything stays on the NATURAL state shape (kiops_jit is
-            # shape-agnostic): under GSPMD a raveled view of the mesh-sharded
-            # state has no representable sharding, so ravel/reshape would
-            # force an all-to-all relayout every Krylov iteration.
             rhs_q = rhs(q)
 
             def jvp(v):
-                return jax.jvp(rhs, (q,), (v,))[1]
+                return vv(jax.jvp(rhs, (q,), (shp(v, q),))[1])
 
             if rhs32 is None:
                 kry_jvp = jvp
@@ -164,14 +179,13 @@ class Epi(Integrator):
                 q32 = q.astype(jnp.float32)
 
                 def kry_jvp(v):
-                    return jax.jvp(rhs32, (q32,), (v.astype(jnp.float32),))[1]
+                    return vv(jax.jvp(rhs32, (q32,), (shp(v, q).astype(jnp.float32),))[1])
 
-            rows = [jnp.zeros_like(rhs_q), rhs_q] + [
-                jnp.zeros_like(rhs_q) for _ in range(max_phi - 1)
-            ]
+            fq = vv(rhs_q)
+            rows = [jnp.zeros_like(fq), fq] + [jnp.zeros_like(fq) for _ in range(max_phi - 1)]
             for i in range(n_prev):
-                dq = prev_q[i] - q
-                r = (prev_rhs[i] - rhs_q) - jvp(dq)
+                dq = vv(prev_q[i] - q)
+                r = vv(prev_rhs[i] - rhs_q) - jvp(dq)
                 for k in range(A_tbl.shape[0]):
                     rows[k + offset] = rows[k + offset] + A_tbl[k, i] * r
             vec = jnp.stack(rows)
@@ -189,27 +203,108 @@ class Epi(Integrator):
                 full_ortho=mixed,
                 basis_dtype=jnp.float32 if mixed else None,
             )
-            return q + w * dt, rhs_q, stats
+            # Pack the stats into ONE small array: each separate scalar
+            # fetch is a full device->host round trip (~10-20 ms over the
+            # axon relay), and the host reads five of them per step.
+            stats_arr = jnp.stack([
+                stats.krylov_steps.astype(jnp.float64),
+                stats.substeps.astype(jnp.float64),
+                stats.rejected.astype(jnp.float64),
+                stats.error_estimate.astype(jnp.float64),
+                stats.last_krylov_size.astype(jnp.float64),
+            ])
+            return q + shp(w, q) * dt, rhs_q, stats_arr
 
         return dev_step
 
-    def _step_device(self, q, dt: float):
-        """Device-resident step (exponential_solver="kiops_jit")."""
+    def steps_device(self, q, dt: float, nsteps: int):
+        """Run ``nsteps`` device-resident EPI steps as ONE XLA program
+        (lax.scan): the per-step dispatch + stats round trip (~10-30 ms
+        over the axon relay) amortizes to once per CHUNK, and the
+        Krylov-size warm start stays on device (m_init is a traced carry).
+        The multistep history (n_prev > 0) rides the scan carry, so every
+        EPI order is supported once the history is primed; order 2 needs no
+        priming. Aggregate stats land in ``solver_info``."""
+        if self.exponential_solver != "kiops_jit" or self.jtv is not None:
+            for _ in range(nsteps):
+                q = self.step(q, dt)
+            return q
+        while len(self.previous_q) < self.n_prev:
+            q = self.step(q, dt)  # bootstrap history with single steps
+            nsteps -= 1
+            if nsteps == 0:
+                return q
+        flat = _single_device(q)
+        key = ("scan", flat)
         if self._dev_step is None:
-            self._dev_step = self._build_dev_step()
+            self._dev_step = {}
+        if key not in self._dev_step:
+            from functools import partial
+
+            inner = self._build_dev_step(flat)
+
+            @partial(jax.jit, static_argnums=(5,))
+            def dev_steps(q, prev_q, prev_rhs, dt, m0, nsteps):
+                def body(carry, _):
+                    q, prev_q, prev_rhs, m = carry
+                    q_new, rhs_q, stats = inner(q, prev_q, prev_rhs, dt, m)
+                    m_new = jnp.maximum(
+                        1, jnp.floor(0.7 * stats[4] + 0.3 * m.astype(jnp.float64))
+                    ).astype(jnp.int32)
+                    if self.n_prev > 0:
+                        prev_q = jnp.concatenate([q[None], prev_q[:-1]], axis=0)
+                        prev_rhs = jnp.concatenate([rhs_q[None], prev_rhs[:-1]], axis=0)
+                    return (q_new, prev_q, prev_rhs, m_new), stats
+
+                (q, prev_q, prev_rhs, m), stats = jax.lax.scan(
+                    body, (q, prev_q, prev_rhs, m0), None, length=nsteps
+                )
+                return q, prev_q, prev_rhs, m, stats.sum(axis=0), stats[-1]
+
+            self._dev_step[key] = dev_steps
+
         shape = ((self.n_prev,) + q.shape) if self.n_prev else (0,) + q.shape
         prev_q = jnp.stack(list(self.previous_q)) if self.n_prev else jnp.zeros(shape, q.dtype)
         prev_rhs = jnp.stack(list(self.previous_rhs)) if self.n_prev else jnp.zeros(shape, q.dtype)
-        q_new, rhs_q, stats = self._dev_step(
+        q, prev_q, prev_rhs, m, tot, last = self._dev_step[key](
+            q, prev_q, prev_rhs, jnp.asarray(dt, q.dtype),
+            jnp.int32(self.krylov_size), nsteps
+        )
+        sa, la = np.asarray(tot), np.asarray(last)
+        self.krylov_size = max(1, int(m))
+        self.solver_info = SolverInfo(
+            total_num_it=int(sa[0]), num_substeps=int(sa[1]),
+            num_rejected=int(sa[2]), error_estimate=float(la[3]),
+        )
+        if self.n_prev > 0:
+            self.previous_q = deque(list(prev_q))
+            self.previous_rhs = deque(list(prev_rhs))
+        self.dt = dt
+        self.sim_time += dt * nsteps
+        self.num_completed_steps += nsteps
+        return q
+
+    def _step_device(self, q, dt: float):
+        """Device-resident step (exponential_solver="kiops_jit")."""
+        flat = _single_device(q)
+        if self._dev_step is None:
+            self._dev_step = {}
+        if flat not in self._dev_step:
+            self._dev_step[flat] = self._build_dev_step(flat)
+        shape = ((self.n_prev,) + q.shape) if self.n_prev else (0,) + q.shape
+        prev_q = jnp.stack(list(self.previous_q)) if self.n_prev else jnp.zeros(shape, q.dtype)
+        prev_rhs = jnp.stack(list(self.previous_rhs)) if self.n_prev else jnp.zeros(shape, q.dtype)
+        q_new, rhs_q, stats = self._dev_step[flat](
             q, prev_q, prev_rhs, jnp.asarray(dt, q.dtype), int(self.krylov_size)
         )
-        ksteps = int(stats.krylov_steps)
-        self.krylov_size = max(1, math.floor(0.7 * int(stats.last_krylov_size) + 0.3 * self.krylov_size))
+        sa = np.asarray(stats)  # one transfer for all five stats
+        ksteps = int(sa[0])
+        self.krylov_size = max(1, math.floor(0.7 * int(sa[4]) + 0.3 * self.krylov_size))
         self.solver_info = SolverInfo(
             total_num_it=ksteps,
-            num_substeps=int(stats.substeps),
-            num_rejected=int(stats.rejected),
-            error_estimate=float(stats.error_estimate),
+            num_substeps=int(sa[1]),
+            num_rejected=int(sa[2]),
+            error_estimate=float(sa[3]),
         )
         if self.n_prev > 0:
             self.previous_q.pop()

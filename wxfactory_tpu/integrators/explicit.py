@@ -14,11 +14,25 @@ cache keyed on array identity, so back-to-back steps skip the repack and
 the halo bootstrap.
 """
 
+from time import time
 from typing import Callable
 
 import jax
 
 from .base import Integrator, SolverInfo
+
+
+def _chunked_packed_steps(self, q, dt, nsteps):
+    """Shared `steps_device` body for packed-chain explicit integrators."""
+    if self._packed is None:
+        return Integrator.steps_device(self, q, dt, nsteps)
+    t0 = time()
+    q = self._packed.steps(q, dt, nsteps)
+    self.latest_time = time() - t0
+    self.sim_time += dt * nsteps
+    self.num_completed_steps += nsteps
+    self.solver_info = SolverInfo(total_num_it=nsteps)
+    return q
 
 
 class _PackedChain:
@@ -40,6 +54,17 @@ class _PackedChain:
 
         self._step_packed = jax.jit(_step_packed)
 
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(3,))
+        def _steps_packed(qp, slabs, dt, nsteps):
+            def body(carry, _):
+                return _step_packed(*carry, dt), None
+
+            return jax.lax.scan(body, (qp, slabs), None, length=nsteps)[0]
+
+        self._steps_packed = _steps_packed
+
     def step(self, q, dt):
         rhs = self.rhs
         if self._cache is not None and self._cache[0] is q:
@@ -48,6 +73,21 @@ class _PackedChain:
             qp = rhs.pack(q)
             slabs = rhs.packed_slabs(qp)
         qp, slabs = self._step_packed(qp, slabs, dt)
+        out = rhs.unpack(qp).reshape(q.shape)
+        self._cache = (out, qp, slabs)
+        return out
+
+    def steps(self, q, dt, nsteps):
+        """``nsteps`` steps as ONE XLA program (lax.scan over the fused
+        stage chain, state staying in the packed kernel layout throughout);
+        unpacks once at the end."""
+        rhs = self.rhs
+        if self._cache is not None and self._cache[0] is q:
+            qp, slabs = self._cache[1], self._cache[2]
+        else:
+            qp = rhs.pack(q)
+            slabs = rhs.packed_slabs(qp)
+        qp, slabs = self._steps_packed(qp, slabs, dt, nsteps)
         out = rhs.unpack(qp).reshape(q.shape)
         self._cache = (out, qp, slabs)
         return out
@@ -77,6 +117,8 @@ class Euler1(Integrator):
             return self._packed.step(q, dt)
         return self._step(q, dt)
 
+    steps_device = _chunked_packed_steps
+
 
 class Tvdrk3(Integrator):
     """3rd-order total-variation-diminishing Runge-Kutta (Shu-Osher)."""
@@ -101,3 +143,5 @@ class Tvdrk3(Integrator):
         if self._packed is not None:
             return self._packed.step(q, dt)
         return self._step(q, dt)
+
+    steps_device = _chunked_packed_steps

@@ -64,8 +64,20 @@ class Ros2(Integrator):
 
     def _step_device(self, q, dt: float):
         """One XLA program for the whole Ros2 step: RHS, b assembly, and the
-        full restarted FGMRES solve of (I - dt/2 J) x = b."""
+        full restarted FGMRES solve of (I - dt/2 J) x = b.
+
+        Vector layout: RAVELED on a single device (the state's small
+        trailing dim would waste most of each 128-lane register in the
+        basis algebra), the NATURAL state shape on a multi-device mesh
+        (a 1D view of a sharded state has no representable sharding, so
+        ravel would force an all-to-all relayout every iteration;
+        fgmres_jit is shape-agnostic either way)."""
+        from .epi import _single_device
+
+        flat = _single_device(q)
         if self._dev_step is None:
+            self._dev_step = {}
+        if flat not in self._dev_step:
             from ..solvers.fgmres_jit import fgmres_jit
 
             rhs = self.rhs
@@ -73,17 +85,16 @@ class Ros2(Integrator):
             tol, restart = self.tol, self.gmres_restart
             max_outer = max(1, 20000 // restart)  # same budget as the host path
             one_sync = self.linear_solver == "fgmres_jit_1s"
+            shp = (lambda a, q: a.reshape(q.shape)) if flat else (lambda a, q: a)
+            vv = (lambda a: a.ravel()) if flat else (lambda a: a)
 
             @jax.jit
             def dev_step(q, dt):
-                # The solve runs on the NATURAL state shape (fgmres_jit is
-                # shape-agnostic): under GSPMD a raveled view of the sharded
-                # state would force an all-to-all relayout every iteration.
                 half_dt = 0.5 * dt
 
                 def A(v):
-                    jv = jax.jvp(rhs, (q,), (v,))[1]
-                    return v - half_dt * jv
+                    jv = jax.jvp(rhs, (q,), (shp(v, q),))[1]
+                    return v - half_dt * vv(jv)
 
                 if rhs32 is None:
                     A32 = None
@@ -93,27 +104,38 @@ class Ros2(Integrator):
                     hdt32 = half_dt.astype(jnp.float32)
 
                     def A32(v):
-                        jv = jax.jvp(rhs32, (q32,), (v,))[1]
-                        return v - hdt32 * jv
+                        jv = jax.jvp(rhs32, (q32,), (shp(v, q).astype(jnp.float32),))[1]
+                        return v - hdt32 * vv(jv)
 
                     basis_dtype = jnp.float32
 
-                b = A(q) + rhs(q) * dt
-                x, info = fgmres_jit(A, b, x0=q, tol=tol, restart=restart,
+                qv = vv(q)
+                b = A(qv) + vv(rhs(q)) * dt
+                x, info = fgmres_jit(A, b, x0=qv, tol=tol, restart=restart,
                                      max_outer=max_outer, one_sync=one_sync,
                                      A32=A32, basis_dtype=basis_dtype)
-                return x, info
+                # One small array -> one device->host transfer for ALL the
+                # solver info (separate scalar fetches each pay the ~10-20
+                # ms axon relay round trip).
+                info_arr = jnp.stack([
+                    info.converged.astype(jnp.float64),
+                    info.num_iter.astype(jnp.float64),
+                    info.norm_r.astype(jnp.float64),
+                    info.norm_b.astype(jnp.float64),
+                ])
+                return shp(x, q), info_arr
 
-            self._dev_step = dev_step
+            self._dev_step[flat] = dev_step
 
-        q_new, info = self._dev_step(q, jnp.asarray(dt, q.dtype))
-        converged = bool(info.converged)
-        self.solver_info = SolverInfo(total_num_it=int(info.num_iter), converged=converged)
+        q_new, info = self._dev_step[flat](q, jnp.asarray(dt, q.dtype))
+        ia = np.asarray(info)
+        converged = bool(ia[0])
+        self.solver_info = SolverInfo(total_num_it=int(ia[1]), converged=converged)
         self.failure_flag = 0 if converged else -1
         if self.verbose > 0:
             print(f"FGMRES(jit) {'convergence' if converged else 'stagnation'} "
-                  f"at iteration {int(info.num_iter)}, relative residual "
-                  f"{float(info.norm_r / info.norm_b):.2e}", flush=True)
+                  f"at iteration {int(ia[1])}, relative residual "
+                  f"{ia[2] / ia[3]:.2e}", flush=True)
         return q_new
 
     def __step__(self, q, dt: float):

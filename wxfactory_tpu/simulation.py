@@ -353,6 +353,11 @@ class Simulation:
 
         self.output.step(q, step_id, t + dt)
         self.output.store_solver_stats(step_id, self.integrator.solver_info, solve_time)
+        self._maybe_sample_rhs_timing(q, step_id)
+        return q, t + dt
+
+    def _maybe_sample_rhs_timing(self, q, step_id: int) -> None:
+        c = self.config
         if (
             c.rhs_timing_freq > 0
             and c.store_solver_stats
@@ -365,7 +370,30 @@ class Simulation:
                     self.geom, self.ops, self.topology, self.rhs, q, c.equations
                 )
             self.output.store_rhs_timing(step_id, sample(self._rhs_probes))
-        return q, t + dt
+
+    def _chunk_len(self, step_id: int, t: float) -> int:
+        """How many equal-dt steps may run as one device chunk from
+        ``step_id``: bounded by `device_step_chunk`, the next step that owes
+        an output/checkpoint/stats event, and the last full-dt step before
+        the t_end clamp. Returns 1 when chunking is off or unusable."""
+        c = self.config
+        chunk = getattr(c, "device_step_chunk", 1)
+        if (
+            chunk <= 1
+            or self.apply_filters is not None
+            or self.post_step_hook is not None
+            or not hasattr(self.integrator, "steps_device")
+        ):
+            return 1
+        full_dt_steps = int(math.floor((c.t_end - t) / c.dt + 1e-10))
+        n = min(chunk, max(full_dt_steps, 1))
+        freqs = [c.output_freq, c.save_state_freq, c.stat_freq]
+        if c.store_solver_stats and c.rhs_timing_freq > 0:
+            freqs.append(c.rhs_timing_freq)
+        for f in freqs:
+            if f > 0:
+                n = min(n, (step_id // f + 1) * f - step_id)
+        return max(n, 1)
 
     def run(self):
         c = self.config
@@ -379,8 +407,24 @@ class Simulation:
         t_start = time.time()
         self.output.step(q, step_id, t)  # initial output
         while t < c.t_end - 1e-10:
-            step_id += 1
-            q, t = self.step(q, step_id, t)
+            n = self._chunk_len(step_id, t)
+            if n > 1:
+                # Chunked device stepping (device_step_chunk): n equal steps
+                # per dispatch; the NaN guard/outputs/stats land at the
+                # chunk boundary (chosen so no configured event is skipped).
+                t0 = time.time()
+                q = self.integrator.steps_device(q, c.dt, n)
+                solve_time = time.time() - t0
+                step_id += n
+                t += n * c.dt
+                if not bool(jnp.all(jnp.isfinite(q))):
+                    raise RuntimeError(f"NaN/Inf detected in state after step {step_id}")
+                self.output.step(q, step_id, t)
+                self.output.store_solver_stats(step_id, self.integrator.solver_info, solve_time)
+                self._maybe_sample_rhs_timing(q, step_id)
+            else:
+                step_id += 1
+                q, t = self.step(q, step_id, t)
             if c.verbose_solver > 0 or step_id % max(1, num_steps // 10) == 0:
                 primary_print(f"Step {step_id}/{self.starting_step + num_steps} (t = {t:.1f} s)", flush=True)
         self.output.finalize(total_time=time.time() - t_start)
