@@ -109,6 +109,15 @@ def test_epi_steps_device_scan_matches_single_steps(bubble):
         # Continuation after the chunk also agrees (history carried out).
         assert _rel_err(chunked.steps_device(qc, 0.5, 1), single.step(qs, 0.5)) < 1e-12
 
+    # EpiStiff shares the device-scan machinery (phi_3-offset residuals).
+    single = EpiStiff(rhs, order=4, tolerance=1e-12, exponential_solver="kiops_jit")
+    chunked = EpiStiff(rhs, order=4, tolerance=1e-12, exponential_solver="kiops_jit")
+    qs = q0
+    for _ in range(5):
+        qs = single.step(qs, 0.5)
+    qc = chunked.steps_device(q0, 0.5, 5)
+    assert _rel_err(qc, qs) < 1e-12
+
 
 def test_epistiff_device_resident(bubble):
     q0, rhs, qr = bubble

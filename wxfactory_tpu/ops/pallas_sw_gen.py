@@ -75,12 +75,24 @@ def plan(num_solpts: int, nel: int):
     )
 
 
+MAX_PANEL_ROWS_TPU = 1024  # per-block VMEM budget for the compiled kernel
+
+
 def supported(num_solpts: int, nel: int, dtype) -> bool:
     """Shapes/dtypes this pipeline handles; others fall back to XLA.
-    float64 only off-TPU (interpret mode — Mosaic has no f64 vector path)."""
+    float64 only off-TPU (interpret mode — Mosaic has no f64 vector path).
+
+    On TPU, panel blocks above MAX_PANEL_ROWS_TPU rows are rejected: the
+    whole-panel kernel's working set no longer fits VMEM (galewsky's
+    2048-row panels at s=7/nel=64 OOM even at a 100 MB scoped limit and
+    Mosaic compiles run into many minutes) — such shapes take the XLA
+    interior instead."""
     if not (2 <= num_solpts <= 8) or nel < 2:
         return False
-    if plan(num_solpts, nel) is None:
+    p = plan(num_solpts, nel)
+    if p is None:
+        return False
+    if jax.default_backend() == "tpu" and p.prows > MAX_PANEL_ROWS_TPU:
         return False
     if dtype in (jnp.float32, np.float32):
         return True

@@ -41,7 +41,28 @@ def _dcmip_planet_params(case_number: int) -> Tuple[float, bool]:
     return 1.0, True
 
 
+def _host_build(init_fn):
+    """Run construction (geometry/metric/packed-constant math — hundreds of
+    tiny EAGER jnp ops) on the host CPU backend. On a remote-relay TPU
+    backend each eager op pays a full dispatch round trip (~0.4 s on axon:
+    measured 87 s per RHS factory); on CPU they are milliseconds. Arrays
+    built under default_device are placed, not committed, so the jitted
+    step programs still run on the accelerator and pull the constants over
+    once at compile time. No-op when the default backend IS the CPU."""
+    import functools
+
+    @functools.wraps(init_fn)
+    def wrapper(*args, **kwargs):
+        if jax.default_backend() == "cpu":
+            return init_fn(*args, **kwargs)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return init_fn(*args, **kwargs)
+
+    return wrapper
+
+
 class Simulation:
+    @_host_build
     def __init__(self, config: Configuration | str):
         if isinstance(config, str):
             config = load_configuration(config)

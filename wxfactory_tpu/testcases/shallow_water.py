@@ -138,13 +138,22 @@ def case_galewsky(geom: CubedSphere2D, num_quad: int = 512) -> np.ndarray:
     O = geom.rotation_speed
 
     # Gauss-Legendre nodes on [-1, 1], mapped per point to [-pi/2, lat].
+    # Evaluated in chunks over the flattened grid: the dense (npts, 512)
+    # quad tensor is ~5 GB of f64 per intermediate at galewsky's canonical
+    # 1.2M-point grid (nel=64, s=7) and was thrashing host memory.
     nodes, weights = np.polynomial.legendre.leggauss(num_quad)
     lo = -0.5 * math.pi
     half_len = 0.5 * (lat - lo)  # (6, ny, nx, s^2)
-    x = lo + half_len[..., None] * (nodes + 1.0)  # (..., num_quad)
-    du = _galewsky_u(x)
-    integrand = (2.0 * a * O * np.sin(x) + du * np.tan(x)) * du
-    integral = (integrand @ weights) * half_len
+    hl_flat = half_len.reshape(-1)
+    integral = np.empty_like(hl_flat)
+    chunk = 1 << 16
+    for i in range(0, hl_flat.size, chunk):
+        hl = hl_flat[i : i + chunk, None]
+        x = lo + hl * (nodes + 1.0)  # (chunk, num_quad)
+        du = _galewsky_u(x)
+        integrand = (2.0 * a * O * np.sin(x) + du * np.tan(x)) * du
+        integral[i : i + chunk] = integrand @ weights
+    integral = integral.reshape(half_len.shape) * half_len
 
     h = h0 - integral / GRAVITY
     # Perturbation that triggers the instability. The reference evaluates
