@@ -11,9 +11,12 @@ Metrics (BASELINE.md "Numbers to be measured"), all on the real TPU chip:
   * sw_s4_rhs_gridpoints_per_s      — the s=4-specialized pipeline at its
     tuned shape (whole-run KR kernel when available).
   * sw_galewsky_gp_per_s            — canonical galewsky jet (nel=64, s=7).
+  * sw_case6_epi3_steps_per_s       — end-to-end canonical case6 stepping
+    (config epi3; device KIOPS + chunked dispatch vs reference epi3+pmex).
   * euler3d_dcmip31_rhs_gp_per_s    — canonical dcmip31 (nel 12x12x3, s=2).
   * euler3d_dcmip31_epi2_steps_per_s— end-to-end exponential stepping
-    (EPI2 + device-resident KIOPS, ONE XLA program per step).
+    (EPI2 + device-resident KIOPS, ONE XLA program per step; the _chunked
+    variant scans 10 steps per dispatch — integrators/epi.py steps_device).
   * euler3d_dcmip31_ros2_steps_per_s— implicit stepping (Ros2 + FGMRES).
   * euler3d_dcmip31_s{2..6}_gp_per_s— the reference's constant-DOF RHS
     benchmark matrix (tests/rhs_benchmark/run.sh there).
@@ -61,7 +64,9 @@ _FINAL_EMITTED = False
 # states cache to .bench_cache/ keyed by shape, and a SIGTERM/SIGALRM
 # handler emits the final summary record even if the cap fires mid-stage.
 T_START = time.time()
-DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", "1200"))
+# Default sits just under the ~1h window the r3 driver evidence implies;
+# if the real cap is lower, the SIGTERM handler still emits the summary.
+DEADLINE_SECS = float(os.environ.get("BENCH_DEADLINE_SECS", "3300"))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 PARTIAL_PATH = os.path.join(_HERE, "BENCH_PARTIAL.jsonl")
 CACHE_DIR = os.path.join(_HERE, ".bench_cache")
@@ -163,17 +168,27 @@ def load_baselines():
 
 
 def _marginal_time(fn, reps):
+    """(loop of 1+reps calls) − (one call): the per-dispatch relay latency
+    cancels. The relay latency is also NOISY (one hiccup in the single-call
+    baseline once produced a negative margin and a 1e17 'throughput'), so
+    the baseline is the min of two tries and the margin falls back to the
+    non-marginal loop fraction when it is implausibly small."""
     out = fn()
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn())
-    t1 = time.perf_counter() - t0
+    singles = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        singles.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
     for _ in range(1 + reps):
         out = fn()
     jax.block_until_ready(out)
-    t2 = time.perf_counter() - t0
-    return max(t2 - t1, 1e-9), out
+    loop = time.perf_counter() - t0
+    elapsed = loop - min(singles)
+    if not (elapsed > 0.25 * loop):  # hiccup in the baseline: margin bogus
+        elapsed = loop * reps / (1.0 + reps)
+    return max(elapsed, 1e-9), out
 
 
 def _sw_setup(nel, s, case="case6"):
@@ -390,6 +405,40 @@ def _bench_sw_xla_fallback(geom, ops, metric, q64, make_rhs, nel, s, dt,
               f"gate {err:.1e}{mfu}")
 
 
+def bench_sw_case6_epi3(baselines, steps=4, chunk=4):
+    """End-to-end canonical case6 (config/case6.ini: epi3 + exponential
+    solver, dt=1800, tol 1e-7) — production operating point: device-resident
+    KIOPS, f32 perturbation-form Arnoldi companion, chunked stepping
+    (steps_device: the multistep EPI3 history rides the scan carry)."""
+    from wxfactory_tpu.integrators import Epi
+
+    base = baselines.get("sw_case6_epi3", {}).get("steps_per_s")
+    geom, ops, metric, q64, make_rhs = _sw_setup(10, 3)
+    with cpu_build():
+        rhs = make_rhs(geom, ops, metric)
+        rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="xla",
+                         perturbation_base=q64)
+    epi = Epi(rhs, order=3, tolerance=1e-7, exponential_solver="kiops_jit",
+              init_substeps=10, rhs32=rhs32)
+    q = epi.step(q64, 1800.0)  # first step: 10-substep Epi2 bootstrap + compile
+    q = epi.step(q, 1800.0)  # EPI3 device-step compile
+    q = epi.steps_device(q, 1800.0, chunk)  # chunked scan compile
+    jax.block_until_ready(q)
+    secs = []
+    for _ in range(3):  # tiny problem: dispatch-latency noise dominates
+        t0 = time.perf_counter()
+        q = epi.steps_device(q, 1800.0, chunk)
+        jax.block_until_ready(q)
+        secs.append((time.perf_counter() - t0) / chunk)
+    sec = min(secs)
+    assert np.isfinite(np.asarray(q)).all()
+    emit("sw_case6_epi3_steps_per_s", 1.0 / sec, "steps/s", base,
+         note=f"canonical case6 (nel=10, s=3) EPI3 + device-resident KIOPS, "
+              f"MIXED precision (f32 SW pert-form Arnoldi matvec), dt=1800, "
+              f"{chunk} steps per dispatch; baseline = reference epi3+pmex "
+              "6-worker run (marginal timing, bootstrap excluded)")
+
+
 def _e3_setup(nel_h=12, nel_v=3, s=2, ztop=10000.0):
     from wxfactory_tpu.geometry.cubed_sphere_3d import make_cubed_sphere_3d
     from wxfactory_tpu.geometry.metric3d import make_metric_3d
@@ -502,10 +551,13 @@ def bench_dcmip31_epi2(baselines, steps=3):
     chunk = 10
     q = epi.steps_device(q, 30.0, chunk)  # compile
     jax.block_until_ready(q)
-    t0 = time.perf_counter()
-    q = epi.steps_device(q, 30.0, chunk)
-    jax.block_until_ready(q)
-    sec_c = (time.perf_counter() - t0) / chunk
+    secs = []
+    for _ in range(2):  # min-of-2: one relay hiccup otherwise skews the rate
+        t0 = time.perf_counter()
+        q = epi.steps_device(q, 30.0, chunk)
+        jax.block_until_ready(q)
+        secs.append((time.perf_counter() - t0) / chunk)
+    sec_c = min(secs)
     assert np.isfinite(np.asarray(q)).all()
     emit("euler3d_dcmip31_epi2_chunked_steps_per_s", 1.0 / sec_c, "steps/s", base,
          note=f"EPI2 + device-resident KIOPS, {chunk} steps per dispatch "
@@ -562,132 +614,155 @@ def bench_e3_matrix(reps=2, nsteps=20):
         name = f"euler3d_dcmip31_s{s}_gp_per_s"
         if not stage_fits(120, name):
             continue
-        try:
-            geom, ops, metric, q0, make_rhs = _e3_setup(nel_h=N, nel_v=N, s=s)
-            with cpu_build():
-                rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32,
-                                 interior="pallas" if how.startswith("fused") else "xla",
-                                 perturbation_base=q0)
-            gp = 6 * (N * s) ** 3
-            fused = hasattr(rhs32, "packed_stage_chained")
+        for attempt in (1, 2):  # one retry: the relay occasionally drops a
+            try:                # remote_compile mid-body (transient INTERNAL)
+                geom, ops, metric, q0, make_rhs = _e3_setup(nel_h=N, nel_v=N, s=s)
+                with cpu_build():
+                    rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32,
+                                     interior="pallas" if how.startswith("fused") else "xla",
+                                     perturbation_base=q0)
+                gp = 6 * (N * s) ** 3
+                fused = hasattr(rhs32, "packed_stage_chained")
 
-            # Accuracy gate at a 2-step drift state. Unlike the canonical
-            # 12x12x3 shape (dz = 1667 m), these constant-DOF shapes pack
-            # N*s vertical points into ztop = 10 km, so dt sits under the
-            # VERTICAL acoustic CFL: dz/(N*s)/c_s with margin. The drift
-            # state comes from the (fast) f32 production path ON CHIP — the
-            # gate only needs a representative drifted state, not an
-            # f64-accurate trajectory; the single f64 TRUTH eval at that
-            # state runs on the HOST CPU backend op-by-op (whole-program
-            # CPU compiles at ~1.3M gridpoints stall; eager dispatch costs
-            # ~11 s — r3 paid 7 such evals per shape and blew the driver
-            # cap, VERDICT Weak #1) and caches to .bench_cache/.
-            dtg = 0.25 * (10000.0 / (N * s)) / 340.0
-            dq0 = (q0 - rhs32.base_state).astype(jnp.float32)
-            dt32 = jnp.asarray(dtg, jnp.float32)
-            delta_rhs = rhs32.delta
-
-            @jax.jit
-            def drift2(dq):
-                def body(qq, _):
-                    q1 = qq + dt32 * delta_rhs(qq)
-                    q2 = 0.75 * qq + 0.25 * (q1 + dt32 * delta_rhs(q1))
-                    return qq / 3.0 + 2.0 / 3.0 * (q2 + dt32 * delta_rhs(q2)), None
-
-                return jax.lax.scan(body, dq, None, length=2)[0]
-
-            dqt32 = np.asarray(drift2(dq0), np.float32)
-            qt64 = np.asarray(rhs32.base_state, np.float64) + dqt32.astype(np.float64)
-
-            def compute_truth():
-                with jax.default_device(jax.devices("cpu")[0]), jax.disable_jit():
-                    rhs64 = make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")
-                    return {"truth": np.asarray(rhs64(jax.device_put(qt64)))}
-
-            import hashlib
-
-            key = f"e3truth_s{s}_N{N}_" + hashlib.md5(dqt32.tobytes()).hexdigest()[:10]
-            truth = truth_cache(key, compute_truth)["truth"]
-            qt = jnp.asarray(qt64)
-            scale = np.abs(truth).max(axis=(1, 2, 3, 4, 5), keepdims=True)
-            fused32 = np.asarray(jax.jit(rhs32.delta)((qt - rhs32.base_state).astype(jnp.float32)))
-            err = np.abs((fused32 - truth) / scale).max()
-            if not (err < GATE_REL):
-                emit(name, 0.0, "gridpoints/s",
-                     note=f"ACCURACY GATE FAILED: {err:.2e} (gate {GATE_REL:.0e}); {how}")
-                continue
-
-            dt = jnp.asarray(dtg, jnp.float32)
-            # At these sizes the packed metric constants/base planes are
-            # ~100s of MB; closed over, they'd be embedded in the HLO as
-            # literals (590 MB at 30^3) and blow the axon remote-compile
-            # request limit (HTTP 413). The *_fn entry points take them as
-            # an explicit pytree argument -> runtime parameters.
-            if fused:
-                chained = rhs32.packed_stage_chained_fn
-                slabs0 = rhs32.packed_slabs_fn
-                big = rhs32.packed_big
-                qp = rhs32.pack(q0.astype(jnp.float32))
-
-                @jax.jit
-                def multi(qp, big):
-                    def body(carry, _):
-                        q, slabs = carry
-                        q1, s1 = chained(big, q, q, slabs, 0.0, 1.0, dt)
-                        q2, s2 = chained(big, q, q1, s1, 0.75, 0.25, 0.25 * dt)
-                        return chained(big, q, q2, s2, 1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt), None
-
-                    return jax.lax.scan(body, (qp, slabs0(big, qp)), None, length=nsteps)[0][0]
-
-                elapsed, out = _marginal_time(lambda: multi(qp, big), reps)
-            else:
-                delta_fn = rhs32.delta_fn
-                consts = rhs32.consts
+                # Accuracy gate at a 2-step drift state. Unlike the canonical
+                # 12x12x3 shape (dz = 1667 m), these constant-DOF shapes pack
+                # N*s vertical points into ztop = 10 km, so dt sits under the
+                # VERTICAL acoustic CFL: dz/(N*s)/c_s with margin. The drift
+                # state comes from the (fast) f32 production path ON CHIP — the
+                # gate only needs a representative drifted state, not an
+                # f64-accurate trajectory; the single f64 TRUTH eval at that
+                # state runs on the HOST CPU backend op-by-op (whole-program
+                # CPU compiles at ~1.3M gridpoints stall; eager dispatch costs
+                # ~11 s — r3 paid 7 such evals per shape and blew the driver
+                # cap, VERDICT Weak #1) and caches to .bench_cache/.
+                dtg = 0.25 * (10000.0 / (N * s)) / 340.0
                 dq0 = (q0 - rhs32.base_state).astype(jnp.float32)
+                dt32 = jnp.asarray(dtg, jnp.float32)
+                # XLA-path objects expose delta_fn(consts, dq): consts ride
+                # as runtime ARGUMENTS. Closed over (rhs32.delta) they are
+                # HLO literals — hundreds of MB at these shapes, over the
+                # relay's remote-compile request limit (HTTP 413, the r5
+                # s=6 failure). The Pallas objects feed constants through
+                # pallas_call operands, so their .delta closure is fine.
+                if hasattr(rhs32, "delta_fn"):
+                    gate_consts = jax.device_put(rhs32.consts, jax.devices()[0])
+                    delta_rhs = rhs32.delta_fn
+                else:
+                    gate_consts = None
+                    delta_rhs = lambda _c, dq: rhs32.delta(dq)
 
                 @jax.jit
-                def multi(dq, consts):
-                    def body(q, _):
-                        q1 = q + dt * delta_fn(consts, q)
-                        q2 = 0.75 * q + 0.25 * (q1 + dt * delta_fn(consts, q1))
-                        return q / 3.0 + 2.0 / 3.0 * (q2 + dt * delta_fn(consts, q2)), None
+                def drift2(dq, consts):
+                    def body(qq, _):
+                        q1 = qq + dt32 * delta_rhs(consts, qq)
+                        q2 = 0.75 * qq + 0.25 * (q1 + dt32 * delta_rhs(consts, q1))
+                        return qq / 3.0 + 2.0 / 3.0 * (q2 + dt32 * delta_rhs(consts, q2)), None
 
-                    return jax.lax.scan(body, dq, None, length=nsteps)[0]
+                    return jax.lax.scan(body, dq, None, length=2)[0]
 
-                elapsed, out = _marginal_time(lambda: multi(dq0, consts), reps)
-            assert np.isfinite(np.asarray(out)).all()
-            gps = gp * reps * nsteps * 3 / elapsed
-            # Algorithmic FLOPs/gridpoint from the pipeline's GEMM shapes
-            # (per 128-lane row: traces 2x(5R,128,128), divergence
-            # (5R,384,128), dlp (R,128,384) + face GEMMs ~(6R,128*3) corr,
-            # + ~220 elementwise ops/lane) — fused path only.
-            note = f"constant-DOF dcmip31 matrix, {how}; gate {err:.1e}"
-            if fused:
-                g = pe3.grid_plan(s, N, N)[0]
-                gp_row = g * s**3
-                # Algorithmic FLOPs per 128-lane state row, from the
-                # pipeline's GEMM shapes (pert form; elementwise ~300/lane):
-                # Split trace layout (g*2s^2 > 64): x/y/z get separate
-                # trace/correction GEMMs (3 families instead of 2 fused
-                # registers) — more FLOPs per row, but 2-3x the gridpoints
-                # per row (ops/pallas_euler3d.py is_split_layout).
-                nfam = 3 if pe3.is_split_layout(s, g) else 2
-                flops_row = (
-                    2 * (nfam * 5 * 2 * 128 * 128)      # state+base traces
-                    + 5 * 2 * 384 * 128                 # interior divergence bundle
-                    + 2 * (2 * 128 * 384)               # dlogp (delta + base)
-                    + 7 * 2 * (nfam * 128) * 128        # boundary corrections
-                    + 2 * (nfam * 2 * 128 * 384)        # face-log corrections
-                    + 2 * 128 * 128                     # gravity hfk
-                    + 300 * 128                         # elementwise (VPU)
-                )
-                flops_gp = flops_row / gp_row
-                mfu = gps * flops_gp / PEAK_F32_FLOPS
-                note += (f"; ~{flops_gp:.0f} FLOP/gp (lane util {gp_row}/128), "
-                         f"~{100*mfu:.1f}% of 6-pass f32 MXU peak")
-            emit(name, gps, "gridpoints/s", note=note)
-        except Exception as e:  # keep the matrix going; report the failure
-            emit(name, 0.0, "gridpoints/s", note=f"FAILED: {type(e).__name__}: {e}; {how}")
+                dqt32 = np.asarray(drift2(dq0, gate_consts), np.float32)
+                qt64 = np.asarray(rhs32.base_state, np.float64) + dqt32.astype(np.float64)
+
+                def compute_truth():
+                    with jax.default_device(jax.devices("cpu")[0]), jax.disable_jit():
+                        rhs64 = make_rhs(geom, ops, metric, dtype=jnp.float64, interior="xla")
+                        return {"truth": np.asarray(rhs64(jax.device_put(qt64)))}
+
+                import hashlib
+
+                key = f"e3truth_s{s}_N{N}_" + hashlib.md5(dqt32.tobytes()).hexdigest()[:10]
+                truth = truth_cache(key, compute_truth)["truth"]
+                qt = jnp.asarray(qt64)
+                scale = np.abs(truth).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+                fused32 = np.asarray(jax.jit(delta_rhs)(
+                    gate_consts, (qt - rhs32.base_state).astype(jnp.float32)))
+                err = np.abs((fused32 - truth) / scale).max()
+                if not (err < GATE_REL):
+                    emit(name, 0.0, "gridpoints/s",
+                         note=f"ACCURACY GATE FAILED: {err:.2e} (gate {GATE_REL:.0e}); {how}")
+                    break  # out of the attempt loop: a gate failure is final
+
+                dt = jnp.asarray(dtg, jnp.float32)
+                # At these sizes the packed metric constants/base planes are
+                # ~100s of MB; closed over, they'd be embedded in the HLO as
+                # literals (590 MB at 30^3) and blow the axon remote-compile
+                # request limit (HTTP 413). The *_fn entry points take them as
+                # an explicit pytree argument -> runtime parameters.
+                if fused:
+                    chained = rhs32.packed_stage_chained_fn
+                    slabs0 = rhs32.packed_slabs_fn
+                    # device_put: these ride as jit ARGUMENTS (not closures);
+                    # left CPU-placed by cpu_build they would re-transfer
+                    # hundreds of MB over the relay on EVERY call (measured
+                    # 13x on the s=2 matrix row).
+                    dev = jax.devices()[0]
+                    big = jax.device_put(rhs32.packed_big, dev)
+                    qp = jax.device_put(rhs32.pack(q0.astype(jnp.float32)), dev)
+
+                    @jax.jit
+                    def multi(qp, big):
+                        def body(carry, _):
+                            q, slabs = carry
+                            q1, s1 = chained(big, q, q, slabs, 0.0, 1.0, dt)
+                            q2, s2 = chained(big, q, q1, s1, 0.75, 0.25, 0.25 * dt)
+                            return chained(big, q, q2, s2, 1.0 / 3.0, 2.0 / 3.0, (2.0 / 3.0) * dt), None
+
+                        return jax.lax.scan(body, (qp, slabs0(big, qp)), None, length=nsteps)[0][0]
+
+                    elapsed, out = _marginal_time(lambda: multi(qp, big), reps)
+                else:
+                    delta_fn = rhs32.delta_fn
+                    dev = jax.devices()[0]
+                    consts = jax.device_put(rhs32.consts, dev)
+                    dq0 = jax.device_put((q0 - rhs32.base_state).astype(jnp.float32), dev)
+
+                    @jax.jit
+                    def multi(dq, consts):
+                        def body(q, _):
+                            q1 = q + dt * delta_fn(consts, q)
+                            q2 = 0.75 * q + 0.25 * (q1 + dt * delta_fn(consts, q1))
+                            return q / 3.0 + 2.0 / 3.0 * (q2 + dt * delta_fn(consts, q2)), None
+
+                        return jax.lax.scan(body, dq, None, length=nsteps)[0]
+
+                    elapsed, out = _marginal_time(lambda: multi(dq0, consts), reps)
+                assert np.isfinite(np.asarray(out)).all()
+                gps = gp * reps * nsteps * 3 / elapsed
+                # Algorithmic FLOPs/gridpoint from the pipeline's GEMM shapes
+                # (per 128-lane row: traces 2x(5R,128,128), divergence
+                # (5R,384,128), dlp (R,128,384) + face GEMMs ~(6R,128*3) corr,
+                # + ~220 elementwise ops/lane) — fused path only.
+                note = f"constant-DOF dcmip31 matrix, {how}; gate {err:.1e}"
+                if fused:
+                    g = pe3.grid_plan(s, N, N)[0]
+                    gp_row = g * s**3
+                    # Algorithmic FLOPs per 128-lane state row, from the
+                    # pipeline's GEMM shapes (pert form; elementwise ~300/lane):
+                    # Split trace layout (g*2s^2 > 64): x/y/z get separate
+                    # trace/correction GEMMs (3 families instead of 2 fused
+                    # registers) — more FLOPs per row, but 2-3x the gridpoints
+                    # per row (ops/pallas_euler3d.py is_split_layout).
+                    nfam = 3 if pe3.is_split_layout(s, g) else 2
+                    flops_row = (
+                        2 * (nfam * 5 * 2 * 128 * 128)      # state+base traces
+                        + 5 * 2 * 384 * 128                 # interior divergence bundle
+                        + 2 * (2 * 128 * 384)               # dlogp (delta + base)
+                        + 7 * 2 * (nfam * 128) * 128        # boundary corrections
+                        + 2 * (nfam * 2 * 128 * 384)        # face-log corrections
+                        + 2 * 128 * 128                     # gravity hfk
+                        + 300 * 128                         # elementwise (VPU)
+                    )
+                    flops_gp = flops_row / gp_row
+                    mfu = gps * flops_gp / PEAK_F32_FLOPS
+                    note += (f"; ~{flops_gp:.0f} FLOP/gp (lane util {gp_row}/128), "
+                             f"~{100*mfu:.1f}% of 6-pass f32 MXU peak")
+                emit(name, gps, "gridpoints/s", note=note)
+                break
+            except Exception as e:  # keep the matrix going; report the failure
+                if attempt == 2 or remaining_budget() < 120:
+                    emit(name, 0.0, "gridpoints/s",
+                         note=f"FAILED (attempt {attempt}): {type(e).__name__}: {e}; {how}")
+                    break
 
 
 def emit_roofline():
@@ -746,6 +821,10 @@ def main():
         # The s=4-specialized pipeline at its tuned shape (KR whole-run kernel).
         if stage_fits(120, "sw_s4_rhs_gridpoints_per_s"):
             bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None)
+        # End-to-end canonical case6 stepping (BASELINE.md "steps/s ... on
+        # case6"; reference epi3+pmex baseline from tools/measure_baseline).
+        if stage_fits(200, "sw_case6_epi3_steps_per_s"):
+            bench_sw_case6_epi3(baselines)
         if stage_fits(150, "euler3d_dcmip31_rhs_gp_per_s"):
             bench_dcmip31_rhs(baselines)
         if stage_fits(120, "euler3d_dcmip31_epi2_steps_per_s"):

@@ -146,19 +146,50 @@ def time_euler3d_ros2_step(nel_h=12, nel_v=3, num_solpts=2, ztop=10000.0, steps=
     return {"seconds_per_step": sec, "steps_per_s": 1.0 / sec}
 
 
+def time_sw_epi3_step(nel=10, num_solpts=3, steps=10):
+    """Reference EPI3+PMEX seconds/step on canonical case6
+    (config/case6.ini: epi3 + pmex, dt=1800, tol 1e-7). Marginal timing
+    T(1+steps) - T(1) so the model construction AND the first step's
+    10-substep Epi2 bootstrap (integrators/epi.py there) cancel."""
+    from ref_harness import reference_sw_epi_steps
+
+    run = lambda n: reference_sw_epi_steps(6, nel, num_solpts, 1800.0, n, order=3,
+                                           exponential_solver="pmex", tolerance=1e-7)
+    t0 = time.perf_counter()
+    run(1)
+    t1 = time.perf_counter()
+    run(1 + steps)
+    sec = ((time.perf_counter() - t1) - (t1 - t0)) / steps
+    return {"seconds_per_step": sec, "steps_per_s": 1.0 / sec}
+
+
 def main():
     import platform
+    import sys
 
-    out = {
-        "hardware": f"host CPU ({os.cpu_count()} cores, {platform.processor() or 'unknown'}), "
-                    "6 lockstep workers (one per panel — the reference's canonical 6-rank run)",
-        "sw_case6_rhs": time_sw_rhs(6, 10, 3),  # config/case6.ini:28-43
-        "sw_case6_rhs_nel64": time_sw_rhs(6, 64, 3, iters=5),
-        "euler3d_dcmip31_rhs": time_euler3d_rhs(31, 12, 3, 2),  # config/dcmip31.ini:58-65
-        "euler3d_dcmip31_epi2": time_euler3d_epi2_step(12, 3, 2),
-        "euler3d_dcmip31_ros2": time_euler3d_ros2_step(12, 3, 2),
-    }
     path = os.path.join(os.path.dirname(__file__), "..", "BASELINE_MEASURED.json")
+    out = {}
+    if os.path.exists(path) and "--all" not in sys.argv:
+        with open(path) as f:
+            out = json.load(f)  # incremental: only measure missing keys
+
+    measurers = {
+        "sw_case6_rhs": lambda: time_sw_rhs(6, 10, 3),  # config/case6.ini:28-43
+        "sw_case6_rhs_nel64": lambda: time_sw_rhs(6, 64, 3, iters=5),
+        "sw_case6_epi3": time_sw_epi3_step,  # end-to-end canonical case6
+        "euler3d_dcmip31_rhs": lambda: time_euler3d_rhs(31, 12, 3, 2),  # config/dcmip31.ini:58-65
+        "euler3d_dcmip31_epi2": lambda: time_euler3d_epi2_step(12, 3, 2),
+        "euler3d_dcmip31_ros2": lambda: time_euler3d_ros2_step(12, 3, 2),
+    }
+    out.setdefault(
+        "hardware",
+        f"host CPU ({os.cpu_count()} cores, {platform.processor() or 'unknown'}), "
+        "6 lockstep workers (one per panel — the reference's canonical 6-rank run)",
+    )
+    for key, fn in measurers.items():
+        if key not in out:
+            print(f"measuring {key}...", flush=True)
+            out[key] = fn()
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
