@@ -167,23 +167,45 @@ def load_baselines():
     return {}
 
 
+_PROBES = {}
+
+
+def _sync(out):
+    """Wait for `out` to actually exist by FETCHING one scalar of it.
+
+    jax.block_until_ready does not reliably wait for execution over the
+    axon relay (measured: a single 200-GEMM call 'ready' after 46 ms of a
+    ~190 ms execution); only a value transfer synchronizes. The probe is a
+    jitted ravel[0] (enqueued after the producer on the same stream), so
+    the cost is one scalar round trip — constant, and it cancels in the
+    marginal scheme."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    key = (leaf.shape, str(leaf.dtype))
+    probe = _PROBES.get(key)
+    if probe is None:
+        probe = jax.jit(lambda a: jnp.ravel(a)[0])
+        _PROBES[key] = probe
+    return np.asarray(probe(leaf))
+
+
 def _marginal_time(fn, reps):
     """(loop of 1+reps calls) − (one call): the per-dispatch relay latency
     cancels. The relay latency is also NOISY (one hiccup in the single-call
     baseline once produced a negative margin and a 1e17 'throughput'), so
     the baseline is the min of two tries and the margin falls back to the
-    non-marginal loop fraction when it is implausibly small."""
+    non-marginal loop fraction when it is implausibly small. Syncing is by
+    scalar fetch (_sync), not block_until_ready, which the relay breaks."""
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     singles = []
     for _ in range(2):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         singles.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
     for _ in range(1 + reps):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     loop = time.perf_counter() - t0
     elapsed = loop - min(singles)
     if not (elapsed > 0.25 * loop):  # hiccup in the baseline: margin bogus
