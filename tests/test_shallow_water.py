@@ -181,6 +181,27 @@ def test_galewsky_and_unsteady_zonal_build():
     # Jet max height gradient in the right ballpark (~10 km mean height).
     assert 9000.0 < np.mean(q[0]) < 11000.0
 
+    # The chunked quadrature (64k-point blocks over the flattened grid,
+    # memory fix for the canonical 1.2M-point shape) is exactly the dense
+    # per-point evaluation: verify against an inline dense computation.
+    import math
+
+    from wxfactory_tpu.common.constants import GRAVITY
+    from wxfactory_tpu.testcases.shallow_water import _galewsky_u
+
+    nodes, weights = np.polynomial.legendre.leggauss(512)
+    lo = -0.5 * math.pi
+    lat, a, O = geom.lat, geom.earth_radius, geom.rotation_speed
+    hl = 0.5 * (lat - lo)
+    x = lo + hl[..., None] * (nodes + 1.0)
+    du = _galewsky_u(x)
+    dense_int = (((2.0 * a * O * np.sin(x) + du * np.tan(x)) * du) @ weights) * hl
+    h_dense = 10158.18617045463179 - dense_int / GRAVITY
+    h_hat, phi2, alpha, beta = 120.0, math.pi / 4.0, 1.0 / 3.0, 1.0 / 15.0
+    h_dense = h_dense + h_hat * np.cos(lat) * np.exp(-((geom.lon / alpha) ** 2)) * np.exp(
+        -(((phi2 - lat) / beta) ** 2))
+    np.testing.assert_array_equal(np.asarray(q[0]), h_dense)
+
     q10, topo = case_unsteady_zonal(geom, ops)
     rhs = make_rhs_shallow_water(geom, ops, metric, topo=topo)
     dq = np.asarray(rhs(jnp.asarray(q10)))
