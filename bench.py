@@ -533,7 +533,11 @@ def bench_dcmip31_rhs(baselines, reps=5, nsteps=150):
     emit("euler3d_dcmip31_rhs_gp_per_s", gps, "gridpoints/s", base,
          note=f"canonical dcmip31 (12x12x3, s=2) fused 3D pipeline, f32 perturbation "
               f"form; accuracy gate: kernel {err_fused:.1e} of tendency scale at "
-              f"4-step drift (absolute gate {GATE_REL:.0e}){mfu}")
+              f"4-step drift (absolute gate {GATE_REL:.0e}){mfu}; measured headroom: "
+              "kernel-only (glue-free) runs 1.42x this rate — at 36 rows/panel the "
+              "shape is per-launch-cost bound; a whole-cube single-block kernel "
+              "(in-kernel panel exchange, the pallas_sw_gen 'whole'-mode analogue) "
+              "is the remaining step")
 
 
 def bench_dcmip31_epi2(baselines, steps=3):

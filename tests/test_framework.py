@@ -370,3 +370,26 @@ def test_device_step_chunk_matches_single_steps(tmp_path):
     db = sqlite3.connect(os.path.join(str(tmp_path / "chunk"), "solver_stats.db"))
     steps = [r[0] for r in db.execute("SELECT step_id FROM results_data ORDER BY step_id")]
     assert steps == [3, 6]  # one aggregate row per chunk
+
+
+def test_device_step_chunk_respects_t_end_clamp(tmp_path):
+    """A chunked run whose t_end is NOT a multiple of dt must stop at
+    exactly t_end (the clamped final partial step runs through the
+    single-step path) and match the unchunked trajectory."""
+    t_end = int(4.5 * 1800)  # 4 full steps + one clamped 900 s step
+    single_ini = CASE6_INI.format(t_end=t_end, integrator="epi2", starting_step=0,
+                                  save_freq=0, outdir=str(tmp_path / "s")).replace(
+        "exponential_solver = pmex", "exponential_solver = kiops_jit")
+    q_single = np.asarray(Simulation(Configuration(single_ini)).run())
+
+    chunk_ini = CASE6_INI.format(t_end=t_end, integrator="epi2", starting_step=0,
+                                 save_freq=0, outdir=str(tmp_path / "c")).replace(
+        "exponential_solver = pmex",
+        "exponential_solver = kiops_jit\ndevice_step_chunk = 3")
+    sim = Simulation(Configuration(chunk_ini))
+    assert sim._chunk_len(0, 0.0) == 3          # chunk the first 3 full steps
+    assert sim._chunk_len(3, 3 * 1800.0) == 1   # one full step left before clamp
+    q_chunk = np.asarray(sim.run())
+
+    scale = np.abs(q_single).max(axis=(1, 2, 3, 4), keepdims=True)
+    np.testing.assert_allclose(q_chunk / scale, q_single / scale, atol=1e-9)
