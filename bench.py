@@ -834,37 +834,45 @@ def main():
     sw_b = baselines.get("sw_case6_rhs", {}).get("gridpoints_per_s")
     sw_b64 = baselines.get("sw_case6_rhs_nel64", {}).get("gridpoints_per_s")
 
+    def stage(name, estimate, fn):
+        """Isolate each stage: a mid-stage exception (relay flake, OOM at a
+        new shape) must not abort the REST of the sweep — emit a FAILED
+        record for this metric and keep going."""
+        if not stage_fits(estimate, name):
+            return
+        try:
+            fn()
+        except Exception as e:
+            emit(name, 0.0, "failed", note=f"STAGE FAILED: {type(e).__name__}: {e}")
+
     # Stage order = importance (headline SW + canonical end-to-end first);
     # each stage declares a rough worst-case estimate against the deadline.
     try:
         # Canonical case6 discretization (s=3): exact config shape +
         # scaled-up. The nel=10 problem is sub-ms per 100 steps — use more
         # reps for a stable marginal timing.
-        if stage_fits(120, "sw_case6_canonical_gp_per_s"):
-            bench_sw(10, 3, 30.0, "sw_case6_canonical_gp_per_s", sw_b, nsteps=200, reps=10)
-        if stage_fits(150, "sw_case6_rhs_gridpoints_per_s"):
-            bench_sw(64, 3, 10.0, "sw_case6_rhs_gridpoints_per_s", sw_b64)
+        stage("sw_case6_canonical_gp_per_s", 120,
+              lambda: bench_sw(10, 3, 30.0, "sw_case6_canonical_gp_per_s", sw_b,
+                               nsteps=200, reps=10))
+        stage("sw_case6_rhs_gridpoints_per_s", 150,
+              lambda: bench_sw(64, 3, 10.0, "sw_case6_rhs_gridpoints_per_s", sw_b64))
         # The s=4-specialized pipeline at its tuned shape (KR whole-run kernel).
-        if stage_fits(120, "sw_s4_rhs_gridpoints_per_s"):
-            bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None)
+        stage("sw_s4_rhs_gridpoints_per_s", 120,
+              lambda: bench_sw(64, 4, 30.0, "sw_s4_rhs_gridpoints_per_s", None))
         # End-to-end canonical case6 stepping (BASELINE.md "steps/s ... on
         # case6"; reference epi3+pmex baseline from tools/measure_baseline).
-        if stage_fits(200, "sw_case6_epi3_steps_per_s"):
-            bench_sw_case6_epi3(baselines)
-        if stage_fits(150, "euler3d_dcmip31_rhs_gp_per_s"):
-            bench_dcmip31_rhs(baselines)
-        if stage_fits(120, "euler3d_dcmip31_epi2_steps_per_s"):
-            bench_dcmip31_epi2(baselines)
-        if stage_fits(120, "euler3d_dcmip31_ros2_steps_per_s"):
-            bench_dcmip31_ros2(baselines)
-        bench_e3_matrix()
+        stage("sw_case6_epi3_steps_per_s", 200, lambda: bench_sw_case6_epi3(baselines))
+        stage("euler3d_dcmip31_rhs_gp_per_s", 150, lambda: bench_dcmip31_rhs(baselines))
+        stage("euler3d_dcmip31_epi2_steps_per_s", 120, lambda: bench_dcmip31_epi2(baselines))
+        stage("euler3d_dcmip31_ros2_steps_per_s", 120, lambda: bench_dcmip31_ros2(baselines))
+        bench_e3_matrix()  # has its own per-row isolation + retry
         # Canonical galewsky jet (config/galewsky.ini: nel=64, num_solpts=7,
         # explicit stepping) through the generic fused pipeline. LAST: the
         # s=7 f64 truth/compile is the most expensive stage on a cold cache
         # (the drift/truth pair caches to .bench_cache after the first
         # complete run).
-        if stage_fits(300, "sw_galewsky_gp_per_s"):
-            bench_sw(64, 7, 10.0, "sw_galewsky_gp_per_s", None, case="galewsky")
+        stage("sw_galewsky_gp_per_s", 300,
+              lambda: bench_sw(64, 7, 10.0, "sw_galewsky_gp_per_s", None, case="galewsky"))
         emit_roofline()
     finally:
         emit_final()
