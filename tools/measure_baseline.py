@@ -163,6 +163,22 @@ def time_sw_epi3_step(nel=10, num_solpts=3, steps=10):
     return {"seconds_per_step": sec, "steps_per_s": 1.0 / sec}
 
 
+def time_sw_galewsky_epi3_step(nel=30, num_solpts=3, steps=6):
+    """Reference EPI3+PMEX seconds/step on the TRUE galewsky configuration
+    (config/galewsky.ini: case 8, nel=30, num_solpts=3, dt=900, epi3).
+    Marginal timing as for case6 (construction + bootstrap cancel)."""
+    from ref_harness import reference_sw_epi_steps
+
+    run = lambda n: reference_sw_epi_steps(8, nel, num_solpts, 900.0, n, order=3,
+                                           exponential_solver="pmex", tolerance=1e-7)
+    t0 = time.perf_counter()
+    run(1)
+    t1 = time.perf_counter()
+    run(1 + steps)
+    sec = ((time.perf_counter() - t1) - (t1 - t0)) / steps
+    return {"seconds_per_step": sec, "steps_per_s": 1.0 / sec}
+
+
 def main():
     import platform
     import sys
@@ -177,6 +193,7 @@ def main():
         "sw_case6_rhs": lambda: time_sw_rhs(6, 10, 3),  # config/case6.ini:28-43
         "sw_case6_rhs_nel64": lambda: time_sw_rhs(6, 64, 3, iters=5),
         "sw_case6_epi3": time_sw_epi3_step,  # end-to-end canonical case6
+        "sw_galewsky_epi3": time_sw_galewsky_epi3_step,  # true galewsky.ini
         "euler3d_dcmip31_rhs": lambda: time_euler3d_rhs(31, 12, 3, 2),  # config/dcmip31.ini:58-65
         "euler3d_dcmip31_epi2": lambda: time_euler3d_epi2_step(12, 3, 2),
         "euler3d_dcmip31_ros2": lambda: time_euler3d_ros2_step(12, 3, 2),

@@ -605,6 +605,8 @@ def reference_sw_steps(case_number: int, nel_per_tile: int, num_solpts: int,
             u1, u2, h = swt.williamson_case2(geom, metric, param)
         elif case_number == 6:
             u1, u2, h = swt.williamson_case6(geom, metric, param)
+        elif case_number == 8:
+            u1, u2, h = swt.case_galewsky(geom, metric, param)
         else:
             raise ValueError(case_number)
         Q = np.stack([np.asarray(h), np.asarray(h * u1), np.asarray(h * u2)])
@@ -669,6 +671,8 @@ def reference_sw_epi_steps(case_number: int, nel_per_tile: int, num_solpts: int,
             u1, u2, h = swt.williamson_case2(geom, metric, param)
         elif case_number == 6:
             u1, u2, h = swt.williamson_case6(geom, metric, param)
+        elif case_number == 8:
+            u1, u2, h = swt.case_galewsky(geom, metric, param)
         else:
             raise ValueError(case_number)
         Q = np.stack([np.asarray(h), np.asarray(h * u1), np.asarray(h * u2)])
