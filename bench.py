@@ -762,6 +762,23 @@ def bench_dcmip31_ros2(baselines, steps=3):
               "refinement), dt=30; full-f64 device path measures 3.5 s/step "
               "on this chip")
 
+    # Chunked implicit stepping (steps_device lax.scan over the whole-step
+    # solve — the dispatch amortization EPI2 already had, VERDICT r4 #6).
+    chunk = 10
+    q = ros.steps_device(q, 30.0, chunk)  # compile
+    jax.block_until_ready(q)
+    secs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        q = ros.steps_device(q, 30.0, chunk)
+        jax.block_until_ready(q)
+        secs.append((time.perf_counter() - t0) / chunk)
+    sec_c = min(secs)
+    assert np.isfinite(np.asarray(q)).all()
+    emit("euler3d_dcmip31_ros2_chunked_steps_per_s", 1.0 / sec_c, "steps/s", base,
+         note=f"Ros2 + device-resident FGMRES, {chunk} steps per dispatch "
+              "(steps_device lax.scan), same mixed precision")
+
 
 def bench_e3_matrix(reps=2, nsteps=20):
     """The reference's constant-DOF dcmip31 RHS benchmark matrix

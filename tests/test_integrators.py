@@ -119,6 +119,27 @@ def test_epi_steps_device_scan_matches_single_steps(bubble):
     assert _rel_err(qc, qs) < 1e-12
 
 
+def test_ros2_steps_device_scan_matches_single_steps(bubble):
+    """Ros2 steps_device (N whole-step FGMRES solves as ONE lax.scan
+    program — VERDICT r4 next #6) must reproduce the repeated-single-step
+    trajectory exactly; FGMRES carries no cross-step state so the match is
+    bit-for-bit, with the same aggregate iteration count."""
+    from wxfactory_tpu.integrators import Ros2
+
+    q0, rhs, qr = bubble
+    single = Ros2(rhs, tolerance=1e-10, gmres_restart=30, linear_solver="fgmres_jit")
+    chunked = Ros2(rhs, tolerance=1e-10, gmres_restart=30, linear_solver="fgmres_jit")
+    qs, total_it = q0, 0
+    for _ in range(4):
+        qs = single.step(qs, 0.5)
+        total_it += single.solver_info.total_num_it
+    qc = chunked.steps_device(q0, 0.5, 4)
+    assert _rel_err(qc, qs) == 0.0
+    assert chunked.solver_info.total_num_it == total_it
+    assert chunked.solver_info.converged
+    assert chunked.num_completed_steps == 4
+
+
 def test_epistiff_device_resident(bubble):
     q0, rhs, qr = bubble
     dev = EpiStiff(rhs, order=4, tolerance=1e-12, exponential_solver="kiops_jit")

@@ -164,12 +164,17 @@ def time_sw_epi3_step(nel=10, num_solpts=3, steps=10):
 
 
 def time_sw_galewsky_epi3_step(nel=30, num_solpts=3, steps=6):
-    """Reference EPI3+PMEX seconds/step on the TRUE galewsky configuration
-    (config/galewsky.ini: case 8, nel=30, num_solpts=3, dt=900, epi3).
+    """Reference EPI3+PMEX seconds/step at the TRUE galewsky configuration's
+    operating point (config/galewsky.ini: nel=30, num_solpts=3, dt=900,
+    epi3). The reference's own case-8 initializer is dead code in this
+    snapshot (init/shallow_water_test.py:289 indexes `geom.lon` as 2D; the
+    geometry only carries the new element-block layout), so the
+    measurement uses the case-6 IC on the SAME discretization, integrator,
+    dt and tolerance — per-step cost is IC-independent to first order.
     Marginal timing as for case6 (construction + bootstrap cancel)."""
     from ref_harness import reference_sw_epi_steps
 
-    run = lambda n: reference_sw_epi_steps(8, nel, num_solpts, 900.0, n, order=3,
+    run = lambda n: reference_sw_epi_steps(6, nel, num_solpts, 900.0, n, order=3,
                                            exponential_solver="pmex", tolerance=1e-7)
     t0 = time.perf_counter()
     run(1)

@@ -134,6 +134,13 @@ SCHEMA: List[Field] = [
     _f("System", "desired_device", "str", "tpu", choices=["cpu", "tpu", "cuda"],
        doc="Compute device ('cuda' accepted for reference-config compatibility; maps to the JAX default)"),
     _f("System", "cuda_devices", "list-int", [], doc="Ignored (reference compatibility)"),
+    _f("System", "distribute", "str", "auto", choices=["auto", "off", "gspmd", "shard_map"],
+       doc="Multi-device execution (parallel/mesh.py). 'auto': when more than one device is "
+           "visible, shard the element grid over a (panel, y, x) mesh — explicit cubed-sphere "
+           "runs take the hand-scheduled shard_map tile step on 6*N^2-device meshes, everything "
+           "else (exponential/implicit solvers included) runs GSPMD-partitioned by XLA. The "
+           "analogue of the reference's mpirun -n 6N^2 launch, but any device count works. "
+           "'off': single-device/replicated. 'gspmd'/'shard_map': force that path"),
     _f("System", "precision", "str", "float64", choices=["float32", "float64"],
        doc="State/compute dtype. float64 matches the reference bit-for-bit; float32 is the "
            "TPU-native operating point (enables the fused Pallas pipelines; the 3D Euler model "

@@ -62,9 +62,9 @@ class Ros2(Integrator):
         self._rhs = _rhs
         self._dev_step = None
 
-    def _step_device(self, q, dt: float):
-        """One XLA program for the whole Ros2 step: RHS, b assembly, and the
-        full restarted FGMRES solve of (I - dt/2 J) x = b.
+    def _get_dev_step(self, flat: bool):
+        """Build (once per layout) the jitted whole-step program: RHS, b
+        assembly, and the full restarted FGMRES solve of (I - dt/2 J) x = b.
 
         Vector layout: RAVELED on a single device (the state's small
         trailing dim would waste most of each 128-lane register in the
@@ -72,9 +72,6 @@ class Ros2(Integrator):
         (a 1D view of a sharded state has no representable sharding, so
         ravel would force an all-to-all relayout every iteration;
         fgmres_jit is shape-agnostic either way)."""
-        from .epi import _single_device
-
-        flat = _single_device(q)
         if self._dev_step is None:
             self._dev_step = {}
         if flat not in self._dev_step:
@@ -126,8 +123,13 @@ class Ros2(Integrator):
                 return shp(x, q), info_arr
 
             self._dev_step[flat] = dev_step
+        return self._dev_step[flat]
 
-        q_new, info = self._dev_step[flat](q, jnp.asarray(dt, q.dtype))
+    def _step_device(self, q, dt: float):
+        """One XLA program for the whole Ros2 step (see _get_dev_step)."""
+        from .epi import _single_device
+
+        q_new, info = self._get_dev_step(_single_device(q))(q, jnp.asarray(dt, q.dtype))
         ia = np.asarray(info)
         converged = bool(ia[0])
         self.solver_info = SolverInfo(total_num_it=int(ia[1]), converged=converged)
@@ -138,11 +140,54 @@ class Ros2(Integrator):
                   f"{ia[2] / ia[3]:.2e}", flush=True)
         return q_new
 
-    def __step__(self, q, dt: float):
-        use_jit = self.linear_solver in ("fgmres_jit", "fgmres_jit_1s") or (
+    def _use_jit_solver(self) -> bool:
+        return self.linear_solver in ("fgmres_jit", "fgmres_jit_1s") or (
             self.linear_solver == "auto" and self.preconditioner is None
         )
-        if use_jit:
+
+    def steps_device(self, q, dt: float, nsteps: int):
+        """``nsteps`` Ros2 steps as ONE XLA program (lax.scan over the
+        whole-step solve) — the same per-step dispatch amortization the EPI
+        family gets from its steps_device (VERDICT r4 next #6: the implicit
+        path paid one host dispatch per step). FGMRES carries no cross-step
+        solver state (the warm start IS the incoming state), so the carry
+        is just q; per-step info rows are summed for ``solver_info``."""
+        if not self._use_jit_solver():
+            return Integrator.steps_device(self, q, dt, nsteps)
+        from .epi import _single_device
+
+        flat = _single_device(q)
+        inner = self._get_dev_step(flat)
+        key = ("scan", flat)
+        if key not in self._dev_step:
+            from functools import partial
+
+            @partial(jax.jit, static_argnums=(2,))
+            def dev_steps(q, dt, nsteps):
+                def body(qc, _):
+                    q_new, info = inner(qc, dt)
+                    return q_new, info
+
+                return jax.lax.scan(body, q, None, length=nsteps)
+
+            self._dev_step[key] = dev_steps
+
+        t0 = time()
+        q, infos = self._dev_step[key](q, jnp.asarray(dt, q.dtype), nsteps)
+        ia = np.asarray(infos)  # (nsteps, 4): converged, num_iter, norm_r, norm_b
+        self.latest_time = time() - t0
+        converged = bool(ia[:, 0].all())
+        self.solver_info = SolverInfo(total_num_it=int(ia[:, 1].sum()), converged=converged)
+        self.failure_flag = 0 if converged else -1
+        self.sim_time += dt * nsteps
+        self.num_completed_steps += nsteps
+        if self.verbose > 0:
+            print(f"FGMRES(jit) chunk of {nsteps}: {int(ia[:, 1].sum())} total iterations, "
+                  f"last relative residual {ia[-1, 2] / ia[-1, 3]:.2e}", flush=True)
+        return q
+
+    def __step__(self, q, dt: float):
+        if self._use_jit_solver():
             return self._step_device(q, dt)
 
         rhs_q = self._rhs(q)

@@ -63,7 +63,14 @@ class OutputManager:
             path = os.path.join(self.output_dir, f"{config.base_output_file}.fst")
             self.fst_writer = FstWriter(path, geom, metric, ops, config.equations, dt=config.dt)
 
-        self.config_hash = hash(config.state_id_params()) & 0xFFFFFFFFFFFF
+        # Deterministic digest (NOT Python hash(): state_id_params contains
+        # strings, whose hashes are randomized per process — a restart from
+        # another invocation, or a multi-process run, would never find its
+        # own checkpoint file otherwise).
+        import hashlib
+
+        digest = hashlib.md5(repr(config.state_id_params()).encode()).hexdigest()
+        self.config_hash = int(digest[:12], 16)
         self.initial_integrals = None
         self.num_writes = 0
         self.num_save_states = 0
