@@ -264,6 +264,41 @@ def test_perturbation_form_f32_accuracy():
     assert err_pert < err_abs / 50.0, (err_pert, err_abs)
 
 
+def test_epi2_fused_jtv_matches_xla_jvp_trajectory():
+    """The fused Jacobian-action kernel (rhs32.jtv, the analytically
+    linearized mega kernel) must be a drop-in replacement for the f32
+    XLA-jvp matvec in the device-resident EPI step: the 2-step dcmip31
+    trajectories of the two companions agree to f32 matvec roundoff."""
+    from wxfactory_tpu.integrators import Epi
+
+    nel_h, nel_v, s = 4, 2, 4
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ZTOP, planet_scaling_factor=125.0,
+                                planet_is_rotating=False)
+    ops = make_dfr_operators(s, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    rhs = make_rhs_euler_cubesphere(geom, ops, metric)
+    q0 = jnp.asarray(dcmip_gravity_wave(geom))
+    rhs32_xla = make_rhs_euler_cubesphere(
+        geom, ops, metric, dtype=jnp.float32, interior="xla", perturbation_base=q0
+    )
+    rhs32_k = make_rhs_euler_cubesphere(
+        geom, ops, metric, dtype=jnp.float32, interior="pallas", perturbation_base=q0
+    )
+    assert hasattr(rhs32_k, "jtv")
+
+    qs = []
+    for rhs32 in (rhs32_xla, rhs32_k):
+        integ = Epi(rhs, order=2, exponential_solver="kiops_jit", tolerance=1e-7,
+                    mmin=16, mmax=64, rhs32=rhs32)
+        q = q0
+        for _ in range(2):
+            q = integ.step(q, 30.0)
+        qs.append(np.asarray(q))
+    scale = np.abs(qs[0]).max(axis=(1, 2, 3, 4, 5), keepdims=True)
+    err = np.abs((qs[1] - qs[0]) / scale).max()
+    assert err < 2e-5, err
+
+
 def test_ros2_mixed_precision_matches_f64_path():
     """Mixed-precision Ros2 (f32 pert-form rational matvec + f32 inner
     FGMRES basis, f64 outer residuals/updates — restarted iterative

@@ -221,6 +221,100 @@ def test_generic_chained_stage_s2():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(q1), rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 2, 3), (4, 8, 2)])
+def test_tangent_kernel_matches_jvp(nel_h, nel_v, s):
+    """Fused Jacobian action (tangent mode, _km3_body tangent=): the
+    analytically linearized mega kernel must equal jax.jvp of the XLA
+    perturbation core (the Krylov hot-loop matvec both formulations serve;
+    reference hot loop: solvers/kiops.py:181-199 there) to roundoff. Covers
+    the split (s=3 g=4; s=2 whole-panel g=12 + rowpad) and combined
+    (4x8x2: g=8) trace layouts, pure-jnp AND pallas interpret mode."""
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
+                                planet_scaling_factor=125.0, planet_is_rotating=False)
+    ops = make_dfr_operators(s, three_d=True)
+    from wxfactory_tpu.parallel.topology import CubedSphereTopology as _Topo
+
+    topo = _Topo(geom)
+    metric = make_metric_3d(geom, ops, topo)
+    q0 = jnp.asarray(dcmip_gravity_wave(geom), jnp.float64)
+    rng = np.random.default_rng(7)
+    dq = 1e-4 * q0 * jnp.asarray(rng.standard_normal(q0.shape))
+    v = (
+        jnp.asarray(rng.standard_normal(q0.shape))
+        * np.abs(np.asarray(q0)).max(axis=(1, 2, 3, 4, 5), keepdims=True) * 1e-3
+    )
+
+    rp_xla = make_rhs_euler_cubesphere(
+        geom, ops, metric, topology=topo, dtype=jnp.float64, interior="xla",
+        perturbation_base=q0,
+    )
+    want = np.asarray(jax.jvp(rp_xla.delta, (dq,), (v,))[1])
+    scale = np.abs(want).reshape(5, -1).max(axis=1).reshape(5, 1, 1, 1, 1, 1)
+
+    # pure-jnp block driver
+    con = pe3.build_constants(ops, metric, nel_h, nel_v, s, dtype=jnp.float64)
+    hops = pe3.build_halo_ops(ops, topo, s, dtype=jnp.float64)
+    _g, ty, _rp = pe3.grid_plan(s, nel_h, nel_v)
+    rhs64 = make_rhs_euler_cubesphere(geom, ops, metric, topology=topo,
+                                      dtype=jnp.float64, interior="xla")
+    pbase = pe3.build_pert_base(q0, rhs64(q0), topo, ops, nel_h, nel_v, ty, s, jnp.float64)
+    dqp = pe3.pack_rows_jnp(dq, nel_h, nel_v, s)
+    vp = pe3.pack_rows_jnp(v, nel_h, nel_v, s)
+    out = pe3.rhs_packed_pure(dqp, con, topo, hops, nel_h, nel_v, ty, s,
+                              pert=pbase, tangent_qp=vp)
+    got = np.asarray(pe3.unpack_rows_jnp(out, nel_h, nel_v, s))
+    assert np.abs((got - want) / scale).max() < 1e-11
+
+    # pallas wrapper (interpret) through the factory entry point
+    rp_k = make_rhs_euler_cubesphere(
+        geom, ops, metric, topology=topo, dtype=jnp.float64, interior="pallas",
+        perturbation_base=q0,
+    )
+    assert hasattr(rp_k, "jtv")
+    got_k = np.asarray(rp_k.jtv(q0 + dq, v))
+    assert np.abs((got_k - want) / scale).max() < 1e-11
+
+
+def test_tangent_kernel_f32_accuracy():
+    """The f32 fused Jacobian action must resolve the tangent to the same
+    operating point the f32 perturbation-form jvp does (it replaces that
+    matvec in the mixed-precision Krylov loop)."""
+    nel_h, nel_v, s = 4, 2, 3
+    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
+                                planet_scaling_factor=125.0, planet_is_rotating=False)
+    ops = make_dfr_operators(s, three_d=True)
+    metric = make_metric_3d(geom, ops)
+    q0 = jnp.asarray(dcmip_gravity_wave(geom), jnp.float64)
+    rng = np.random.default_rng(11)
+    dq = 1e-4 * q0 * jnp.asarray(rng.standard_normal(q0.shape))
+    v = (
+        jnp.asarray(rng.standard_normal(q0.shape))
+        * np.abs(np.asarray(q0)).max(axis=(1, 2, 3, 4, 5), keepdims=True) * 1e-3
+    )
+
+    rp64 = make_rhs_euler_cubesphere(
+        geom, ops, metric, dtype=jnp.float64, interior="xla", perturbation_base=q0
+    )
+    truth = np.asarray(jax.jvp(rp64.delta, (dq,), (v,))[1])
+    scale = np.abs(truth).reshape(5, -1).max(axis=1).reshape(5, 1, 1, 1, 1, 1)
+
+    rp32 = make_rhs_euler_cubesphere(
+        geom, ops, metric, dtype=jnp.float32, interior="pallas", perturbation_base=q0
+    )
+    got32 = np.asarray(rp32.jtv((q0 + dq).astype(jnp.float32), v.astype(jnp.float32)))
+    err = np.abs((got32 - truth) / scale).max()
+    # f32 jvp of the XLA pert core — the matvec this replaces
+    ref32 = make_rhs_euler_cubesphere(
+        geom, ops, metric, dtype=jnp.float32, interior="xla", perturbation_base=q0
+    )
+    base32 = np.asarray(
+        jax.jvp(ref32.delta, (dq.astype(jnp.float32),), (v.astype(jnp.float32),))[1]
+    )
+    err_ref = np.abs((base32 - truth) / scale).max()
+    assert err < 5e-5, err
+    assert err < max(err_ref * 10, 1e-5), (err, err_ref)
+
+
 @pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 2, 3), (16, 4, 2)])
 def test_pert_kernel_matches_xla_pert(nel_h, nel_v, s):
     """Perturbation-form 3D mega kernel (base planes/halos + delta math) vs

@@ -178,8 +178,22 @@ class Epi(Integrator):
                 # in f32, so no casts appear in the hot loop.
                 q32 = q.astype(jnp.float32)
 
-                def kry_jvp(v):
-                    return vv(jax.jvp(rhs32, (q32,), (shp(v, q).astype(jnp.float32),))[1])
+                if hasattr(rhs32, "jtv") and flat:
+                    # Fused Pallas Jacobian action (the analytically
+                    # linearized mega kernel, models/euler_cubesphere.py
+                    # jtv): the per-iteration hot loop runs in VMEM instead
+                    # of the multi-GB XLA jvp schedule. The linearization
+                    # point's packing/halos are loop-invariant; XLA's
+                    # while-loop LICM hoists them out of the Arnoldi loop.
+                    # Single-device only (the kernel is per-chip); a mesh
+                    # run uses the differentiable XLA form below.
+                    def kry_jvp(v):
+                        return vv(rhs32.jtv(q32, shp(v, q).astype(jnp.float32)))
+                else:
+                    rhs32_d = rhs32.xla if hasattr(rhs32, "xla") else rhs32
+
+                    def kry_jvp(v):
+                        return vv(jax.jvp(rhs32_d, (q32,), (shp(v, q).astype(jnp.float32),))[1])
 
             fq = vv(rhs_q)
             rows = [jnp.zeros_like(fq), fq] + [jnp.zeros_like(fq) for _ in range(max_phi - 1)]

@@ -100,9 +100,19 @@ class Ros2(Integrator):
                     q32 = q.astype(jnp.float32)
                     hdt32 = half_dt.astype(jnp.float32)
 
-                    def A32(v):
-                        jv = jax.jvp(rhs32, (q32,), (shp(v, q).astype(jnp.float32),))[1]
-                        return v - hdt32 * vv(jv)
+                    if hasattr(rhs32, "jtv") and flat:
+                        # Fused Pallas Jacobian action (see Epi's kry_jvp;
+                        # single-device kernel — mesh runs take the
+                        # differentiable XLA form below).
+                        def A32(v):
+                            jv = rhs32.jtv(q32, shp(v, q).astype(jnp.float32))
+                            return v - hdt32 * vv(jv)
+                    else:
+                        rhs32_d = rhs32.xla if hasattr(rhs32, "xla") else rhs32
+
+                        def A32(v):
+                            jv = jax.jvp(rhs32_d, (q32,), (shp(v, q).astype(jnp.float32),))[1]
+                            return v - hdt32 * vv(jv)
 
                     basis_dtype = jnp.float32
 

@@ -837,10 +837,38 @@ def make_rhs_euler_cubesphere(
             dqp = pe3.pack_rows_jnp(qprime, nel_h, nel_v, s)
             return pe3.unpack_rows_jnp(rhs_packed(dqp), nel_h, nel_v, s)
 
+        # Fused Jacobian action J(q0 + dq).v (the exponential/implicit
+        # Krylov hot loop, reference solvers/kiops.py:181-199): the
+        # analytically linearized mega kernel (see _km3_body tangent mode)
+        # instead of jax.jvp of the XLA schedule. The ``_fn`` form takes
+        # the big constants as a pytree argument (same HTTP-413 reasoning
+        # as packed_stage_chained_fn above).
+        def jtv_packed_fn(big, dqp, vp):
+            con_, pbase_, _bal = big
+            hwe, hs, hn = pe3.edge_halo_delta(
+                dqp, pbase_, topology, hops, nel_h, nel_v, ty, s
+            )
+            tan = (vp,) + pe3.edge_halo_tangent(
+                vp, dqp, pbase_, topology, hops, nel_h, nel_v, ty, s
+            )
+            return pe3.km3_fused(dqp, hwe, hs, hn, con_, nel_h, nel_v, ty, s,
+                                 interpret=interp, pert=pbase_, tangent=tan)
+
+        def jtv_packed(dqp, vp):
+            return jtv_packed_fn((con, pbase, None), dqp, vp)
+
+        def jtv(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+            dqp = pe3.pack_rows_jnp((q - q0c).astype(dtype), nel_h, nel_v, s)
+            vp = pe3.pack_rows_jnp(jnp.asarray(v).astype(dtype), nel_h, nel_v, s)
+            return pe3.unpack_rows_jnp(jtv_packed(dqp, vp), nel_h, nel_v, s)
+
         rhs_fast.xla = rhs_pert
         rhs_fast.delta = delta_fast
         rhs_fast.delta_xla = rhs_pert.delta
         rhs_fast.base_state = q0c
+        rhs_fast.jtv = jtv
+        rhs_fast.jtv_packed = jtv_packed
+        rhs_fast.jtv_packed_fn = jtv_packed_fn
         rhs_fast.packed = rhs_packed
         rhs_fast.packed_stage = packed_stage
         rhs_fast.packed_stage_chained = packed_stage_chained

@@ -559,7 +559,7 @@ def _expm1(x):
 def _km3_body(
     q, qprev, qnext, hwe, hs, hn, con, dims, ytile, n_ytiles, roll,
     x=None, cdt=None, stage_a=None, stage_b=None, bal=None, lwe=None,
-    base=None,
+    base=None, tangent=None,
 ):
     """q: (5, Rb, 128) block rows of one panel; qprev/qnext: (5, nkxp, 128)
     boundary grid-rows of the neighbouring y-slabs; hwe: (5, ty*nk, 128)
@@ -578,7 +578,28 @@ def _km3_body(
     product rules, so the hydrostatic cancellation never has to survive
     float32 rounding. Output = rhs0 + delta (or its RK stage combination
     of delta states, exact whenever a + b = 1).
+
+    ``tangent`` (requires ``base``) switches the kernel to the JACOBIAN
+    ACTION J(q0+dq).v — the analytically linearized operator the
+    exponential/implicit Krylov loops apply once per iteration (reference
+    hot loop: solvers/kiops.py:181-199 there; here the XLA alternative is
+    jax.jvp of the pert core, which moves the ~9.3 GB/eval schedule).
+    ``tangent`` is a dict {v, vprev, vnext, vwe, vs, vn} shaped exactly
+    like the primal (q, qprev, qnext, hwe, hs, hn) but carrying the
+    DIRECTION. The pert path's primal intermediates double as the
+    linearization coefficients (absolute traces, interface states, normal
+    speeds, pressures, eigen speeds, face log-pressure chains); every
+    nonlinear site contributes its exact directional derivative:
+    d exp(E.log q) = tr_abs * (E.(v/q_abs)), dp = gamma p v_rt/q_rt,
+    d|vn| = sign(vn) dvn, d max(aL, aR) = the active side's derivative.
+    The output rows are J.v alone (no rhs0/bal/stage combination); the
+    unused primal flux branches are dead-code-eliminated by the compiler.
     """
+    if tangent is not None:
+        assert base is not None, "tangent mode linearizes the perturbation form"
+        assert stage_a is None and lwe is None and bal is None, (
+            "tangent mode emits J.v alone (no stage combination/slabs/offset)"
+        )
     nk, nxp, ty = dims["nk"], dims["nxp"], dims["ty"]
     s = dims["s"]
     SS, G = s * s, dims["g"]
@@ -707,6 +728,32 @@ def _km3_body(
         trp, _ = dtraces(qprev, base["q0prev"], trp0, None)
         trn, _ = dtraces(qnext, base["q0next"], trn0, None)
 
+    if tangent is not None:
+        # Absolute primal traces (base + delta) are the tangent's
+        # coefficients: d exp(E.log q) . v = tr_abs * (E.(v/q_abs)).
+        tra = [a + b for a, b in zip(tr0, tr)]
+        trza = [a + b for a, b in zip(trz0, trz)]
+        trpa = [a + b for a, b in zip(trp0, trp)]
+        trna = [a + b for a, b in zip(trn0, trn)]
+        qa_rows = [base["q0"][v] + q[v] for v in range(5)]
+        qpa_rows = [base["q0prev"][v] + qprev[v] for v in range(5)]
+        qna_rows = [base["q0next"][v] + qnext[v] for v in range(5)]
+        tlog_rows = lambda tv_, qa_: [
+            tv_[0] / qa_[0], tv_[1], tv_[2], tv_[3], tv_[4] / qa_[4]
+        ]
+
+        def ttraces(tv_, qa_, ta_xy, ta_z):
+            raw_xy, raw_z = traces_raw(tlog_rows(tv_, qa_))
+            for i in (0, 4):
+                raw_xy[i] = ta_xy[i] * raw_xy[i]
+                if ta_z is not None:
+                    raw_z[i] = ta_z[i] * raw_z[i]
+            return raw_xy, raw_z
+
+        ttr, ttrz = ttraces(tangent["v"], qa_rows, tra, trza)
+        ttrp, _ = ttraces(tangent["vprev"], qpa_rows, trpa, None)
+        ttrn, _ = ttraces(tangent["vnext"], qna_rows, trna, None)
+
     # pyl places an (nkxp,)-row array at the y-family's LEADING rows of the
     # xy-register layout; pyt at the REAL tail [Rb - n, Rb) (north masks
     # cover exactly those rows), with any whole-tile pad rows after. The
@@ -768,6 +815,10 @@ def _km3_body(
     if base is not None:
         L0_xy, R0_xy, L0_z, R0_z = assemble(
             tr0, trz0, trp0, trn0, base["hwe0"], base["hs0"], base["hn0"]
+        )
+    if tangent is not None:
+        tL_xy, tR_xy, tL_z, tR_z = assemble(
+            ttr, ttrz, ttrp, ttrn, tangent["vwe"], tangent["vs"], tangent["vn"]
         )
 
     # --- Rusanov at every slot (both xy families in one pass; z its own) ---
@@ -868,6 +919,59 @@ def _km3_body(
             vsel_zL(L0_z), vsel_zL(LA_z), vsel_zR(R0_z), vsel_zR(RA_z),
         )
 
+    if tangent is not None:
+        # Exact directional derivative of ``rusanov`` at the absolute
+        # interface states, linear in (tL, tR).
+        def rusanov_tangent(LA, RA, tL, tR, pLa, pRa, vnLa, vnRa, tvnL, tvnR,
+                            msg_, mhd_, mh0_, mh1_, mh2_):
+            tpL = f(GAMMA) * pLa * tL[4] / LA[4]
+            tpR = f(GAMMA) * pRa * tR[4] / RA[4]
+            cL = jnp.sqrt(mhd_ * f(GAMMA) * pLa / LA[0])
+            cR = jnp.sqrt(mhd_ * f(GAMMA) * pRa / RA[0])
+            aL = jnp.abs(vnLa) + cL
+            aR = jnp.abs(vnRa) + cR
+            eig = jnp.maximum(aL, aR)
+            taL = jnp.sign(vnLa) * tvnL + f(0.5) * cL * (tpL / pLa - tL[0] / LA[0])
+            taR = jnp.sign(vnRa) * tvnR + f(0.5) * cR * (tpR / pRa - tR[0] / RA[0])
+            # Balanced-tie convention of lax.max's JVP (ties are EXACT on a
+            # symmetric base state, so this matters for jvp parity).
+            teig = jnp.where(
+                aL > aR, taL, jnp.where(aL < aR, taR, f(0.5) * (taL + taR))
+            )
+            tflux, twadv = [], None
+            for v in range(5):
+                tl = f(0.5) * msg_ * (
+                    vnLa * tL[v] + tvnL * LA[v] + vnRa * tR[v] + tvnR * RA[v]
+                    - eig * (tR[v] - tL[v]) - teig * (RA[v] - LA[v])
+                )
+                if v == IDX_RHO_W:
+                    twadv = tl
+                tflux.append(tl)
+            tpsum = f(0.5) * msg_ * (tpL + tpR)
+            tflux[1] = tflux[1] + mh0_ * tpsum
+            tflux[2] = tflux[2] + mh1_ * tpsum
+            tflux[3] = tflux[3] + mh2_ * tpsum
+            return tflux, twadv, mh2_ * tpsum, tpL, tpR
+
+        vnLa_xy, vnRa_xy = vsel_xy(LA_xy), vsel_xy(RA_xy)
+        tvnL_xy = (jnp.where(is_x, tL_xy[1], tL_xy[2]) - vnLa_xy * tL_xy[0]) / LA_xy[0]
+        tvnR_xy = (jnp.where(is_x, tR_xy[1], tR_xy[2]) - vnRa_xy * tR_xy[0]) / RA_xy[0]
+        tFxy, twadv_xy, twpres_xy, tpL_xy, tpR_xy = rusanov_tangent(
+            LA_xy, RA_xy, tL_xy, tR_xy, pL0_xy + dpL_xy, pR0_xy + dpR_xy,
+            vnLa_xy, vnRa_xy, tvnL_xy, tvnR_xy, msg, mhd, mh0, mh1, mh2,
+        )
+        # vn_z = sigma * w with sigma = -1 at the ground/lid mirror slots,
+        # so d(vn_z) = (sigma*t3 - vn*t0)/rho (sigma folded into vn).
+        vnLa_z, vnRa_z = vsel_zL(LA_z), vsel_zR(RA_z)
+        sgnL_z = jnp.where(zd & kz0, f(-1.0), f(1.0))
+        sgnR_z = jnp.where(zu & kztop, f(-1.0), f(1.0))
+        tvnL_z = (sgnL_z * tL_z[3] - vnLa_z * tL_z[0]) / LA_z[0]
+        tvnR_z = (sgnR_z * tR_z[3] - vnRa_z * tR_z[0]) / RA_z[0]
+        tFz, twadv_z, twpres_z, tpL_z, tpR_z = rusanov_tangent(
+            LA_z, RA_z, tL_z, tR_z, pL0_z + dpL_z, pR0_z + dpR_z,
+            vnLa_z, vnRa_z, tvnL_z, tvnR_z, msgz, mhdz, mh0z, mh1z, mh2z,
+        )
+
     # --- fill east/north/up face slots from the neighbours' west/south/down
     # interface values (SW faces() pattern, reference rhs_dfr.py:106-139).
     keep_xe = east_col & g1
@@ -920,6 +1024,22 @@ def _km3_body(
         pfa_z = pf0_z + dpf_z
         wpf_xy = wpres_xy / pfa_xy - wpf0_xy * (dpf_xy / pfa_xy)
         wpf_z = wpres_z / pfa_z - wpf0_z * (dpf_z / pfa_z)
+
+    if tangent is not None:
+        # Tangent face fills + face-pressure chains at the absolute faces:
+        # t[log pf] = tpf/pf, t[wpres/pf] = twpres/pf - (wpres/pf)(tpf/pf).
+        tFxy = [fill_xy(a) if v != 3 else a for v, a in enumerate(tFxy)]
+        tFz = [fill_z(a) if v != 3 else a for v, a in enumerate(tFz)]
+        twadv_xy, twadv_z = fill_xy(twadv_xy), fill_z(twadv_z)
+        twpres_xy, twpres_z = fill_xy(twpres_xy), fill_z(twpres_z)
+        tpf_xy = jnp.where(xw | ys, tpR_xy, fill_xy(tpL_xy))
+        tpf_z = jnp.where(zd, tpR_z, fill_z(tpL_z))
+        t_lf_xy = tpf_xy / pfa_xy
+        t_lf_z = tpf_z / pfa_z
+        wpfa_ratio_xy = (wpres0_xy + wpres_xy) / pfa_xy  # absolute wpres/pf
+        wpfa_ratio_z = (wpres0_z + wpres_z) / pfa_z
+        twpf_xy = twpres_xy / pfa_xy - wpfa_ratio_xy * t_lf_xy
+        twpf_z = twpres_z / pfa_z - wpfa_ratio_z * t_lf_z
 
     # --- pointwise fluxes + interior divergence ---------------------------
     sg = con["sqrtg"]
@@ -977,6 +1097,27 @@ def _km3_body(
             bundles.append(cat(per_d))
         bundles.append(cat([sg * (u0[d] * q[3] + du[d] * qa[3]) for d in range(3)]))
         dlp_point = _log1p(dp / p0)  # delta of log p
+
+    if tangent is not None:
+        # Pointwise tangent: tu = (tv_mom - u_abs tv_rho)/rho_abs,
+        # tp = gamma p_abs tv_rt/q_rt; bundle rows are the directional
+        # derivatives of the absolute pointwise fluxes.
+        tv = tangent["v"]
+        ua = tuple(u0[d] + du[d] for d in range(3))
+        tu = tuple((tv[i + 1] - ua[i] * tv[0]) / rho for i in range(3))
+        tp = f(GAMMA) * pressure * tv[4] / qa[4]
+        sgtp = sg * tp
+        tbundles = []
+        for v in (0, 1, 2, 4):
+            per_d = []
+            for d in range(3):
+                fl = sg * (ua[d] * tv[v] + tu[d] * qa[v])
+                if 1 <= v <= 2:
+                    fl = fl + sgtp * hrows[d][v - 1]
+                per_d.append(fl)
+            tbundles.append(cat(per_d))
+        tbundles.append(cat([sg * (ua[d] * tv[3] + tu[d] * qa[3]) for d in range(3)]))
+        tdlp_point = tp / pressure
     div = mm(jnp.concatenate(bundles, axis=0), con["dd"])
     dvr = [div[i * Rp : (i + 1) * Rp] for i in range(5)]
     dv = [dvr[0], dvr[1], dvr[2], None, dvr[3], dvr[4]]
@@ -997,6 +1138,25 @@ def _km3_body(
     co = mm(jnp.concatenate(rows6_, axis=0), con["corr"])
     cvr = [co[i * Rp : (i + 1) * Rp] for i in range(nrows_c)]
     cv = [cvr[0], cvr[1], cvr[2], None, cvr[3], cvr[4], cvr[5]]
+
+    if tangent is not None:
+        # Tangent divergence + corrections run as their OWN GEMMs (not
+        # appended to the primal ones) so the dead primal delta-flux branch
+        # can be eliminated; the two primal wpres/p rows ride along here
+        # because wcorr_abs = corr(wpf0) + corr(dwpf) is a tangent-side
+        # coefficient.
+        tdiv = mm(jnp.concatenate(tbundles, axis=0), con["dd"])
+        tdvr = [tdiv[i * Rp : (i + 1) * Rp] for i in range(5)]
+        tdv = [tdvr[0], tdvr[1], tdvr[2], None, tdvr[3], tdvr[4]]
+        trows = [catc(tFxy[v], tFz[v]) for v in (0, 1, 2, 4)]
+        trows.append(catc(twadv_xy, twadv_z))
+        trows.append(catc(twpf_xy, twpf_z))
+        trows.append(catc(wpf_xy, wpf_z))  # primal delta wpres/p
+        trows.append(catc(wpf0_xy, wpf0_z))  # base wpres/p
+        tco = mm(jnp.concatenate(trows, axis=0), con["corr"])
+        tcvr = [tco[i * Rp : (i + 1) * Rp] for i in range(8)]
+        tcv = [tcvr[0], tcvr[1], tcvr[2], None, tcvr[3], tcvr[4], tcvr[5]]
+        wcorr_abs = tcvr[6] + tcvr[7]
 
     if split:
         lfc_sum = lambda a, z_: (
@@ -1032,6 +1192,22 @@ def _km3_body(
             + sg * h13 * (p0 * dlp_x + dp * dlpa_x)
             + sg * h23 * (p0 * dlp_y + dp * dlpa_y)
             + sg * h33 * (p0 * dlp_z + dp * dlpa_z)
+        )
+
+    if tangent is not None:
+        # Tangent of the w pressure split at the absolute state:
+        # t[(W + c) p] = (W + c_abs) tp + tc p_abs and
+        # t[p sgh dlp] = p_abs t_dlp + tp dlp_abs.
+        t_dlp = mm(tdlp_point, con["dlp"]) + lfc_sum(t_lf_xy, t_lf_z)
+        tdlp_x, tdlp_y, tdlp_z = sp3(t_dlp)
+        tw_df = (
+            tdv[5]
+            + tcv[5]
+            + (con["wpres_int"] + wcorr_abs) * tp
+            + tcv[6] * pressure
+            + sg * h13 * (pressure * tdlp_x + tp * dlpa_x)
+            + sg * h23 * (pressure * tdlp_y + tp * dlpa_y)
+            + sg * h33 * (pressure * tdlp_z + tp * dlpa_z)
         )
 
     # --- forcing -----------------------------------------------------------
@@ -1094,7 +1270,41 @@ def _km3_body(
         -inv_sg * w_df - f3,
         -inv_sg * (dv[4] + cv[4]),
     ]
-    if base is not None:
+
+    if tangent is not None:
+        # Tangent forcing (product rule at the absolute state) + linear
+        # gravity; the output is J.v alone — the primal delta `out` above
+        # and its flux branch are dead code the compiler eliminates.
+        def tprod(i, j):
+            return (tv[i] * qa[j] + qa[i] * tv[j]) / rho - (qa[i] * qa[j] / rho) * (
+                tv[0] / rho
+            )
+
+        def tforcing_row(a):
+            c11, c12, c13, c22, c23, c33 = chs[a * 6 : (a + 1) * 6]
+            o_ = (
+                c11 * (tprod(1, 1) + h11 * tp)
+                + f(2.0) * c12 * (tprod(1, 2) + h12 * tp)
+                + f(2.0) * c13 * (tprod(1, 3) + h13 * tp)
+                + c22 * (tprod(2, 2) + h22 * tp)
+                + f(2.0) * c23 * (tprod(2, 3) + h23 * tp)
+                + c33 * (tprod(3, 3) + h33 * tp)
+            )
+            if con.get("tch") is not None:
+                t0, t1, t2 = con["tch"][a * 3 : (a + 1) * 3]
+                o_ = o_ + f(2.0) * (t0 * tv[1] + t1 * tv[2] + t2 * tv[3])
+            return o_
+
+        tgrav = con["inv_dzdeta"] * f(GRAVITY) * inv_sg * mm(sg * tv[0], con["hfk"])
+        out = [
+            -inv_sg * (tdv[0] + tcv[0]),
+            -inv_sg * (tdv[1] + tcv[1]) - tforcing_row(0),
+            -inv_sg * (tdv[2] + tcv[2]) - tforcing_row(1),
+            -inv_sg * tw_df - (tforcing_row(2) + tgrav),
+            -inv_sg * (tdv[4] + tcv[4]),
+        ]
+
+    if base is not None and tangent is None:
         out = [o + base["rhs0"][v] for v, o in enumerate(out)]
     if bal is not None:
         # Well-balanced offset: bal = RHS_f64(q_base) - K_f32(q_base), so
@@ -1431,6 +1641,43 @@ def edge_halo_delta(dqp, pbase: E3PertBase, topology, hops: HaloOps,
     return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty, s)
 
 
+def _tangent_pools(vqp, dqp, pbase: E3PertBase, hops: HaloOps, nel_h, nel_v, s):
+    """Tangent outward-face trace pools at q = q0 + dq in direction v:
+    linear extrapolation for the momenta; for the log-space rows the exact
+    directional derivative t_pool = abs_pool * (E . (v / q_abs)), with
+    abs_pool = base + delta pools."""
+    west_v, east_v, south_v, north_v = _edge_strips(vqp, nel_h, nel_v, s)
+    west_d, east_d, south_d, north_d = _edge_strips(dqp, nel_h, nel_v, s)
+    w0, e0, s0_, n0_ = _edge_strips(pbase.q0p, nel_h, nel_v, s)
+    dwst, dest, dsth, dnth = _delta_pools(dqp, pbase, hops, nel_h, nel_v, s)
+    s_, G, _S3, nxp, _rp = _pk(s, nel_h, nel_v)
+    SS = s_ * s_
+    nk = nel_v
+    tlog = lambda v_, d_, b_: jnp.concatenate(
+        [v_[0:1] / (b_[0:1] + d_[0:1]), v_[1:4], v_[4:5] / (b_[4:5] + d_[4:5])], axis=0
+    )
+    combt = lambda raw, ta: jnp.concatenate(
+        [ta[0:1] * raw[0:1], raw[1:4], ta[4:5] * raw[4:5]], axis=0
+    )
+    rs = lambda a: a.reshape(5, 6, nk, G * nxp, SS)
+    twst = combt(tlog(west_v, west_d, w0) @ hops.exw, pbase.wst0 + dwst)
+    test_ = combt(tlog(east_v, east_d, e0) @ hops.exe, pbase.est0 + dest)
+    tsth = combt(rs(tlog(south_v, south_d, s0_) @ hops.eys), pbase.sth0 + dsth)
+    tnth = combt(rs(tlog(north_v, north_d, n0_) @ hops.eyn), pbase.nth0 + dnth)
+    return twst, test_, tsth, tnth
+
+
+def edge_halo_tangent(vqp, dqp, pbase: E3PertBase, topology, hops: HaloOps,
+                      nel_h: int, nel_v: int, ty: int, s: int = 4):
+    """Tangent-mode edge_halo: direction traces in, tangent halos out (the
+    exchange, flips and momentum rotation are all linear)."""
+    twst, test_, tsth, tnth = _tangent_pools(vqp, dqp, pbase, hops, nel_h, nel_v, s)
+    pool = jnp.stack(
+        [tsth, tnth, jnp.moveaxis(twst, 2, 3), jnp.moveaxis(test_, 2, 3)], axis=1
+    )
+    return _exchange_and_format(pool, topology, hops, nel_h, nel_v, ty, s)
+
+
 def halo_from_slabs_delta(we, dqp, pbase: E3PertBase, topology, hops: HaloOps,
                           nel_h: int, nel_v: int, ty: int, s: int = 4):
     """Chained-mode delta halo stage: the kernel-emitted west/east slabs
@@ -1488,10 +1735,12 @@ def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
 
 def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
                     nel_h: int, nel_v: int, ty: int, s: int = 4,
-                    pert: E3PertBase = None):
+                    pert: E3PertBase = None, tangent_qp=None):
     """Reference driver: run the kernel body block-by-block with jnp.roll.
     Bit-identical semantics to the pallas path; used by the parity tests.
-    With ``pert``, qp carries the PERTURBATION (base-state-split form)."""
+    With ``pert``, qp carries the PERTURBATION (base-state-split form).
+    With ``tangent_qp`` (packed direction; requires ``pert``) the output is
+    the JACOBIAN ACTION J(q0 + qp) . tangent_qp instead of the RHS."""
     s, G, _S3, nxp, rp = _pk(s, nel_h, nel_v)
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
@@ -1510,6 +1759,11 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
         hwe, hs, hn = edge_halo(qp, topology, hops, nel_h, nel_v, ty, s)
     else:
         hwe, hs, hn = edge_halo_delta(qp, pert, topology, hops, nel_h, nel_v, ty, s)
+    if tangent_qp is not None:
+        assert pert is not None
+        thwe, ths, thn = edge_halo_tangent(
+            tangent_qp, qp, pert, topology, hops, nel_h, nel_v, ty, s
+        )
     out = []
     for p in range(6):
         pan = []
@@ -1536,9 +1790,19 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
                     "hn0": pert.hn0[p],
                     "rhs0": pert.rhs0p[:, r0 : r0 + Rbp],
                 }
+            tangent = None
+            if tangent_qp is not None:
+                tangent = {
+                    "v": tangent_qp[:, r0 : r0 + Rbp],
+                    "vprev": tangent_qp[:, pr : pr + nkxp],
+                    "vnext": tangent_qp[:, nx_ : nx_ + nkxp],
+                    "vwe": thwe[p * n_ytiles + i, :, : ty * nk],
+                    "vs": ths[p],
+                    "vn": thn[p],
+                }
             o = _km3_body(
                 q, qprev, qnext, hwe[p * n_ytiles + i, :, : ty * nk], hs[p], hn[p],
-                cblk, dims, i, n_ytiles, jnp.roll, base=base,
+                cblk, dims, i, n_ytiles, jnp.roll, base=base, tangent=tangent,
             )
             pan.append(jnp.stack(o))
         out.append(jnp.concatenate(pan, axis=1))
@@ -1555,7 +1819,7 @@ def km3_fused(
     s: int = 4,
     x=None, cdt=None, stage_a=None, stage_b=None, bal=None,
     emit_slabs: bool = False, interpret: bool = False,
-    pert: E3PertBase = None,
+    pert: E3PertBase = None, tangent=None,
 ):
     """The whole 3D Euler spatial operator (+ optional explicit-RK stage
     combination ``stage_a*x + stage_b*qp + cdt*RHS(qp)``) as one kernel per
@@ -1563,7 +1827,13 @@ def km3_fused(
     ``edge_halo``. With ``emit_slabs`` (requires a stage combination, since
     the slabs are log-extrapolated from the OUTPUT state) also returns the
     (we, ssl, nsl) edge-trace slabs for ``halo_from_slabs`` so the next
-    stage needs no XLA extraction over the big state."""
+    stage needs no XLA extraction over the big state.
+
+    ``tangent`` (requires ``pert``): a tuple ``(vp, thwe, ths, thn)`` — the
+    packed DIRECTION plus its halos from ``edge_halo_tangent`` — switching
+    the kernel to the fused Jacobian action J(q0 + qp) . vp (see
+    _km3_body's tangent docstring); qp then still carries the perturbation
+    at which the operator is linearized."""
     s, G, _S3, nxp, rp = _pk(s, nel_h, nel_v)
     nk, ny = nel_v, nel_h
     nkxp = nk * nxp
@@ -1585,10 +1855,13 @@ def km3_fused(
     with_x = with_stage and (stage_a != 0.0)
     with_bal = bal is not None
     with_pert = pert is not None
+    with_tan = tangent is not None
     with_tch = con.tch is not None
     with_split = con.itf_y is not None  # split x/y trace registers
     if emit_slabs and not with_stage:
         raise ValueError("emit_slabs needs a stage combination (output must be a state)")
+    if with_tan and (not with_pert or with_stage or emit_slabs or with_bal):
+        raise ValueError("tangent mode requires pert and emits J.v alone")
     dtype = qp.dtype
     zero = np.int32(0)
 
@@ -1617,6 +1890,10 @@ def km3_fused(
         if with_pert:
             (q0_ref, q0prev_ref, q0next_ref, hwe0_ref, hs0_ref, hn0_ref,
              rhs0_ref) = (next(it) for _ in range(7))
+        if with_tan:
+            (v_ref, vprev_ref, vnext_ref, vhwe_ref, vhs_ref, vhn_ref) = (
+                next(it) for _ in range(6)
+            )
         x_ref = next(it) if with_x else None
         cdt_ref = next(it) if with_stage else None
         lwe_ref = next(it) if emit_slabs else None
@@ -1633,6 +1910,9 @@ def km3_fused(
             if with_pert:
                 q0prev = q0prev_ref[...]
                 q0next = q0next_ref[...]
+            if with_tan:
+                vprev = vprev_ref[...]
+                vnext = vnext_ref[...]
         else:
             # Neighbor boundary rows via one-hot row-select GEMMs (a
             # (5, nkxp, 128) block is Mosaic-illegal when nkxp % 8 != 0).
@@ -1643,6 +1923,9 @@ def km3_fused(
             if with_pert:
                 q0prev = jnp.stack([mmsel(sp, q0prev_ref[v]) for v in range(5)])
                 q0next = jnp.stack([mmsel(sn_, q0next_ref[v]) for v in range(5)])
+            if with_tan:
+                vprev = jnp.stack([mmsel(sp, vprev_ref[v]) for v in range(5)])
+                vnext = jnp.stack([mmsel(sn_, vnext_ref[v]) for v in range(5)])
         cblk = {
             "sqrtg": rd(sqrtg), "inv_sqrtg": rd(inv_sqrtg),
             "inv_dzdeta": rd(inv_dzdeta),
@@ -1670,6 +1953,16 @@ def km3_fused(
                 "hn0": hn0_ref[0],
                 "rhs0": rhs0_ref[...],
             }
+        tan_d = None
+        if with_tan:
+            tan_d = {
+                "v": v_ref[...],
+                "vprev": vprev,
+                "vnext": vnext,
+                "vwe": vhwe_ref[0][:, :tynk],
+                "vs": vhs_ref[0],
+                "vn": vhn_ref[0],
+            }
         # shift must land as an i32 scalar (x64 mode would make it i64,
         # which tpu.dynamic_rotate rejects)
         roll = lambda a, shift, axis: pltpu.roll(a, np.int32(shift), axis)
@@ -1682,7 +1975,7 @@ def km3_fused(
             stage_a=stage_a, stage_b=stage_b,
             bal=(bal_ref[...] if with_bal else None),
             lwe=(lwe_ref[...] if emit_slabs else None),
-            base=base,
+            base=base, tangent=tan_d,
         )
         if emit_slabs:
             out, we_rows = out
@@ -1733,6 +2026,10 @@ def km3_fused(
     if with_pert:
         in_specs += [blk5, prev_spec, next_spec, hwe_spec, edge_spec, edge_spec, blk5]
         args += [pert.q0p, pert.q0p, pert.q0p, pert.hwe0, pert.hs0, pert.hn0, pert.rhs0p]
+    if with_tan:
+        vp_t, thwe, ths_t, thn_t = tangent
+        in_specs += [blk5, prev_spec, next_spec, hwe_spec, edge_spec, edge_spec]
+        args += [vp_t, vp_t, vp_t, thwe, ths_t, thn_t]
     if with_x:
         in_specs.append(blk5)
         args.append(x)

@@ -141,7 +141,10 @@ class Simulation:
         # (mixed_precision_krylov): perturbation (base-state-split) form
         # around the initial state, so the f32 matvec resolves the
         # tendency-scale physics (see models/*.py perturbation_base). The
-        # XLA interior is required — the Krylov matvec is a jax.jvp.
+        # SW companion needs the XLA interior (its Krylov matvec is a
+        # jax.jvp); the 3D Euler companion defaults to the FUSED interior
+        # on TPU — its factory attaches the analytically linearized
+        # Jacobian-action kernel (.jtv), which Epi/Ros2 pick over jax.jvp.
         self.rhs32 = None
         if getattr(c, "mixed_precision_krylov", False) and self.dtype == jnp.float64:
             if c.grid_type == "cubed_sphere" and c.equations == "shallow_water":
@@ -155,7 +158,7 @@ class Simulation:
             ):
                 self.rhs32 = make_rhs_euler_cubesphere(
                     self.geom, self.ops, self.metric, self.topology,
-                    dtype=jnp.float32, interior="xla", perturbation_base=jnp.asarray(q0),
+                    dtype=jnp.float32, perturbation_base=jnp.asarray(q0),
                 )
 
         self.output = OutputManager(c, self.geom, self.ops, self.metric, self.topo)
