@@ -178,17 +178,21 @@ class Epi(Integrator):
                 # in f32, so no casts appear in the hot loop.
                 q32 = q.astype(jnp.float32)
 
-                if hasattr(rhs32, "jtv") and flat:
+                if hasattr(rhs32, "jtv_prep") and flat:
                     # Fused Pallas Jacobian action (the analytically
                     # linearized mega kernel, models/euler_cubesphere.py
                     # jtv): the per-iteration hot loop runs in VMEM instead
                     # of the multi-GB XLA jvp schedule. The linearization
-                    # point's packing/halos are loop-invariant; XLA's
-                    # while-loop LICM hoists them out of the Arnoldi loop.
-                    # Single-device only (the kernel is per-chip); a mesh
-                    # run uses the differentiable XLA form below.
+                    # point's prep (packing/primal halos/absolute pools) is
+                    # computed explicitly ONCE per step — XLA's LICM does
+                    # not hoist it out of an Arnoldi loop nested in the
+                    # chunked stepper's lax.scan. Single-device only (the
+                    # kernel is per-chip); a mesh run uses the
+                    # differentiable XLA form below.
+                    jtv_prep = rhs32.jtv_prep(q32)
+
                     def kry_jvp(v):
-                        return vv(rhs32.jtv(q32, shp(v, q).astype(jnp.float32)))
+                        return vv(rhs32.jtv_apply(jtv_prep, shp(v, q).astype(jnp.float32)))
                 else:
                     rhs32_d = rhs32.xla if hasattr(rhs32, "xla") else rhs32
 

@@ -100,12 +100,15 @@ class Ros2(Integrator):
                     q32 = q.astype(jnp.float32)
                     hdt32 = half_dt.astype(jnp.float32)
 
-                    if hasattr(rhs32, "jtv") and flat:
-                        # Fused Pallas Jacobian action (see Epi's kry_jvp;
+                    if hasattr(rhs32, "jtv_prep") and flat:
+                        # Fused Pallas Jacobian action with explicit
+                        # once-per-step prep (see Epi's kry_jvp;
                         # single-device kernel — mesh runs take the
                         # differentiable XLA form below).
+                        jtv_prep = rhs32.jtv_prep(q32)
+
                         def A32(v):
-                            jv = rhs32.jtv(q32, shp(v, q).astype(jnp.float32))
+                            jv = rhs32.jtv_apply(jtv_prep, shp(v, q).astype(jnp.float32))
                             return v - hdt32 * vv(jv)
                     else:
                         rhs32_d = rhs32.xla if hasattr(rhs32, "xla") else rhs32

@@ -843,32 +843,49 @@ def make_rhs_euler_cubesphere(
         # instead of jax.jvp of the XLA schedule. The ``_fn`` form takes
         # the big constants as a pytree argument (same HTTP-413 reasoning
         # as packed_stage_chained_fn above).
-        def jtv_packed_fn(big, dqp, vp):
+        def jtv_prep_fn(big, q):
+            """Per-linearization-point prep (ONCE per step): packed
+            perturbation, its primal halos, and the tangent glue's absolute
+            strips/pools. Explicit two-stage structure because XLA's LICM
+            does not hoist this out of an Arnoldi while loop nested in a
+            lax.scan (the chunked stepper)."""
             con_, pbase_, _bal = big
-            hwe, hs, hn = pe3.edge_halo_delta(
+            dqp = pe3.pack_rows_jnp((q - q0c).astype(dtype), nel_h, nel_v, s)
+            halos = pe3.edge_halo_delta(
                 dqp, pbase_, topology, hops, nel_h, nel_v, ty, s
             )
-            tan = (vp,) + pe3.edge_halo_tangent(
-                vp, dqp, pbase_, topology, hops, nel_h, nel_v, ty, s
-            )
-            return pe3.km3_fused(dqp, hwe, hs, hn, con_, nel_h, nel_v, ty, s,
-                                 interpret=interp, pert=pbase_, tangent=tan)
+            gp = pe3.tangent_glue_prep(dqp, pbase_, hops, nel_h, nel_v, s)
+            return (dqp, halos, gp)
 
-        def jtv_packed(dqp, vp):
-            return jtv_packed_fn((con, pbase, None), dqp, vp)
+        def jtv_apply_fn(big, prep, v):
+            con_, pbase_, _bal = big
+            dqp, (hwe, hs, hn), gp = prep
+            vp = pe3.pack_rows_jnp(jnp.asarray(v).astype(dtype), nel_h, nel_v, s)
+            tan = (vp,) + pe3.edge_halo_tangent_prepped(
+                vp, gp, topology, hops, nel_h, nel_v, ty, s
+            )
+            out = pe3.km3_fused(dqp, hwe, hs, hn, con_, nel_h, nel_v, ty, s,
+                                interpret=interp, pert=pbase_, tangent=tan)
+            return pe3.unpack_rows_jnp(out, nel_h, nel_v, s)
+
+        def jtv_prep(q):
+            return jtv_prep_fn((con, pbase, None), q)
+
+        def jtv_apply(prep, v):
+            return jtv_apply_fn((con, pbase, None), prep, v)
 
         def jtv(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-            dqp = pe3.pack_rows_jnp((q - q0c).astype(dtype), nel_h, nel_v, s)
-            vp = pe3.pack_rows_jnp(jnp.asarray(v).astype(dtype), nel_h, nel_v, s)
-            return pe3.unpack_rows_jnp(jtv_packed(dqp, vp), nel_h, nel_v, s)
+            return jtv_apply(jtv_prep(q), v)
 
         rhs_fast.xla = rhs_pert
         rhs_fast.delta = delta_fast
         rhs_fast.delta_xla = rhs_pert.delta
         rhs_fast.base_state = q0c
         rhs_fast.jtv = jtv
-        rhs_fast.jtv_packed = jtv_packed
-        rhs_fast.jtv_packed_fn = jtv_packed_fn
+        rhs_fast.jtv_prep = jtv_prep
+        rhs_fast.jtv_apply = jtv_apply
+        rhs_fast.jtv_prep_fn = jtv_prep_fn
+        rhs_fast.jtv_apply_fn = jtv_apply_fn
         rhs_fast.packed = rhs_packed
         rhs_fast.packed_stage = packed_stage
         rhs_fast.packed_stage_chained = packed_stage_chained
