@@ -76,24 +76,47 @@ def plan(num_solpts: int, nel: int):
 
 
 MAX_PANEL_ROWS_TPU = 1024  # per-block VMEM budget for the compiled kernel
+SLAB_ROWS_BUDGET = 512  # per-block rows of the y-slab decomposition
+
+
+def slab_plan(num_solpts: int, nel: int):
+    """Y-slab decomposition for panels too large for one whole-panel block:
+    ``ty | nel`` element rows per block with Mosaic-legal block rows
+    (ty*rpr % 8 == 0) under SLAB_ROWS_BUDGET. Returns (ty, n_ytiles) or
+    None. Each slab is a (ty x nel) mini-panel: its south/north "halo" is
+    the neighbouring slab's boundary trace, computed by the edge-sized XLA
+    glue — the same h2-slot interface pattern the 3D pipeline uses for its
+    y-slab coupling (pallas_euler3d.py), so the kernel body is unchanged."""
+    s = num_solpts
+    g = pick_g(s, nel)
+    if g is None:
+        return None
+    rpr = nel // g
+    best = None
+    for ty in range(1, nel):
+        if nel % ty or (ty * rpr) % 8:
+            continue
+        if ty * rpr <= SLAB_ROWS_BUDGET:
+            best = ty
+    return (best, nel // best) if best else None
 
 
 def supported(num_solpts: int, nel: int, dtype) -> bool:
     """Shapes/dtypes this pipeline handles; others fall back to XLA.
     float64 only off-TPU (interpret mode — Mosaic has no f64 vector path).
 
-    On TPU, panel blocks above MAX_PANEL_ROWS_TPU rows are rejected: the
-    whole-panel kernel's working set no longer fits VMEM (galewsky's
-    2048-row panels at s=7/nel=64 OOM even at a 100 MB scoped limit and
-    Mosaic compiles run into many minutes) — such shapes take the XLA
-    interior instead."""
+    On TPU, panel blocks above MAX_PANEL_ROWS_TPU rows run the y-SLAB
+    decomposition (slab_plan) — one kernel block per (y-slab, panel) so the
+    VMEM working set stays bounded at any resolution (galewsky's 2048-row
+    panels at s=7/nel=64 OOM the whole-panel kernel even at a 100 MB
+    scoped limit)."""
     if not (2 <= num_solpts <= 8) or nel < 2:
         return False
     p = plan(num_solpts, nel)
     if p is None:
         return False
     if jax.default_backend() == "tpu" and p.prows > MAX_PANEL_ROWS_TPU:
-        return False
+        return slab_plan(num_solpts, nel) is not None
     if dtype in (jnp.float32, np.float32):
         return True
     return dtype in (jnp.float64, np.float64) and jax.default_backend() != "tpu"
@@ -137,9 +160,12 @@ class GenConstants(NamedTuple):
 
 
 def build_constants(ops, metric, nel: int, num_solpts: int, dtype=jnp.float32,
-                    single_block: bool = False) -> GenConstants:
+                    single_block: bool = False, slab_ty: int = None) -> GenConstants:
     """``single_block``: keep panel-style (P=1) constants even when the plan
-    says "whole" mode — for km_tile, whose block is always ONE tile."""
+    says "whole" mode — for km_tile, whose block is always ONE tile.
+    ``slab_ty``: y-slab mode — every slab-last element row (ey+1 % ty == 0)
+    gets the y-interface metric in its north h2 slots, so interior slab
+    boundaries compute their interface flux exactly like panel edges."""
     p = plan(num_solpts, nel)
     s, g, T, rpr, prows = p.s, p.g, p.T, p.rpr, p.prows
     s2 = s * s
@@ -215,11 +241,16 @@ def build_constants(ops, metric, nel: int, num_solpts: int, dtype=jnp.float32,
             row = ey * rpr + rpr - 1
             b = (g - 1) * 2 * s
             out[row, b + s : b + 2 * s] = mx[0, ey, nel]  # east panel edge
-        for ex_ in range(nel):
-            r, grp = ex_ // g, ex_ % g
-            row = (nel - 1) * rpr + r
-            b = grp * 2 * s
-            out[row, 64 + b + s : 64 + b + 2 * s] = my[0, nel, ex_]  # north edge
+        north_rows = (
+            [nel - 1] if slab_ty is None
+            else [ey for ey in range(nel) if (ey + 1) % slab_ty == 0]
+        )
+        for ey in north_rows:  # north h2: panel edge / interior slab boundary
+            for ex_ in range(nel):
+                r, grp = ex_ // g, ex_ % g
+                row = ey * rpr + r
+                b = grp * 2 * s
+                out[row, 64 + b + s : 64 + b + 2 * s] = my[0, ey + 1, ex_]
         return out
 
     m_sg = itf_layout(sg_ix, sg_jx)
@@ -338,20 +369,60 @@ def pack_delta(dq: jnp.ndarray, nel: int, s: int, g: int) -> jnp.ndarray:
     return jnp.concatenate([b, pad], axis=-1).reshape(3, 6 * nel * rpr, 128)
 
 
-def build_base_planes(ops, metric, topology, q0_64, rhs0_64, nel: int, s: int, dtype):
+def build_base_planes(ops, metric, topology, q0_64, rhs0_64, nel: int, s: int, dtype,
+                      slab_ty: int = None, geom=None):
     """Packed base planes for the perturbation-form kernel, computed in
     float64 (one-time factory cost) and cast: [h0, hu10, hu20, u10, u20,
     A0 (base traces, 3), E0 (expanded base halos, 3), rhs0 (f64 base RHS,
     3)] -> (14, rows, 128). The base trace/halo values are produced by the
     SAME packed-layout machinery the kernel uses (packed_slabs /
-    halo_from_slabs / _expand_halo), so slot semantics match exactly."""
+    halo_from_slabs / _expand_halo), so slot semantics match exactly.
+
+    ``slab_ty`` (+ ``geom``): y-slab mode — E0 additionally carries the
+    base interface states at interior slab boundaries (the slots the slab
+    kernel patches from halos), built from the global f64 base interface
+    L/R states."""
     p = plan(s, nel)
     f64 = jnp.float64
-    con64 = build_constants(ops, metric, nel, s, dtype=f64)
+    con64 = build_constants(ops, metric, nel, s, dtype=f64,
+                            single_block=slab_ty is not None, slab_ty=slab_ty)
     conv64 = jnp.asarray(topology._conv_contra_all, f64)
     q0j = jnp.asarray(q0_64, f64)
     qp0 = pack_state(q0j, nel, s, p.g)
     A0 = jnp.stack([qp0[v] @ con64.eexy for v in range(3)])
+    if slab_ty is not None:
+        from ..parallel.shard_map_sw_fused import _sw_base_interfaces_f64
+
+        ex64 = _slab_extras(p, slab_ty, f64)
+        econ64 = _slab_con(con64, ex64, None, None, None, None, None)
+        qL_x, qR_x, qL_y, qR_y = _sw_base_interfaces_f64(geom, ops, topology, q0j)
+        n_yt = nel // slab_ty
+        npts_w = slab_ty * s
+        npl_w = -(-npts_w // 128) * 128
+        padw = lambda a: jnp.pad(a, ((0, 0), (0, npl_w - npts_w)))
+        padl = lambda a: jnp.pad(a, ((0, 0), (0, p.npl - p.npts)))
+        parts = []
+        for pp in range(6):
+            for i in range(n_yt):
+                ys = slice(i * slab_ty, (i + 1) * slab_ty)
+                hw0 = padw(qL_x[:, pp, ys, 0, :].reshape(3, npts_w))
+                he0 = padw(qR_x[:, pp, ys, nel, :].reshape(3, npts_w))
+                hs0 = padl(qL_y[:, pp, i * slab_ty].reshape(3, p.npts))
+                hn0 = padl(qR_y[:, pp, (i + 1) * slab_ty].reshape(3, p.npts))
+                parts.append(
+                    jnp.stack(
+                        [
+                            _expand_halo(hw0[v : v + 1], he0[v : v + 1],
+                                         hs0[v : v + 1], hn0[v : v + 1], econ64, f64)
+                            for v in range(3)
+                        ]
+                    )
+                )
+        E0 = jnp.concatenate(parts, axis=1)
+        u0 = np.asarray(q0_64[1:3], np.float64) / np.asarray(q0_64[0], np.float64)
+        up = jnp.asarray(pack_field(u0, nel, s, p.g), f64)
+        rp = jnp.asarray(pack_field(np.asarray(rhs0_64, np.float64), nel, s, p.g), f64)
+        return jnp.asarray(jnp.concatenate([qp0, up, A0, E0, rp]), dtype)
     slabs = packed_slabs(qp0, con64, nel, s)
     hw, he, hs, hn = halo_from_slabs(*slabs, topology, conv64, nel, s)
     if p.mode == "panel":
@@ -842,7 +913,312 @@ def km_tile(
     return tuple(outs) if emit_slabs else outs[0]
 
 
-def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32, perturbation=None):
+# ---------------------------------------------------------------------------
+# Y-slab mode: one kernel block per (y-slab, panel). Each slab is a
+# (ty x nel)-element mini-panel; interior slab boundaries compute their
+# interface flux in the north h2 / south slots with the neighbouring slab's
+# boundary trace supplied as a halo by the edge-sized XLA glue — the same
+# pattern the 3D pipeline uses (pallas_euler3d.py y-slab coupling). Both
+# sides evaluate AUSM on identical (L, R, metric) triples, so the shared
+# interface flux is bit-identical and conservation is preserved.
+
+
+class SlabExtras(NamedTuple):
+    """Slab-local halo-expansion + slab-emission factors (arrays only — a
+    jit-compatible pytree; sizes are recomputed from (s, nel, ty))."""
+
+    p6w: jnp.ndarray
+    m1w: jnp.ndarray
+    kw: jnp.ndarray
+    ke: jnp.ndarray
+    pw: jnp.ndarray
+    pe: jnp.ndarray
+    ps: jnp.ndarray
+    pn: jnp.ndarray
+    lw: jnp.ndarray
+    le: jnp.ndarray
+    sel_s: jnp.ndarray
+    sel_n: jnp.ndarray
+
+
+def _slab_extras(p, ty: int, dtype) -> SlabExtras:
+    """Slab-local halo-expansion + slab-emission factors (the slab twins of
+    build_constants' m1w/pw/../sel_n; west/east flat windows are ty*s long,
+    south/north keep the full panel window npl)."""
+    s, g, T, rpr = p.s, p.g, p.T, p.rpr
+    prows_s = ty * rpr
+    npts_w = ty * s
+    npl_w = -(-npts_w // 128) * 128
+    typad = -(-ty // 8) * 8
+
+    m1w = np.zeros((ty, npl_w))
+    kw = np.zeros((npl_w, 128))
+    ke = np.zeros((npl_w, 128))
+    for y in range(ty):
+        m1w[y, y * s : (y + 1) * s] = 1.0
+    for j in range(npts_w):
+        kw[j, j % s] = 1.0
+        ke[j, T - s + (j % s)] = 1.0
+    pw = np.zeros((prows_s, ty))
+    pe = np.zeros((prows_s, ty))
+    for y in range(ty):
+        pw[y * rpr, y] = 1.0
+        pe[y * rpr + rpr - 1, y] = 1.0
+    ps = np.zeros((prows_s, rpr))
+    pn = np.zeros((prows_s, rpr))
+    for r in range(rpr):
+        ps[r, r] = 1.0
+        pn[prows_s - rpr + r, r] = 1.0
+    lw = np.zeros((typad, prows_s))
+    le = np.zeros((typad, prows_s))
+    for y in range(ty):
+        lw[y, y * rpr] = 1.0
+        le[y, y * rpr + rpr - 1] = 1.0
+    sel_s = np.zeros((p.rpad, prows_s))
+    sel_n = np.zeros((p.rpad, prows_s))
+    for r in range(rpr):
+        sel_s[r, r] = 1.0
+        sel_n[r, prows_s - rpr + r] = 1.0
+    c = lambda a: jnp.asarray(a, dtype)
+    return SlabExtras(
+        p6w=c(np.ones((ty, 1))),
+        m1w=c(m1w), kw=c(kw), ke=c(ke),
+        pw=c(pw), pe=c(pe), ps=c(ps), pn=c(pn),
+        lw=c(lw), le=c(le), sel_s=c(sel_s), sel_n=c(sel_n),
+    )
+
+
+def _slab_con(con: GenConstants, ex, fields, gridrot_blk, m_sg, m_hd, m_ho):
+    """GenConstants block for _panel_body with slab-local factors."""
+    return GenConstants(
+        fields=fields, gridrot=gridrot_blk,
+        eexy=con.eexy, dd=con.dd, wmat=con.wmat,
+        m_sg=m_sg, m_hd=m_hd, m_ho=m_ho,
+        p6w=ex.p6w, p6s=con.p6s, m1w=ex.m1w, m1s=con.m1s,
+        kw=ex.kw, ke=ex.ke, ks=con.ks, kn=con.kn,
+        pw=ex.pw, pe=ex.pe, ps=ex.ps, pn=ex.pn,
+        lw=ex.lw, le=ex.le, sel_s=ex.sel_s, sel_n=ex.sel_n,
+        kcs=con.kcs, kcn=con.kcn,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nel", "s", "ty", "stage_a", "stage_b", "emit_slabs", "interpret"),
+)
+def km_slab(
+    qp, hw, he, hs, hn, con: GenConstants, ex, nel: int, s: int, ty: int,
+    x=None, cdt=None, stage_a=None, stage_b=None,
+    emit_slabs: bool = False, interpret: bool = False, bp=None,
+):
+    """The generic SW spatial operator with grid (n_ytiles, 6) — one block
+    per (y-slab, panel). qp: (3, rows, 128) packed (global row order, slabs
+    contiguous); hw/he: (6*n_ytiles, 3, npl_w) per-slab west/east halo
+    windows; hs/hn: (6*n_ytiles, 3, npl) per-slab south/north halos (outer
+    slabs: the panel exchange; inner boundaries: the neighbour slab's
+    boundary trace). ``con`` from build_constants(..., slab_ty=ty);
+    ``ex`` from _slab_extras. Same returns as km_gen (emitted ss/ns are
+    per-slab: (3, 6*n_ytiles*rpad, 128), we (3, 6*n_ytiles*typad, 128))."""
+    p = plan(s, nel)
+    rpr, prows = p.rpr, p.prows
+    n_ytiles = nel // ty
+    prows_s = ty * rpr
+    rows = p.rows
+    npl_w = -(-(ty * s) // 128) * 128
+    typad = -(-ty // 8) * 8
+    dtype = qp.dtype
+    zero = np.int32(0)
+    with_stage = stage_a is not None
+    with_x = with_stage and (stage_a != 0.0)
+    with_base = bp is not None
+    ps = types.SimpleNamespace(s=s, T=p.T, rpr=rpr, prows=prows_s)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    roll = pltpu.roll
+    _EX_FIELDS = ("p6w", "m1w", "kw", "ke", "pw", "pe", "ps", "pn",
+                  "lw", "le", "sel_s", "sel_n")
+
+    def kernel(*refs):
+        m = _masks(ps, prows_s)
+        it = iter(refs)
+        q_ref = next(it)
+        hw_ref, he_ref, hs_ref, hn_ref = (next(it) for _ in range(4))
+        field_refs = tuple(next(it) for _ in range(13))
+        gridrot_ref = next(it)
+        con_refs = {name: next(it) for name in _CON_FIELDS}
+        ex_refs = {name: next(it) for name in _EX_FIELDS}
+        bp_ref = next(it) if with_base else None
+        x_ref = next(it) if with_x else None
+        cdt_ref = next(it) if with_stage else None
+        o_ref = next(it)
+        if emit_slabs:
+            we_ref, ss_ref, ns_ref = next(it), next(it), next(it)
+
+        cv = {name: con_refs[name][...] for name in _CON_FIELDS}
+        ev = {name: ex_refs[name][...] for name in _EX_FIELDS}
+        cblk = GenConstants(
+            fields=tuple(r[...] for r in field_refs), gridrot=None,
+            **{**cv, **ev},
+        )
+        halo = lambda r: tuple(r[...][0, v : v + 1] for v in range(3))
+        base = None
+        if with_base:
+            base = {
+                "bq": tuple(bp_ref[k] for k in range(5)),
+                "A0": tuple(bp_ref[5 + v] for v in range(3)),
+                "E0": tuple(bp_ref[8 + v] for v in range(3)),
+                "rhs0": tuple(bp_ref[11 + v] for v in range(3)),
+            }
+        out, slabs = _panel_body(
+            tuple(q_ref[v] for v in range(3)),
+            halo(hw_ref), halo(he_ref), halo(hs_ref), halo(hn_ref),
+            cblk.fields, gridrot_ref[...], cblk, m, roll,
+            x3=(tuple(x_ref[v] for v in range(3)) if with_x else None),
+            cdt=(cdt_ref[0, 0] if with_stage else None),
+            stage_a=stage_a, stage_b=stage_b, emit=emit_slabs,
+            base=base,
+        )
+        for v in range(3):
+            o_ref[v] = out[v]
+        if emit_slabs:
+            wes, ss, ns = slabs
+            for v in range(3):
+                we_ref[v] = wes[v]
+                ss_ref[v] = ss[v]
+                ns_ref[v] = ns[v]
+
+    grid = (n_ytiles, 6)
+    q_spec = pl.BlockSpec((3, prows_s, 128), lambda i, pp: (zero, pp * n_ytiles + i, zero))
+    hw_spec = pl.BlockSpec((1, 3, npl_w), lambda i, pp: (pp * n_ytiles + i, zero, zero))
+    hs_spec = pl.BlockSpec((1, 3, p.npl), lambda i, pp: (pp * n_ytiles + i, zero, zero))
+    pan = pl.BlockSpec((prows_s, 128), lambda i, pp: (i, zero))
+    grot_spec = pl.BlockSpec((prows_s, 128), lambda i, pp: (pp * n_ytiles + i, zero))
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, pp: tuple(zero for _ in a.shape))
+
+    args = [qp, hw, he, hs, hn, *con.fields, con.gridrot]
+    in_specs = [q_spec, hw_spec, hw_spec, hs_spec, hs_spec]
+    in_specs += [pan for _ in con.fields] + [grot_spec]
+    for name in _CON_FIELDS:
+        a = getattr(con, name)
+        args.append(a)
+        in_specs.append(pan if name in ("m_sg", "m_hd", "m_ho") else full(a))
+    for name in ("p6w", "m1w", "kw", "ke", "pw", "pe", "ps", "pn",
+                 "lw", "le", "sel_s", "sel_n"):
+        a = getattr(ex, name)
+        args.append(a)
+        in_specs.append(full(a))
+    if with_base:
+        args.append(bp)
+        in_specs.append(pl.BlockSpec((14, prows_s, 128), lambda i, pp: (zero, pp * n_ytiles + i, zero)))
+    if with_x:
+        args.append(x)
+        in_specs.append(q_spec)
+    if with_stage:
+        from jax.experimental.pallas import tpu as pltpu_mod
+
+        args.append(jnp.asarray(cdt, dtype=dtype).reshape(1, 1))
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, pp: (zero, zero), memory_space=pltpu_mod.SMEM))
+
+    out_specs = [q_spec]
+    out_shape = [jax.ShapeDtypeStruct((3, rows, 128), dtype)]
+    if emit_slabs:
+        out_specs += [
+            pl.BlockSpec((3, typad, 128), lambda i, pp: (zero, pp * n_ytiles + i, zero)),
+            pl.BlockSpec((3, p.rpad, 128), lambda i, pp: (zero, pp * n_ytiles + i, zero)),
+            pl.BlockSpec((3, p.rpad, 128), lambda i, pp: (zero, pp * n_ytiles + i, zero)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((3, 6 * n_ytiles * typad, 128), dtype),
+            jax.ShapeDtypeStruct((3, 6 * n_ytiles * p.rpad, 128), dtype),
+            jax.ShapeDtypeStruct((3, 6 * n_ytiles * p.rpad, 128), dtype),
+        ]
+    kwargs = dict(
+        grid=grid, in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        interpret=interpret,
+    )
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    outs = pl.pallas_call(kernel, **kwargs)(*args)
+    return tuple(outs) if emit_slabs else outs[0]
+
+
+def slab_packed_slabs(qp, con: GenConstants, ex, nel: int, s: int, ty: int):
+    """Per-slab edge slabs of a packed state, in XLA (bootstrap)."""
+    p = plan(s, nel)
+    rpr = p.rpr
+    n_ytiles = nel // ty
+    prows_s = ty * rpr
+    ps = types.SimpleNamespace(s=s, T=p.T, rpr=rpr, prows=prows_s)
+    m = _masks(ps, prows_s)
+    econ = _slab_con(con, ex, None, None, None, None, None)
+    per = []
+    for blk in range(6 * n_ytiles):
+        o3 = tuple(qp[v, blk * prows_s : (blk + 1) * prows_s] for v in range(3))
+        per.append(_emit_slabs(o3, econ, m, jnp.roll, qp.dtype))
+    cat = lambda k: jnp.stack(
+        [jnp.concatenate([per[b][k][v] for b in range(6 * n_ytiles)]) for v in range(3)]
+    )
+    return cat(0), cat(1), cat(2)
+
+
+def slab_halo_from_slabs(we, ssl, nsl, topology, conv, nel: int, s: int, ty: int):
+    """Per-slab halos from per-slab edge slabs: panel edges go through the
+    pooled neighbour exchange (+ flips and the 2x2 momentum rotation);
+    interior slab boundaries take the adjacent slab's boundary trace
+    directly. All arrays are edge-sized."""
+    p = plan(s, nel)
+    rpr, ws, npts, npl = p.rpr, p.ws, p.npts, p.npl
+    n_ytiles = nel // ty
+    npts_w = ty * s
+    npl_w = -(-npts_w // 128) * 128
+    typad = -(-ty // 8) * 8
+
+    wev = we.reshape(3, 6, n_ytiles, typad, 128)[:, :, :, :ty]
+    west = wev[..., 0:s].reshape(3, 6, npts)
+    east = wev[..., s : 2 * s].reshape(3, 6, npts)
+    ssv = ssl.reshape(3, 6, n_ytiles, p.rpad, 128)[:, :, :, :rpr, :ws]
+    nsv = nsl.reshape(3, 6, n_ytiles, p.rpad, 128)[:, :, :, :rpr, :ws]
+    south = ssv[:, :, 0].reshape(3, 6, npts)
+    north = nsv[:, :, -1].reshape(3, 6, npts)
+    pool = jnp.stack([south, north, west, east], axis=1)
+
+    ex = topology.exchange_pool(pool)
+    b1 = conv[..., 0, 0] * ex[1] + conv[..., 0, 1] * ex[2]
+    b2 = conv[..., 1, 0] * ex[1] + conv[..., 1, 1] * ex[2]
+    halo = jnp.stack([ex[0], b1, b2])  # (3, 4, 6, npts)
+    from ..parallel.topology import EAST, NORTH, SOUTH, WEST
+
+    def fmt_we(side):  # exchanged west/east -> per-slab windows
+        a = halo[:, side].reshape(3, 6, n_ytiles, npts_w)
+        a = jnp.moveaxis(a, (1, 2), (0, 1)).reshape(6 * n_ytiles, 3, npts_w)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, npl_w - npts_w))) if npl_w > npts_w else a
+
+    padl = (
+        (lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, npl - npts)]))
+        if npl > npts else (lambda a: a)
+    )
+
+    def fmt_sn(side, inner):
+        # inner: (3, 6, n_ytiles, rpr, ws) neighbour-slab boundary traces;
+        # slot 0 (hs) / slot n-1 (hn) takes the panel exchange instead.
+        edge = padl(halo[:, side])  # (3, 6, npl)
+        inn = padl(inner.reshape(3, 6, n_ytiles, npts))
+        if side == SOUTH:
+            stack = jnp.concatenate([edge[:, :, None], inn[:, :, :-1]], axis=2)
+        else:
+            stack = jnp.concatenate([inn[:, :, 1:], edge[:, :, None]], axis=2)
+        return jnp.moveaxis(stack, (1, 2), (0, 1)).reshape(6 * n_ytiles, 3, npl)
+
+    return (
+        fmt_we(WEST), fmt_we(EAST),
+        fmt_sn(SOUTH, nsv),  # slab i's south halo = slab i-1's north trace
+        fmt_sn(NORTH, ssv),  # slab i's north halo = slab i+1's south trace
+    )
+
+
+def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32, perturbation=None,
+                  force_slab: bool = False):
     """Build the generic packed-pipeline API (same surface as the s=4
     module's wrappers in models/shallow_water.py): returns a namespace with
     packed / packed_stage / packed_stage_chained / packed_slabs / pack /
@@ -851,28 +1227,59 @@ def make_pipeline(geom, ops, metric, topology, dtype=jnp.float32, perturbation=N
     ``perturbation``: optional (q0_64, rhs0_64) pair switching every kernel
     to the base-state-split form. Packed states then carry the PERTURBATION
     (pack/unpack convert the perturbation, not the absolute state — callers
-    add/subtract the base); packed() returns the FULL RHS (rhs0 + delta)."""
+    add/subtract the base); packed() returns the FULL RHS (rhs0 + delta).
+
+    Panels above MAX_PANEL_ROWS_TPU rows (galewsky-class resolutions) run
+    the Y-SLAB decomposition (km_slab) on TPU; ``force_slab`` selects it
+    regardless of size (tests)."""
     s = ops.num_solpts
     nel = geom.num_elements
     if not supported(s, nel, dtype):
         return None
     p = plan(s, nel)
-    con = build_constants(ops, metric, nel, s, dtype=dtype)
     conv = jnp.asarray(topology._conv_contra_all, dtype=dtype)
     interp = jax.default_backend() != "tpu"
-    bp = None
-    if perturbation is not None:
-        q0_64, rhs0_64 = perturbation
-        bp = build_base_planes(ops, metric, topology, q0_64, rhs0_64, nel, s, dtype)
+    use_slab = force_slab or (
+        jax.default_backend() == "tpu" and p.prows > MAX_PANEL_ROWS_TPU
+    )
+    if use_slab:
+        sp = slab_plan(s, nel)
+        if sp is None:
+            return None
+        ty, _n_yt = sp
+        con = build_constants(ops, metric, nel, s, dtype=dtype,
+                              single_block=True, slab_ty=ty)
+        ex = _slab_extras(p, ty, dtype)
+        bp = None
+        if perturbation is not None:
+            q0_64, rhs0_64 = perturbation
+            bp = build_base_planes(ops, metric, topology, q0_64, rhs0_64, nel, s,
+                                   dtype, slab_ty=ty, geom=geom)
 
-    def _slabs(qp):
-        return packed_slabs(qp, con, nel, s)
+        def _slabs(qp):
+            return slab_packed_slabs(qp, con, ex, nel, s, ty)
 
-    def _halo(slabs):
-        return halo_from_slabs(*slabs, topology, conv, nel, s)
+        def _halo(slabs):
+            return slab_halo_from_slabs(*slabs, topology, conv, nel, s, ty)
 
-    def _km(qp, halo, **kw):
-        return km_gen(qp, *halo, con, nel, s, interpret=interp, bp=bp, **kw)
+        def _km(qp, halo, **kw):
+            return km_slab(qp, *halo, con, ex, nel, s, ty, interpret=interp,
+                           bp=bp, **kw)
+    else:
+        con = build_constants(ops, metric, nel, s, dtype=dtype)
+        bp = None
+        if perturbation is not None:
+            q0_64, rhs0_64 = perturbation
+            bp = build_base_planes(ops, metric, topology, q0_64, rhs0_64, nel, s, dtype)
+
+        def _slabs(qp):
+            return packed_slabs(qp, con, nel, s)
+
+        def _halo(slabs):
+            return halo_from_slabs(*slabs, topology, conv, nel, s)
+
+        def _km(qp, halo, **kw):
+            return km_gen(qp, *halo, con, nel, s, interpret=interp, bp=bp, **kw)
 
     def rhs_packed(qp):
         return _km(qp, _halo(_slabs(qp)))
