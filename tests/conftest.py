@@ -22,6 +22,50 @@ jax.config.update("jax_enable_x64", True)
 import pytest
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped construction caches (VERDICT r4 next #7): geometry + metric
+# builds are the dominant fixed cost of many test modules and are pure
+# functions of their arguments — cache them across modules. Tests treat the
+# returned objects as read-only (topography cases build their own geometry
+# and bypass the cache).
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def cs3d_setup(nel_h, nel_v, s, ztop=10000.0, scale=125.0, rotating=False,
+               deep=False):
+    """(geom, ops, topo, metric) for a 3D cubed-sphere discretization."""
+    from wxfactory_tpu.geometry.cubed_sphere_3d import make_cubed_sphere_3d
+    from wxfactory_tpu.geometry.metric3d import make_metric_3d
+    from wxfactory_tpu.ops.dfr import make_dfr_operators
+    from wxfactory_tpu.parallel.topology import CubedSphereTopology
+
+    geom = make_cubed_sphere_3d(
+        nel_h, nel_v, s, ztop=ztop, planet_scaling_factor=scale,
+        planet_is_rotating=rotating, deep=deep,
+    )
+    ops = make_dfr_operators(s, three_d=True)
+    topo = CubedSphereTopology(geom)
+    metric = make_metric_3d(geom, ops, topo)
+    return geom, ops, topo, metric
+
+
+@functools.lru_cache(maxsize=None)
+def cs2d_setup(nel, s, lambda0=0.0, phi0=0.7853981633974483, alpha0=0.0):
+    """(geom, ops, topo, metric) for a 2D cubed-sphere discretization."""
+    from wxfactory_tpu.geometry.cubed_sphere import make_cubed_sphere_2d
+    from wxfactory_tpu.geometry.metric import make_metric_2d
+    from wxfactory_tpu.ops.dfr import make_dfr_operators
+    from wxfactory_tpu.parallel.topology import CubedSphereTopology
+
+    geom = make_cubed_sphere_2d(nel, s, lambda0, phi0, alpha0)
+    ops = make_dfr_operators(s)
+    metric = make_metric_2d(geom)
+    topo = CubedSphereTopology(geom)
+    return geom, ops, topo, metric
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,

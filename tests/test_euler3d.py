@@ -28,9 +28,8 @@ def ref31():
 
 @pytest.fixture(scope="module")
 def mine31():
-    geom = make_cubed_sphere_3d(NEL_H, NEL_V, S, ZTOP, planet_scaling_factor=125.0, planet_is_rotating=False)
-    ops = make_dfr_operators(S, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(NEL_H, NEL_V, S, 10000.0)
     return geom, ops, metric
 
 
@@ -132,9 +131,8 @@ def test_epi2_kiops_steps_match_reference(mine31):
     nel_h = 4
     ref_states = reference_euler3d_epi_steps(31, nel_h, NEL_V, S, ZTOP, 30.0, 2)
 
-    geom = make_cubed_sphere_3d(nel_h, NEL_V, S, ZTOP, planet_scaling_factor=125.0, planet_is_rotating=False)
-    ops = make_dfr_operators(S, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, NEL_V, S, 10000.0)
     rhs = make_rhs_euler_cubesphere(geom, ops, metric)
     q = jnp.asarray(dcmip_gravity_wave(geom))
     integ = Epi(rhs, order=2, exponential_solver="kiops", tolerance=1e-7)
@@ -158,9 +156,8 @@ def test_epi2_kiops_jit_mixed_precision_matches_reference(mine31):
     nel_h = 4
     ref_states = reference_euler3d_epi_steps(31, nel_h, NEL_V, S, ZTOP, 30.0, 2)
 
-    geom = make_cubed_sphere_3d(nel_h, NEL_V, S, ZTOP, planet_scaling_factor=125.0, planet_is_rotating=False)
-    ops = make_dfr_operators(S, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, NEL_V, S, 10000.0)
     rhs = make_rhs_euler_cubesphere(geom, ops, metric)
     q = jnp.asarray(dcmip_gravity_wave(geom))
     rhs32 = make_rhs_euler_cubesphere(
@@ -192,10 +189,8 @@ def test_shard_map_euler3d_tiles_match_global(n):
         pytest.skip(f"needs >= {ndev} virtual devices")
 
     nel_h, nel_v, s = 4, 3, 2
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, 10000.0, planet_scaling_factor=125.0,
-                                planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, s, 10000.0)
     q = jnp.asarray(dcmip_gravity_wave(geom))
     rhs = jax.jit(make_rhs_euler_cubesphere(geom, ops, metric, interior="xla"))
     dt = 1.0
@@ -223,10 +218,8 @@ def test_perturbation_form_f32_accuracy():
     against the f64 truth (the hydrostatic cancellation never crosses
     float32)."""
     nel_h, nel_v, s = 8, 3, 2
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, 10000.0, planet_scaling_factor=125.0,
-                                planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, s, 10000.0)
     q0 = jnp.asarray(dcmip_gravity_wave(geom))
 
     rhs64 = jax.jit(make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float64, interior="xla"))
@@ -272,10 +265,8 @@ def test_epi2_fused_jtv_matches_xla_jvp_trajectory():
     from wxfactory_tpu.integrators import Epi
 
     nel_h, nel_v, s = 4, 2, 4
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ZTOP, planet_scaling_factor=125.0,
-                                planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, s, 10000.0)
     rhs = make_rhs_euler_cubesphere(geom, ops, metric)
     q0 = jnp.asarray(dcmip_gravity_wave(geom))
     rhs32_xla = make_rhs_euler_cubesphere(
@@ -308,10 +299,8 @@ def test_ros2_mixed_precision_matches_f64_path():
     from wxfactory_tpu.integrators import Ros2
 
     nel_h, nel_v, dt = 4, 2, 30.0
-    geom = make_cubed_sphere_3d(nel_h, nel_v, S, ZTOP, planet_scaling_factor=125.0,
-                                planet_is_rotating=False)
-    ops = make_dfr_operators(S, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, S, 10000.0)
     rhs = make_rhs_euler_cubesphere(geom, ops, metric)
     q0 = jnp.asarray(dcmip_gravity_wave(geom))
     rhs32 = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float32,
@@ -346,10 +335,8 @@ def test_epi2_kiops_canonical_shape_matches_reference():
     nel_h, nel_v, dt, nsteps = 12, 3, 30.0, 5
     ref_states = reference_euler3d_epi_steps(31, nel_h, nel_v, S, ZTOP, dt, nsteps)
 
-    geom = make_cubed_sphere_3d(nel_h, nel_v, S, ZTOP, planet_scaling_factor=125.0,
-                                planet_is_rotating=False)
-    ops = make_dfr_operators(S, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, S, 10000.0)
     rhs = make_rhs_euler_cubesphere(geom, ops, metric)
     q = jnp.asarray(dcmip_gravity_wave(geom))
     integ = Epi(rhs, order=2, exponential_solver="kiops", tolerance=1e-7)

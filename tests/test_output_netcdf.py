@@ -73,10 +73,8 @@ def test_sw_topography_adds_surface_height(tmp_path):
 
 def test_euler_netcdf_write_and_reread(tmp_path):
     nel_h, nel_v, s, ztop = 4, 2, 2, 10000.0
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop, planet_scaling_factor=125.0,
-                                planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, s, ztop)
     q = dcmip_gravity_wave(geom)
 
     path = str(tmp_path / "dcmip31.nc")
@@ -114,10 +112,8 @@ def test_manager_routes_euler_output(tmp_path):
     from wxfactory_tpu.output.manager import OutputManager
 
     nel_h, nel_v, s, ztop = 4, 2, 2, 10000.0
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop, planet_scaling_factor=125.0,
-                                planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, s, ztop)
     q = dcmip_gravity_wave(geom)
 
     ini = f"""

@@ -22,16 +22,20 @@ ZTOP = 10000.0
 
 
 def _setup(rotating=False):
-    geom = make_cubed_sphere_3d(
-        NELH, NELV, S, ztop=ZTOP, planet_scaling_factor=125.0,
-        planet_is_rotating=rotating,
-    )
-    ops = make_dfr_operators(S, three_d=True)
-    topo = CubedSphereTopology(geom)
-    metric = make_metric_3d(geom, ops, topo)
+    from conftest import cs3d_setup
+
+    geom, ops, topo, metric = cs3d_setup(NELH, NELV, S, ZTOP, rotating=rotating)
     q = jnp.asarray(dcmip_gravity_wave(geom))
     rhs = make_rhs_euler_cubesphere(geom, ops, metric, topology=topo)
     return geom, ops, topo, metric, q, rhs
+
+
+def _setup_shape(nel_h, nel_v, s):
+    from conftest import cs3d_setup
+
+    geom, ops, topo, metric = cs3d_setup(nel_h, nel_v, s, ZTOP)
+    q0 = jnp.asarray(dcmip_gravity_wave(geom), jnp.float64)
+    return geom, ops, topo, metric, q0
 
 
 def test_pack_roundtrip():
@@ -185,11 +189,8 @@ def test_generic_shapes_match_xla(nel_h, nel_v, s):
     """The generalized pipeline (num_solpts 2..5, g|nel_h row packings with
     NaN-safe lane padding) at the canonical dcmip31 discretization (12x12x3,
     s=2 — config/dcmip31.ini:58-65) and other non-s=4 shapes."""
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
-                                planet_scaling_factor=125.0, planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
-    q = jnp.asarray(dcmip_gravity_wave(geom))
+    geom, ops, _topo, metric, q0s = _setup_shape(nel_h, nel_v, s)
+    q = q0s
     assert pe3.supported(s, nel_h, nel_v, 5, jnp.float64)
 
     rhs_x = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float64, interior="xla")
@@ -203,11 +204,8 @@ def test_generic_shapes_match_xla(nel_h, nel_v, s):
 
 def test_generic_chained_stage_s2():
     nel_h, nel_v, s = 12, 3, 2
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
-                                planet_scaling_factor=125.0, planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
-    q = jnp.asarray(dcmip_gravity_wave(geom))
+    geom, ops, _topo, metric, q0s = _setup_shape(nel_h, nel_v, s)
+    q = q0s
     rhs = make_rhs_euler_cubesphere(geom, ops, metric, dtype=jnp.float64, interior="pallas")
     qp = rhs.pack(q)
     dt = jnp.asarray(0.5, qp.dtype)
@@ -229,14 +227,7 @@ def test_tangent_kernel_matches_jvp(nel_h, nel_v, s):
     reference hot loop: solvers/kiops.py:181-199 there) to roundoff. Covers
     the split (s=3 g=4; s=2 whole-panel g=12 + rowpad) and combined
     (4x8x2: g=8) trace layouts, pure-jnp AND pallas interpret mode."""
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
-                                planet_scaling_factor=125.0, planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    from wxfactory_tpu.parallel.topology import CubedSphereTopology as _Topo
-
-    topo = _Topo(geom)
-    metric = make_metric_3d(geom, ops, topo)
-    q0 = jnp.asarray(dcmip_gravity_wave(geom), jnp.float64)
+    geom, ops, topo, metric, q0 = _setup_shape(nel_h, nel_v, s)
     rng = np.random.default_rng(7)
     dq = 1e-4 * q0 * jnp.asarray(rng.standard_normal(q0.shape))
     v = (
@@ -280,11 +271,7 @@ def test_tangent_kernel_f32_accuracy():
     operating point the f32 perturbation-form jvp does (it replaces that
     matvec in the mixed-precision Krylov loop)."""
     nel_h, nel_v, s = 4, 2, 3
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
-                                planet_scaling_factor=125.0, planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
-    q0 = jnp.asarray(dcmip_gravity_wave(geom), jnp.float64)
+    geom, ops, _topo, metric, q0 = _setup_shape(nel_h, nel_v, s)
     rng = np.random.default_rng(11)
     dq = 1e-4 * q0 * jnp.asarray(rng.standard_normal(q0.shape))
     v = (
@@ -320,11 +307,7 @@ def test_pert_kernel_matches_xla_pert(nel_h, nel_v, s):
     """Perturbation-form 3D mega kernel (base planes/halos + delta math) vs
     the jnp perturbation core: exact algebra in f64, and delta-state RK
     stages reproduce the absolute trajectory."""
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, ztop=ZTOP,
-                                planet_scaling_factor=125.0, planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
-    q0 = jnp.asarray(dcmip_gravity_wave(geom), jnp.float64)
+    geom, ops, _topo, metric, q0 = _setup_shape(nel_h, nel_v, s)
     dq = 1e-4 * q0 * jnp.sin(jnp.arange(q0.size).reshape(q0.shape) * 0.37)
 
     rp_xla = make_rhs_euler_cubesphere(
@@ -351,3 +334,56 @@ def test_pert_kernel_matches_xla_pert(nel_h, nel_v, s):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-7)
     q_ref = (q0 + dq) + dt * rp_xla(q0 + dq)
     np.testing.assert_allclose(np.asarray(rp_k.unpack(y1)), np.asarray(q_ref), rtol=1e-9, atol=1e-6)
+
+
+def test_s6_half_split_all_paths():
+    """s=6 HALF-SPLIT layout (VERDICT r4 next #4: the fused matrix row the
+    reference benchmarks at num_solpts 2..6, tests/rhs_benchmark/run.sh
+    there): one element across H=2 rows (kz 0..2 | 3..5, 108 lanes), z
+    operators as parity-paired GEMMs. Absolute, perturbation, TANGENT and
+    chained-stage paths must all match the XLA operator (f64, interpret)."""
+    geom, ops, topo, metric, q0 = _setup_shape(2, 2, 6)
+    assert pe3.pick_h(6) == 2 and pe3.supported(6, 2, 2, 5, jnp.float64)
+    rng = np.random.default_rng(7)
+    dq = 1e-4 * q0 * jnp.asarray(rng.standard_normal(q0.shape))
+    v = (
+        jnp.asarray(rng.standard_normal(q0.shape))
+        * np.abs(np.asarray(q0)).max(axis=(1, 2, 3, 4, 5), keepdims=True) * 1e-3
+    )
+    q = q0 * (1.0 + 0.05 * jnp.asarray(rng.standard_normal(q0.shape)))
+
+    rhs_x = make_rhs_euler_cubesphere(geom, ops, metric, topology=topo,
+                                      dtype=jnp.float64, interior="xla")
+    # absolute path at an unbalanced state (the balanced state's rho row is
+    # cancellation-dominated; the f32 production path uses the pert form)
+    ref = np.asarray(rhs_x(q))
+    rhs_k = make_rhs_euler_cubesphere(geom, ops, metric, topology=topo,
+                                      dtype=jnp.float64, interior="pallas")
+    assert hasattr(rhs_k, "packed")
+    sc = np.abs(ref).reshape(5, -1).max(axis=1).reshape(5, 1, 1, 1, 1, 1)
+    assert np.abs((np.asarray(rhs_k(q)) - ref) / sc).max() < 1e-11
+
+    rp_xla = make_rhs_euler_cubesphere(geom, ops, metric, topology=topo,
+                                       dtype=jnp.float64, interior="xla",
+                                       perturbation_base=q0)
+    rp_k = make_rhs_euler_cubesphere(geom, ops, metric, topology=topo,
+                                     dtype=jnp.float64, interior="pallas",
+                                     perturbation_base=q0)
+    want = np.asarray(rp_xla.delta(dq))
+    scp = np.abs(want).reshape(5, -1).max(axis=1).reshape(5, 1, 1, 1, 1, 1)
+    assert np.abs((np.asarray(rp_k.delta(dq)) - want) / scp).max() < 1e-11
+
+    want_j = np.asarray(jax.jvp(rp_xla.delta, (dq,), (v,))[1])
+    scj = np.abs(want_j).reshape(5, -1).max(axis=1).reshape(5, 1, 1, 1, 1, 1)
+    assert np.abs((np.asarray(rp_k.jtv(q0 + dq, v)) - want_j) / scj).max() < 1e-11
+
+    qp = rp_k.pack(q0 + dq)
+    dt = jnp.asarray(0.5, qp.dtype)
+    y1 = rp_k.packed_stage(qp, qp, 0.0, 1.0, dt)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(qp + dt * rp_k.packed(qp)),
+                               rtol=1e-11, atol=1e-8)
+    y2, slabs = rp_k.packed_stage_chained(qp, qp, rp_k.packed_slabs(qp), 0.0, 1.0, dt)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=1e-11, atol=1e-8)
+    for got, wnt in zip(slabs, rp_k.packed_slabs(y2)):
+        w = np.asarray(wnt)
+        np.testing.assert_allclose(np.asarray(got), w, atol=1e-9 * max(np.abs(w).max(), 1.0))

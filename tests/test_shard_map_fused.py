@@ -64,10 +64,8 @@ def test_fused_tile_step_euler3d_matches_global(nshard, pert):
     if len(jax.devices()) < ndev:
         pytest.skip(f"needs >= {ndev} virtual devices")
     nel_h, nel_v, s, dt = 4, 3, 2, 1.0
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, 10000.0, planet_scaling_factor=125.0,
-                                planet_is_rotating=False)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, s, 10000.0)
     q0 = jnp.asarray(dcmip_gravity_wave(geom))
     rhs = jax.jit(make_rhs_euler_cubesphere(geom, ops, metric, interior="xla"))
 
@@ -105,10 +103,8 @@ def test_fused_tile_step_euler3d_rotating_planet(nshard):
     if len(jax.devices()) < ndev:
         pytest.skip(f"needs >= {ndev} virtual devices")
     nel_h, nel_v, s, dt = 4, 3, 2, 1.0
-    geom = make_cubed_sphere_3d(nel_h, nel_v, s, 10000.0, planet_scaling_factor=1.0,
-                                planet_is_rotating=True)
-    ops = make_dfr_operators(s, three_d=True)
-    metric = make_metric_3d(geom, ops)
+    from conftest import cs3d_setup
+    geom, ops, _topo, metric = cs3d_setup(nel_h, nel_v, s, 10000.0, scale=1.0, rotating=True)
     assert np.abs(np.asarray(metric.christoffel[:, :3])).max() > 0.0  # tch active
     q0 = jnp.asarray(acoustic_wave(geom))
     rhs = jax.jit(make_rhs_euler_cubesphere(geom, ops, metric, interior="xla"))

@@ -67,6 +67,21 @@ IDX_RHO_W = 3
 IDX_RHO_THETA = 4
 
 
+def pick_h(num_solpts: int) -> int:
+    """Rows per element (the kz HALF-SPLIT): 1 when a whole element fits a
+    128-lane row, else the smallest even split H | s with s^3/H <= 128 —
+    s=6 gets H=2 (108 lanes/row, kz 0..2 on the low row, 3..5 on the
+    high). Only the z-direction operators cross the row pair; they run as
+    parity-split GEMM pairs (see _km3_body's H=2 sites). 0 = unsupported."""
+    s = num_solpts
+    if s**3 <= 128:
+        return 1
+    for H in (2, 4):
+        if s % H == 0 and s**3 // H <= 128 and (s * s // H) * 2 <= 64:
+            return H
+    return 0
+
+
 def pick_g3(num_solpts: int, nel_h: int, nel_v: int = None):
     """Elements-per-row packing g with g | nel_h that fits the state
     (g*s^3 <= 128) and one face family per 128-lane trace register
@@ -78,10 +93,16 @@ def pick_g3(num_solpts: int, nel_h: int, nel_v: int = None):
     With ``nel_v`` given, g is co-optimized with the y-slab height: a g
     whose blocks admit NO Mosaic-legal ty (ty*nel_v*(nel_h/g) % 8 != 0 for
     every ty | nel_h) is skipped in favor of a smaller one — e.g.
-    (s=2, 30^3) needs g=15/ty=2, not a g with no valid ty."""
+    (s=2, 30^3) needs g=15/ty=2, not a g with no valid ty.
+
+    For s with s^3 > 128 (s=6) the HALF-SPLIT layout applies (pick_h):
+    g = 1, one element across H rows."""
     s = num_solpts
-    if s**3 > 128:
+    H = pick_h(s)
+    if H == 0:
         return None
+    if H > 1:
+        return 1
     cap = min(128 // s**3, 64 // (s * s))
     fallback = None
     for g in range(min(cap, nel_h), 0, -1):
@@ -99,9 +120,12 @@ def pick_g3(num_solpts: int, nel_h: int, nel_v: int = None):
 
 def is_split_layout(num_solpts: int, g: int) -> bool:
     """True when the x/y face traces need SEPARATE 128-lane registers
-    (g*2s^2 > 64): each family then uses lanes [0, g*2s^2) of its own
-    register instead of sharing one register at a 64-lane offset."""
-    return g * 2 * num_solpts * num_solpts > 64
+    (g*2*s^2/H > 64 per-row face lanes): each family then uses lanes
+    [0, g*2s^2/H) of its own register instead of sharing one register at a
+    64-lane offset. (Half-split layouts carry s^2/H face points per row
+    and family — s=6/H=2 has 36, so it shares one register.)"""
+    H = max(pick_h(num_solpts), 1)
+    return g * 2 * num_solpts * num_solpts // H > 64
 
 
 _PANEL_ROWS_BUDGET = 1024  # whole-panel blocks: VMEM row cap per block
@@ -118,8 +142,9 @@ def grid_plan(num_solpts: int, nel_h: int, nel_v: int):
     padded to a multiple of 8 (the km3_tile row-padding mechanism,
     dims["rows"]), as long as the panel fits the VMEM row budget."""
     s = num_solpts
-    if s**3 > 128:
+    if pick_h(s) == 0:
         return None
+    H = pick_h(s)
     g_free = pick_g3(s, nel_h)
     if g_free is None:
         return None
@@ -127,7 +152,7 @@ def grid_plan(num_solpts: int, nel_h: int, nel_v: int):
     ty = pick_ty(s, nel_h, nel_v)
     if g_ty is not None and ty is not None and g_ty >= g_free:
         return g_ty, ty, 0
-    rows6 = nel_h * nel_v * (nel_h // g_free)
+    rows6 = nel_h * nel_v * H * (nel_h // g_free)
     Rp6 = -(-rows6 // 8) * 8
     if Rp6 > _PANEL_ROWS_BUDGET:
         # Whole-panel blocks too big; fall back to the slab decomposition
@@ -144,7 +169,7 @@ def supported(num_solpts: int, nel_h: int, nel_v: int, nvar: int, dtype) -> bool
     Needs a grid plan (grid_plan): either a y-slab decomposition whose
     block rows tile the (8, 128) layout, or whole-panel blocks with padded
     rows. float64 only off-TPU (interpret mode)."""
-    if nvar != 5 or not (2 <= num_solpts <= 5):
+    if nvar != 5 or not (2 <= num_solpts <= 6):
         return False
     if grid_plan(num_solpts, nel_h, nel_v) is None:
         return False
@@ -160,7 +185,7 @@ def pick_ty(num_solpts: int, nel_h: int, nel_v: int, vmem_budget_rows: int = 128
     if g is None:
         return None
     nxp = nel_h // g
-    nkxp = nel_v * nxp
+    nkxp = nel_v * max(pick_h(num_solpts), 1) * nxp
     best = None
     for ty in range(1, nel_h + 1):
         if nel_h % ty or (ty * nkxp) % 8:
@@ -179,18 +204,23 @@ def pick_ty(num_solpts: int, nel_h: int, nel_v: int, vmem_budget_rows: int = 128
 
 
 def _pk(num_solpts: int, nel_h: int, nel_v: int = None, g: int = None):
-    """(s, g, s^3, nxp, rowpad) of the packing. With ``nel_v`` given the
-    grid plan decides g AND the per-panel row padding (whole-panel-block
-    mode); an explicit ``g`` (the tile path, which pads its own rows) or a
-    missing nel_v means rowpad 0."""
+    """(s, g, s3l, nxp, rowpad) of the packing, with s3l = s^3/H the STATE
+    LANES PER ROW GROUP (s^3 when one element fits a row; 108 for the
+    s=6 half-split). With ``nel_v`` given the grid plan decides g AND the
+    per-panel row padding (whole-panel-block mode); an explicit ``g`` (the
+    tile path, which pads its own rows) or a missing nel_v means rowpad
+    0. Row order is (ky, kz, h, x2) — the H half-rows of an element sit
+    ``nxp`` rows apart."""
     s = num_solpts
+    H = max(pick_h(s), 1)
+    s3l = s**3 // H
     if g is not None:
-        return s, g, s**3, nel_h // g, 0
+        return s, g, s3l, nel_h // g, 0
     if nel_v is None:
         g = pick_g3(s, nel_h)
-        return s, g, s**3, nel_h // g, 0
+        return s, g, s3l, nel_h // g, 0
     g, _ty, rowpad = grid_plan(s, nel_h, nel_v)
-    return s, g, s**3, nel_h // g, rowpad
+    return s, g, s3l, nel_h // g, rowpad
 
 
 def _pad_panel_rows(b, rowpad: int, fill=None, xp=np):
@@ -207,40 +237,76 @@ def _pad_panel_rows(b, rowpad: int, fill=None, xp=np):
     return xp.concatenate([b, pad], axis=-2)
 
 
+def _split_h(b, H: int, s3l: int, xp):
+    """(..., 6, ny, nk, nxp, H*s3l) element view -> (..., 6, ny, nk,
+    H*nxp, s3l) interleaved half-rows (kz_s is the OUTER index of the
+    point ordering, so the lane split is a plain reshape)."""
+    if H == 1:
+        return b
+    lead = b.shape[:-2]
+    nxp = b.shape[-2]
+    b = b.reshape(lead + (nxp, H, s3l))
+    b = xp.moveaxis(b, -2, -3)
+    return b.reshape(lead + (H * nxp, s3l))
+
+
+def _merge_h(b, H: int, s3l: int, xp):
+    """Inverse of _split_h."""
+    if H == 1:
+        return b
+    lead = b.shape[:-2]
+    nxp = b.shape[-2] // H
+    b = b.reshape(lead + (H, nxp, s3l))
+    b = xp.moveaxis(b, -3, -2)
+    return b.reshape(lead + (nxp, H * s3l))
+
+
 def pack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4, g: int = None,
               rowpad: int = None) -> np.ndarray:
     """Model layout (..., 6, nk, ny, nx, s^3) -> packed (..., R, 128).
     ``rowpad`` overrides the grid plan's per-panel row padding (used by
     build_constants, which also takes an explicit g)."""
-    s, g, s3, nxp, rp = _pk(s, nel_h, nel_v, g)
+    s, g, s3l, nxp, rp = _pk(s, nel_h, nel_v, g)
+    H = max(pick_h(s), 1)
     if rowpad is not None:
         rp = rowpad
     lead = a.shape[:-5]
-    b = np.moveaxis(a, -4, -3)  # (..., 6, ny, nk, nx, s3)
-    b = b.reshape(lead + (6, nel_h, nel_v, nxp, g * s3))
-    pad = np.zeros(lead + (6, nel_h, nel_v, nxp, 128 - g * s3), b.dtype)
-    b = np.concatenate([b, pad], axis=-1).reshape(lead + (6, nel_h * nel_v * nxp, LANES))
+    b = np.moveaxis(a, -4, -3)  # (..., 6, ny, nk, nx, s^3)
+    b = b.reshape(lead + (6, nel_h, nel_v, nxp, g * s3l * H))
+    b = _split_h(b, H, g * s3l, np)
+    pad = np.zeros(b.shape[:-1] + (128 - g * s3l,), b.dtype)
+    b = np.concatenate([b, pad], axis=-1).reshape(
+        lead + (6, nel_h * nel_v * H * nxp, LANES)
+    )
     b = _pad_panel_rows(b, rp, xp=np)
     return b.reshape(lead + (6 * b.shape[-2], LANES))
 
 
 def unpack_rows(a: np.ndarray, nel_h: int, nel_v: int, s: int = 4) -> np.ndarray:
     """Packed (..., R, 128) -> model layout (..., 6, nk, ny, nx, s^3)."""
-    s, g, s3, nxp, rp = _pk(s, nel_h, nel_v)
+    s, g, s3l, nxp, rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s), 1)
+    xp = np if isinstance(a, np.ndarray) else jnp
     lead = a.shape[:-2]
-    b = a.reshape(lead + (6, nel_h * nel_v * nxp + rp, LANES))
-    b = b[..., : nel_h * nel_v * nxp, : g * s3]
-    b = b.reshape(lead + (6, nel_h, nel_v, nxp * g, s3))
-    b = np.moveaxis(b, -3, -4) if isinstance(a, np.ndarray) else jnp.moveaxis(b, -3, -4)
-    return b
+    rows6 = nel_h * nel_v * H * nxp
+    b = a.reshape(lead + (6, rows6 + rp, LANES))
+    b = b[..., :rows6, : g * s3l]
+    b = b.reshape(lead + (6, nel_h, nel_v, H * nxp, g * s3l))
+    b = _merge_h(b, H, g * s3l, xp)
+    b = b.reshape(lead + (6, nel_h, nel_v, nxp * g, s**3))
+    return xp.moveaxis(b, -3, -4)
 
 
 def pack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
-    s, g, s3, nxp, rp = _pk(s, nel_h, nel_v)
+    s, g, s3l, nxp, rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s), 1)
     lead = a.shape[:-5]
-    b = jnp.moveaxis(a, -4, -3).reshape(lead + (6, nel_h, nel_v, nxp, g * s3))
-    pad = jnp.zeros(lead + (6, nel_h, nel_v, nxp, 128 - g * s3), b.dtype)
-    b = jnp.concatenate([b, pad], axis=-1).reshape(lead + (6, nel_h * nel_v * nxp, LANES))
+    b = jnp.moveaxis(a, -4, -3).reshape(lead + (6, nel_h, nel_v, nxp, g * s3l * H))
+    b = _split_h(b, H, g * s3l, jnp)
+    pad = jnp.zeros(b.shape[:-1] + (128 - g * s3l,), b.dtype)
+    b = jnp.concatenate([b, pad], axis=-1).reshape(
+        lead + (6, nel_h * nel_v * H * nxp, LANES)
+    )
     b = _pad_panel_rows(b, rp, xp=jnp)
     return b.reshape(lead + (6 * b.shape[-2], LANES))
 
@@ -248,12 +314,13 @@ def pack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.nda
 def pack_state_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
     """pack_rows_jnp for a (5, ...) STATE: lane AND panel-row pads filled
     NaN-safely (rho/rho*theta = 1, momenta = 0)."""
-    s_, g, s3, nxp, rp = _pk(s, nel_h, nel_v)
+    s_, g, s3l, nxp, rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s_), 1)
     qp = pack_rows_jnp(a, nel_h, nel_v, s)
-    if g * s3 == 128 and rp == 0:
+    if g * s3l == 128 and rp == 0:
         return qp
-    rows6p = nel_h * nel_v * nxp + rp
-    lanepad = jnp.arange(LANES) >= g * s3
+    rows6p = nel_h * nel_v * H * nxp + rp
+    lanepad = jnp.arange(LANES) >= g * s3l
     rowmask = jnp.arange(rows6p) >= (rows6p - rp) if rp else None
     mask = jnp.broadcast_to(lanepad[None, :], (rows6p, LANES))
     if rp:
@@ -264,13 +331,17 @@ def pack_state_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.nd
 
 
 def unpack_rows_jnp(a: jnp.ndarray, nel_h: int, nel_v: int, s: int = 4) -> jnp.ndarray:
-    s, g, s3, nxp, rp = _pk(s, nel_h, nel_v)
+    s, g, s3l, nxp, rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s), 1)
     lead = a.shape[:-2]
-    b = a.reshape(lead + (6, nel_h * nel_v * nxp + rp, LANES))
-    b = b[..., : nel_h * nel_v * nxp, : g * s3]
-    b = b.reshape(lead + (6, nel_h, nel_v, nxp, g, s3))
-    b = b.reshape(lead + (6, nel_h, nel_v, nel_h, s3))
-    return jnp.moveaxis(b, -3, -4).reshape(lead + (6, nel_v, nel_h, nel_h, s3))
+    rows6 = nel_h * nel_v * H * nxp
+    b = a.reshape(lead + (6, rows6 + rp, LANES))
+    b = b[..., :rows6, : g * s3l]
+    b = b.reshape(lead + (6, nel_h, nel_v, H * nxp, g * s3l))
+    b = _merge_h(b, H, g * s3l, jnp)
+    b = b.reshape(lead + (6, nel_h, nel_v, nxp, g, s**3))
+    b = b.reshape(lead + (6, nel_h, nel_v, nel_h, s**3))
+    return jnp.moveaxis(b, -3, -4).reshape(lead + (6, nel_v, nel_h, nel_h, s**3))
 
 
 class E3Constants(NamedTuple):
@@ -308,6 +379,13 @@ class E3Constants(NamedTuple):
     e_y: jnp.ndarray = None  # (128, 128) state row -> y face traces
     lfc_y: jnp.ndarray = None  # (128, 384) y-slot face logp -> d=1 correction
     itf_y: tuple = None  # y-family interface metric, (R6, 128) each
+    # HALF-SPLIT layout (pick_h > 1, s=6): the z-direction operators cross
+    # the element's H=2 rows and run as parity-paired GEMMs. Tuple of
+    # (ez1, dz00, dz01, dz10, dz11, cz0, cz1, hf00, hf01, hf10, hf11):
+    # e_z holds the LOW half's z-extrapolation (ez0); dz/hf map in-half ->
+    # out-half (divergence + dlp gradient / gravity filter); cz the
+    # z-face-to-points correction per output half. None when H == 1.
+    zsplit: tuple = None
 
 
 def _bdg(a: np.ndarray, g: int, lanes: int = LANES) -> np.ndarray:
@@ -328,10 +406,13 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
         G, _ty, rowpad = grid_plan(s, nel_h, nel_v)
     else:
         G, rowpad = g, 0
+    H = max(pick_h(s), 1)
     SS, S3 = s * s, s**3
-    TSS = 2 * SS  # trace lanes per element per family
+    S3L = S3 // H  # state lanes per row group
+    FSS = SS // H  # xy-face points per row per side
+    TSS = 2 * FSS  # xy trace lanes per element-row per family
     nxp = nel_h // G
-    rows6 = nel_h * nel_v * nxp  # rows per panel (excluding row pads)
+    rows6 = nel_h * nel_v * H * nxp  # rows per panel (excluding row pads)
     f64 = lambda a: np.asarray(a, np.float64)
 
     # --- operator matrices -------------------------------------------------
@@ -342,45 +423,132 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
     split = is_split_layout(s, G)
     yoff = 0 if split else 64  # y-family lane offset within its register
 
-    e_xy = np.zeros((LANES, LANES))  # x-only when split
-    e_y_m = np.zeros((LANES, LANES)) if split else None
-    e_z = np.zeros((LANES, LANES))
-    for g in range(G):
-        sl = slice(g * S3, (g + 1) * S3)
-        e_xy[sl, g * TSS : (g + 1) * TSS] = ex3  # west|east
-        ytgt = e_y_m if split else e_xy
-        ytgt[sl, yoff + g * TSS : yoff + (g + 1) * TSS] = ey3  # south|north
-        e_z[sl, g * TSS : (g + 1) * TSS] = ez3  # down|up
+    if H > 1:
+        # Half-split layout (s=6): the in-row x/y operator blocks are the
+        # kz-half submatrices — IDENTICAL for both halves (they act within
+        # constant-kz lines; asserted below). z operators cross the row
+        # pair and get their own parity-paired matrices (zsplit).
+        def _heq(subs, what):
+            sc = max(np.abs(subs[0]).max(), 1e-300)
+            for m in subs[1:]:
+                assert np.abs(m - subs[0]).max() <= 1e-14 * sc, what
+            return subs[0]
 
-    dd = np.zeros((3 * LANES, LANES))
-    for g in range(G):
-        for d, m in enumerate((dx3, dy3, dz3)):
-            dd[d * LANES + g * S3 : d * LANES + (g + 1) * S3, g * S3 : (g + 1) * S3] = m
+        def _fidx(h):
+            # face lanes [west_h | east_h] of half h within a 2*SS face block
+            return np.concatenate(
+                [np.arange(h * FSS, (h + 1) * FSS),
+                 np.arange(SS + h * FSS, SS + (h + 1) * FSS)]
+            )
 
-    dlp = np.zeros((LANES, 3 * LANES))
-    for g in range(G):
-        for d, m in enumerate((dx3, dy3, dz3)):
-            dlp[g * S3 : (g + 1) * S3, d * LANES + g * S3 : d * LANES + (g + 1) * S3] = m
+        def xysub(a):  # (S3, 2*SS) extrapolation -> (S3L, TSS) half block
+            return _heq(
+                [a[h * S3L : (h + 1) * S3L][:, _fidx(h)] for h in range(H)], "extrap"
+            )
 
-    # Correction GEMM: input [xy-slot row | z-slot row] (256 lanes) in the
-    # combined layout, [x | y | z] (384) in the split layout; output s^3.
-    corr = np.zeros(((3 if split else 2) * LANES, LANES))
-    lfc_xy = np.zeros((LANES, 3 * LANES))
-    lfc_y_m = np.zeros((LANES, 3 * LANES)) if split else None
-    lfc_z = np.zeros((LANES, 3 * LANES))
-    ycorr = LANES if split else 0  # y block offset in corr's input rows
-    zcorr = 2 * LANES if split else LANES
-    for g in range(G):
-        out = slice(g * S3, (g + 1) * S3)
-        corr[g * TSS : (g + 1) * TSS, out] = cwe
-        corr[ycorr + yoff + g * TSS : ycorr + yoff + (g + 1) * TSS, out] = csn
-        corr[zcorr + g * TSS : zcorr + (g + 1) * TSS, out] = cdu
-        lfc_xy[g * TSS : (g + 1) * TSS, 0 * LANES + g * S3 : 0 * LANES + (g + 1) * S3] = cwe
-        ylfc = lfc_y_m if split else lfc_xy
-        ylfc[yoff + g * TSS : yoff + (g + 1) * TSS, 1 * LANES + g * S3 : 1 * LANES + (g + 1) * S3] = csn
-        lfc_z[g * TSS : (g + 1) * TSS, 2 * LANES + g * S3 : 2 * LANES + (g + 1) * S3] = cdu
+        def csub(a):  # (2*SS, S3) correction -> (TSS, S3L) half block
+            return _heq(
+                [a[_fidx(h)][:, h * S3L : (h + 1) * S3L] for h in range(H)], "corr"
+            )
 
-    hfk = _bdg(f64(ops.highfilter_k), G)
+        ex_h = xysub(ex3)
+        ey_h = xysub(ey3)
+        dx_h = _heq([dx3[h * S3L : (h + 1) * S3L, h * S3L : (h + 1) * S3L]
+                     for h in range(H)], "dx")
+        dy_h = _heq([dy3[h * S3L : (h + 1) * S3L, h * S3L : (h + 1) * S3L]
+                     for h in range(H)], "dy")
+        assert np.abs(dx3[:S3L, S3L:]).max() == 0.0 and np.abs(dy3[:S3L, S3L:]).max() == 0.0
+
+        e_xy = np.zeros((LANES, LANES))
+        e_y_m = None
+        e_z = np.zeros((LANES, LANES))  # ez0: LOW half's z-extrapolation
+        e_xy[:S3L, :TSS] = ex_h
+        e_xy[:S3L, yoff : yoff + TSS] = ey_h
+        e_z[:S3L, : 2 * SS] = ez3[:S3L]
+        ez1 = np.zeros((LANES, LANES))
+        ez1[:S3L, : 2 * SS] = ez3[S3L:]
+
+        dd = np.zeros((2 * LANES, LANES))  # [fx|fy] -> in-row divergence
+        dd[:S3L, :S3L] = dx_h
+        dd[LANES : LANES + S3L, :S3L] = dy_h
+        dzm = []
+        for i in range(H):
+            for j in range(H):
+                m = np.zeros((LANES, LANES))
+                m[:S3L, :S3L] = dz3[i * S3L : (i + 1) * S3L, j * S3L : (j + 1) * S3L]
+                dzm.append(m)
+
+        dlp = np.zeros((LANES, 2 * LANES))  # logp -> [x|y] in-row gradients
+        dlp[:S3L, :S3L] = dx_h
+        dlp[:S3L, LANES : LANES + S3L] = dy_h
+
+        cwe_h = csub(cwe)
+        csn_h = csub(csn)
+        corr = np.zeros((LANES, LANES))  # xy-only; z via cz0/cz1
+        corr[:TSS, :S3L] = cwe_h
+        corr[yoff : yoff + TSS, :S3L] = csn_h
+        czm = []
+        for h in range(H):
+            m = np.zeros((LANES, LANES))
+            m[: 2 * SS, :S3L] = cdu[:, h * S3L : (h + 1) * S3L]
+            czm.append(m)
+
+        lfc_xy = np.zeros((LANES, 2 * LANES))
+        lfc_xy[:TSS, :S3L] = cwe_h
+        lfc_xy[yoff : yoff + TSS, LANES : LANES + S3L] = csn_h
+        lfc_y_m = None
+        lfc_z = None  # z face-logp corrections go through czm
+
+        hk = f64(ops.highfilter_k)
+        hfm = []
+        for i in range(H):
+            for j in range(H):
+                m = np.zeros((LANES, LANES))
+                m[:S3L, :S3L] = hk[i * S3L : (i + 1) * S3L, j * S3L : (j + 1) * S3L]
+                hfm.append(m)
+        hfk = np.zeros((LANES, LANES))  # unused in H>1 mode (hfm instead)
+        zsplit_np = [ez1] + dzm + czm + hfm
+    else:
+        e_xy = np.zeros((LANES, LANES))  # x-only when split
+        e_y_m = np.zeros((LANES, LANES)) if split else None
+        e_z = np.zeros((LANES, LANES))
+        for g in range(G):
+            sl = slice(g * S3, (g + 1) * S3)
+            e_xy[sl, g * TSS : (g + 1) * TSS] = ex3  # west|east
+            ytgt = e_y_m if split else e_xy
+            ytgt[sl, yoff + g * TSS : yoff + (g + 1) * TSS] = ey3  # south|north
+            e_z[sl, g * TSS : (g + 1) * TSS] = ez3  # down|up
+
+        dd = np.zeros((3 * LANES, LANES))
+        for g in range(G):
+            for d, m in enumerate((dx3, dy3, dz3)):
+                dd[d * LANES + g * S3 : d * LANES + (g + 1) * S3, g * S3 : (g + 1) * S3] = m
+
+        dlp = np.zeros((LANES, 3 * LANES))
+        for g in range(G):
+            for d, m in enumerate((dx3, dy3, dz3)):
+                dlp[g * S3 : (g + 1) * S3, d * LANES + g * S3 : d * LANES + (g + 1) * S3] = m
+
+        # Correction GEMM: input [xy-slot row | z-slot row] (256 lanes) in the
+        # combined layout, [x | y | z] (384) in the split layout; output s^3.
+        corr = np.zeros(((3 if split else 2) * LANES, LANES))
+        lfc_xy = np.zeros((LANES, 3 * LANES))
+        lfc_y_m = np.zeros((LANES, 3 * LANES)) if split else None
+        lfc_z = np.zeros((LANES, 3 * LANES))
+        ycorr = LANES if split else 0  # y block offset in corr's input rows
+        zcorr = 2 * LANES if split else LANES
+        for g in range(G):
+            out = slice(g * S3, (g + 1) * S3)
+            corr[g * TSS : (g + 1) * TSS, out] = cwe
+            corr[ycorr + yoff + g * TSS : ycorr + yoff + (g + 1) * TSS, out] = csn
+            corr[zcorr + g * TSS : zcorr + (g + 1) * TSS, out] = cdu
+            lfc_xy[g * TSS : (g + 1) * TSS, 0 * LANES + g * S3 : 0 * LANES + (g + 1) * S3] = cwe
+            ylfc = lfc_y_m if split else lfc_xy
+            ylfc[yoff + g * TSS : yoff + (g + 1) * TSS, 1 * LANES + g * S3 : 1 * LANES + (g + 1) * S3] = csn
+            lfc_z[g * TSS : (g + 1) * TSS, 2 * LANES + g * S3 : 2 * LANES + (g + 1) * S3] = cdu
+
+        hfk = _bdg(f64(ops.highfilter_k), G)
+        zsplit_np = None
 
     # --- interior fields, single panel -------------------------------------
     def panel0(a, scale=None):
@@ -429,22 +597,28 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
     wpres_int = panel0(wp)
 
     # --- interface metric in trace-slot layout ------------------------------
+    def _row(ky, kz, h, x2):
+        return ((ky * nel_v + kz) * H + h) * nxp + x2
+
     def slot_x(m_i):
         """m_i: (nk, ny, nx+1, ss) x-interfaces of panel 0 -> (rows6, 128)
         x-register slots. Every element's west slot carries its west
         interface metric, its east ("h2") slot the east one — panel edges
         AND interior y-slab boundaries read the h2 slots. Pads stay 1.0
-        (safe under sqrt/divide)."""
+        (safe under sqrt/divide). Half-split rows carry their half's FSS
+        face values."""
         out = np.ones((rows6, LANES))
         for ky in range(nel_h):
             for kz in range(nel_v):
-                for x2 in range(nxp):
-                    row = (ky * nel_v + kz) * nxp + x2
-                    for g in range(G):
-                        ex = G * x2 + g
-                        b = g * TSS
-                        out[row, b : b + SS] = m_i[kz, ky, ex]  # west itf
-                        out[row, b + SS : b + TSS] = m_i[kz, ky, ex + 1]  # east itf
+                for h in range(H):
+                    fsl = slice(h * FSS, (h + 1) * FSS)
+                    for x2 in range(nxp):
+                        row = _row(ky, kz, h, x2)
+                        for g in range(G):
+                            ex = G * x2 + g
+                            b = g * TSS
+                            out[row, b : b + FSS] = m_i[kz, ky, ex][fsl]
+                            out[row, b + FSS : b + TSS] = m_i[kz, ky, ex + 1][fsl]
         return out
 
     def slot_y(m_j, out=None):
@@ -454,30 +628,34 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
         out = np.ones((rows6, LANES)) if out is None else out
         for ky in range(nel_h):
             for kz in range(nel_v):
-                for x2 in range(nxp):
-                    row = (ky * nel_v + kz) * nxp + x2
-                    for g in range(G):
-                        ex = G * x2 + g
-                        b = yoff + g * TSS
-                        out[row, b : b + SS] = m_j[kz, ky, ex]  # south
-                        out[row, b + SS : b + TSS] = m_j[kz, ky + 1, ex]  # north
+                for h in range(H):
+                    fsl = slice(h * FSS, (h + 1) * FSS)
+                    for x2 in range(nxp):
+                        row = _row(ky, kz, h, x2)
+                        for g in range(G):
+                            ex = G * x2 + g
+                            b = yoff + g * TSS
+                            out[row, b : b + FSS] = m_j[kz, ky, ex][fsl]
+                            out[row, b + FSS : b + TSS] = m_j[kz, ky + 1, ex][fsl]
         return out
 
     def slot_xy(m_i, m_j):
         return slot_y(m_j, out=slot_x(m_i))
 
     def slot_z(m_k):
-        """m_k: (nk+1, ny, nx, ss) -> (rows6, 128), lanes g*2ss+[d|u]*ss+k."""
+        """m_k: (nk+1, ny, nx, ss) -> (rows6, 128), lanes g*2ss+[d|u]*ss+k.
+        Half-split: the z-face slots (FULL ss per side) live on the LOW
+        (h = 0) row of each element; high rows keep the 1.0 pad."""
         out = np.ones((rows6, LANES))
         for ky in range(nel_h):
             for kz in range(nel_v):
                 for x2 in range(nxp):
-                    row = (ky * nel_v + kz) * nxp + x2
+                    row = _row(ky, kz, 0, x2)
                     for g in range(G):
                         ex = G * x2 + g
-                        b = g * TSS
+                        b = g * 2 * SS
                         out[row, b : b + SS] = m_k[kz, ky, ex]  # down (incl. ground)
-                        out[row, b + SS : b + TSS] = m_k[kz + 1, ky, ex]  # up (incl. lid)
+                        out[row, b + SS : b + 2 * SS] = m_k[kz + 1, ky, ex]  # up (incl. lid)
         return out
 
     def p0_itf(a, scale=None):
@@ -518,10 +696,12 @@ def build_constants(ops, metric, nel_h: int, nel_v: int, s: int = 4, dtype=jnp.f
         h=ct(h_fields), chs=ct(chs), wpres_int=c(wpres_int), tch=tch,
         itf_xy=ct(itf_xy), itf_z=ct(itf_z),
         e_xy=c(e_xy), e_z=c(e_z), dd=c(dd), dlp=c(dlp), corr=c(corr),
-        lfc_xy=c(lfc_xy), lfc_z=c(lfc_z), hfk=c(hfk),
+        lfc_xy=c(lfc_xy), lfc_z=(c(lfc_z) if lfc_z is not None else c(np.zeros((LANES, 3 * LANES)))),
+        hfk=c(hfk),
         e_y=(c(e_y_m) if split else None),
         lfc_y=(c(lfc_y_m) if split else None),
         itf_y=(ct(itf_y) if split else None),
+        zsplit=(ct(zsplit_np) if zsplit_np is not None else None),
     )
 
 
@@ -603,9 +783,13 @@ def _km3_body(
     nk, nxp, ty = dims["nk"], dims["nxp"], dims["ty"]
     s = dims["s"]
     SS, G = s * s, dims["g"]
-    TSS = 2 * SS
-    T = G * TSS  # used trace lanes per family
-    nkxp = nk * nxp
+    HH = dims.get("h", 1)  # half-split rows per element (s=6: 2)
+    FSS = SS // HH  # xy-face points per row per side
+    TSS = 2 * FSS
+    T = G * TSS  # used xy trace lanes per family
+    TZ = G * 2 * SS  # z trace lanes (full faces; on the LOW row when HH>1)
+    zstr = HH * nxp  # row stride between z-neighbour elements
+    nkxp = nk * HH * nxp
     Rb = ty * nkxp
     # Whole-tile mode (km3_tile): arrays are row-padded to ``dims["rows"]``
     # >= Rb so a single no-grid block meets the (8, 128) tiling. Pad rows
@@ -634,11 +818,12 @@ def _km3_body(
     row = jax.lax.broadcasted_iota(jnp.int32, (Rp, LANES), 0)
 
     # --- state-register masks (interior + z family, shape (Rp, 128)) ------
-    lo_half_s = jax.lax.rem(lane, i32(TSS)) < SS
-    in_fam_s = lane < T
-    zd = lo_half_s & in_fam_s
-    zu = (~lo_half_s) & in_fam_s
-    kz_s = jax.lax.rem(jax.lax.div(row, i32(nxp)), i32(nk))
+    lo_half_s = jax.lax.rem(lane, i32(2 * SS)) < SS
+    in_fam_s = lane < TZ
+    is_low = jax.lax.rem(jax.lax.div(row, i32(nxp)), i32(HH)) == 0
+    zd = lo_half_s & in_fam_s & is_low
+    zu = (~lo_half_s) & in_fam_s & is_low
+    kz_s = jax.lax.rem(jax.lax.div(row, i32(zstr)), i32(nk))
     kz0 = kz_s == 0
     kztop = kz_s == nk - 1
 
@@ -656,7 +841,7 @@ def _km3_body(
         # Face parity on HALF-relative lanes (the y family starts at lane
         # 64, a multiple of 2*s^2 only for s in {2, 4}).
         lrel = jnp.where(is_x, lane, lane - 64)
-    lo_half = jax.lax.rem(lrel, i32(TSS)) < SS
+    lo_half = jax.lax.rem(lrel, i32(TSS)) < FSS
     x2 = jax.lax.rem(rrow, i32(nxp))
     kyl = jax.lax.div(rrow, i32(nkxp))
 
@@ -676,10 +861,39 @@ def _km3_body(
 
     mm = lambda a, b: jax.lax.dot(a, b, precision=_KP, preferred_element_type=dtype)
 
+    if HH > 1:
+        (zs_ez1, dz00, dz01, dz10, dz11, cz0, cz1,
+         hf00, hf01, hf10, hf11) = con["zsplit"]
+
+        def _low_rows(n_rows):
+            r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANES), 0)
+            return jax.lax.rem(jax.lax.div(r, i32(nxp)), i32(HH)) == 0
+
+        def zpair(a, m00, m01, m10, m11):
+            """Parity-paired z GEMM over an element's two half-rows:
+            out(low) = a@m00 + partner@m10, out(high) = a@m11 + partner@m01
+            (partner = the element's other half-row, nxp rows away)."""
+            n = a.shape[0]
+            low = _low_rows(n)
+            pa = jnp.where(low, roll(a, np.int32(n - nxp), 0), roll(a, np.int32(nxp), 0))
+            return jnp.where(low, mm(a, m00) + mm(pa, m10), mm(a, m11) + mm(pa, m01))
+
+        def zface_out(a, lo_m, hi_m):
+            """z-face slot values (valid on LOW rows) -> per-point
+            contributions on both half-rows."""
+            n = a.shape[0]
+            low = _low_rows(n)
+            return jnp.where(low, mm(a, lo_m), roll(mm(a, hi_m), np.int32(nxp), 0))
+
     # --- extrapolation to faces (rho, rho*theta in log space) -------------
     def traces_raw(rows_in):
         big = jnp.concatenate(rows_in, axis=0)
         t_z = mm(big, con["e_z"])
+        if HH > 1:
+            # z faces gather from BOTH half-rows; the partner term reads the
+            # high row (+nxp). Valid on low rows; high rows hold (finite)
+            # garbage the z masks discard.
+            t_z = t_z + mm(roll(big, np.int32(big.shape[0] - nxp), 0), zs_ez1)
         n = rows_in[0].shape[0]
         sp = lambda t: [t[i * n : (i + 1) * n] for i in range(5)]
         if split:
@@ -772,9 +986,11 @@ def _km3_body(
     rep = lambda a: jnp.pad(jnp.repeat(a, nxp, axis=0), ((0, Rt - Rb), (0, 0)))
 
     # --- L/R interface states ---------------------------------------------
-    b80 = np.int32((128 - (T - SS)) % 128)  # prev-row last-group east -> g0 west
-    bss = np.int32(SS)
-    mss = np.int32((128 - SS) % 128)
+    b80 = np.int32((128 - (T - FSS)) % 128)  # prev-row last-group east -> g0 west
+    bss = np.int32(FSS)
+    mss = np.int32((128 - FSS) % 128)
+    bssz = np.int32(SS)
+    mssz = np.int32((128 - SS) % 128)
     east_b = xe & g1 & east_col
     north_b = yn & last_ky
 
@@ -782,14 +998,14 @@ def _km3_body(
         L_xy, R_xy, L_z, R_z = [], [], [], []
         for v in range(5):
             t = tr_[v]
-            lx = jnp.where(lrel < SS, roll(roll(t, 1, 0), b80, 1), roll(t, bss, 1))
+            lx = jnp.where(lrel < FSS, roll(roll(t, 1, 0), b80, 1), roll(t, bss, 1))
             ly = roll(roll(t, nkxp, 0), mss, 1)
             ly = jnp.where(first_ky, pyl_tr(roll(trp_[v], mss, 1)), ly)
             l = jnp.where(is_x, lx, ly)
             hwe_v = rep(hwe_[v])
             # Only the g0 element's west slot (lanes 0..ss-1) sits on the
             # panel boundary; other groups' west interfaces are row-interior.
-            l = jnp.where(is_x & (lrel < SS) & west_col, hwe_v, l)
+            l = jnp.where(is_x & (lrel < FSS) & west_col, hwe_v, l)
             l = jnp.where(ys & south_edge, pyl(hs_[v]), l)
             # h2 slots: east/north boundary interfaces — L is the element's
             # own east/north face (already in place).
@@ -802,7 +1018,7 @@ def _km3_body(
             R_xy.append(r)
 
             tz = trz_[v]
-            lz = roll(roll(tz, nxp, 0), mss, 1)
+            lz = roll(roll(tz, zstr, 0), mssz, 1)
             # Ground mirror (kz=0 down slots) and rigid-lid h2 (kz=nk-1 up
             # slots): L is the element's own face; the flipped normal speed
             # is applied below (reference pde_euler_cubesphere.py:150-156).
@@ -978,7 +1194,7 @@ def _km3_body(
     keep_yn = last_ky
     keep_zu = kztop
 
-    b48 = np.int32(T - SS)
+    b48 = np.int32(T - FSS)
 
     def fill_xy(a):
         f_g0 = roll(a, mss, 1)
@@ -989,7 +1205,7 @@ def _km3_body(
         return jnp.where(yn & ~keep_yn, fn, out)
 
     def fill_z(a):
-        fu = roll(roll(a, Rp - nxp, 0), bss, 1)
+        fu = roll(roll(a, Rp - zstr, 0), bssz, 1)
         return jnp.where(zu & ~keep_zu, fu, a)
 
     Fxy = [fill_xy(a) if v != 3 else a for v, a in enumerate(Fxy)]
@@ -1068,8 +1284,8 @@ def _km3_body(
                 if 1 <= v <= 2:
                     fl = fl + sgp * hrows[d][v - 1]
                 per_d.append(fl)
-            bundles.append(cat(per_d))
-        bundles.append(cat([sg * un * q[3] for un in (u1, u2, w)]))  # w advective
+            bundles.append(per_d)
+        bundles.append([sg * un * q[3] for un in (u1, u2, w)])  # w advective
         dlp_point = logp
     else:
         # Delta pointwise: du = (d(rho u) - u0 dRho)/rho (exact algebra),
@@ -1094,8 +1310,8 @@ def _km3_body(
                 if 1 <= v <= 2:
                     fl = fl + sgdp * hrows[d][v - 1]
                 per_d.append(fl)
-            bundles.append(cat(per_d))
-        bundles.append(cat([sg * (u0[d] * q[3] + du[d] * qa[3]) for d in range(3)]))
+            bundles.append(per_d)
+        bundles.append([sg * (u0[d] * q[3] + du[d] * qa[3]) for d in range(3)])
         dlp_point = _log1p(dp / p0)  # delta of log p
 
     if tangent is not None:
@@ -1115,28 +1331,50 @@ def _km3_body(
                 if 1 <= v <= 2:
                     fl = fl + sgtp * hrows[d][v - 1]
                 per_d.append(fl)
-            tbundles.append(cat(per_d))
-        tbundles.append(cat([sg * (ua[d] * tv[3] + tu[d] * qa[3]) for d in range(3)]))
+            tbundles.append(per_d)
+        tbundles.append([sg * (ua[d] * tv[3] + tu[d] * qa[3]) for d in range(3)])
         tdlp_point = tp / pressure
-    div = mm(jnp.concatenate(bundles, axis=0), con["dd"])
-    dvr = [div[i * Rp : (i + 1) * Rp] for i in range(5)]
+    if HH == 1:
+        div = mm(jnp.concatenate([cat(b3) for b3 in bundles], axis=0), con["dd"])
+        dvr = [div[i * Rp : (i + 1) * Rp] for i in range(5)]
+    else:
+        div_xy = mm(jnp.concatenate([cat(b3[:2]) for b3 in bundles], axis=0), con["dd"])
+        dvr = [
+            div_xy[i * Rp : (i + 1) * Rp] + zpair(bundles[i][2], dz00, dz01, dz10, dz11)
+            for i in range(5)
+        ]
     dv = [dvr[0], dvr[1], dvr[2], None, dvr[3], dvr[4]]
 
-    dlogp = mm(dlp_point, con["dlp"])  # (Rb, 384)
+    def dlp_op(a):
+        # logp -> (Rp, 384) per-direction interior gradients
+        if HH == 1:
+            return mm(a, con["dlp"])
+        return jnp.concatenate(
+            [mm(a, con["dlp"]), zpair(a, dz00, dz01, dz10, dz11)], axis=1
+        )
+
+    dlogp = dlp_op(dlp_point)  # (Rb, 384)
 
     # --- boundary corrections (w momentum row skipped, as in the bundle) ---
     # Split mode: the stacked xy arrays unstack into [x | y | z] lanes.
     catc = (
         (lambda a, z_: cat([a[:Rp], a[Rp:], z_])) if split else (lambda a, z_: cat([a, z_]))
     )
-    rows6_ = [catc(Fxy[v], Fz[v]) for v in (0, 1, 2, 4)]
-    rows6_.append(catc(wadv_xy, wadv_z))
-    rows6_.append(catc(wpf_xy, wpf_z))
+    cpairs = [(Fxy[v], Fz[v]) for v in (0, 1, 2, 4)]
+    cpairs.append((wadv_xy, wadv_z))
+    cpairs.append((wpf_xy, wpf_z))
     if base is not None:
-        rows6_.append(catc(wpf0_xy, wpf0_z))  # base wpres/p -> wcorr0
-    nrows_c = len(rows6_)
-    co = mm(jnp.concatenate(rows6_, axis=0), con["corr"])
-    cvr = [co[i * Rp : (i + 1) * Rp] for i in range(nrows_c)]
+        cpairs.append((wpf0_xy, wpf0_z))  # base wpres/p -> wcorr0
+    nrows_c = len(cpairs)
+    if HH == 1:
+        co = mm(jnp.concatenate([catc(a, z_) for a, z_ in cpairs], axis=0), con["corr"])
+        cvr = [co[i * Rp : (i + 1) * Rp] for i in range(nrows_c)]
+    else:
+        co = mm(jnp.concatenate([a for a, _ in cpairs], axis=0), con["corr"])
+        cvr = [
+            co[i * Rp : (i + 1) * Rp] + zface_out(z_, cz0, cz1)
+            for i, (_, z_) in enumerate(cpairs)
+        ]
     cv = [cvr[0], cvr[1], cvr[2], None, cvr[3], cvr[4], cvr[5]]
 
     if tangent is not None:
@@ -1145,22 +1383,41 @@ def _km3_body(
         # can be eliminated; the two primal wpres/p rows ride along here
         # because wcorr_abs = corr(wpf0) + corr(dwpf) is a tangent-side
         # coefficient.
-        tdiv = mm(jnp.concatenate(tbundles, axis=0), con["dd"])
-        tdvr = [tdiv[i * Rp : (i + 1) * Rp] for i in range(5)]
+        if HH == 1:
+            tdiv = mm(jnp.concatenate([cat(b3) for b3 in tbundles], axis=0), con["dd"])
+            tdvr = [tdiv[i * Rp : (i + 1) * Rp] for i in range(5)]
+        else:
+            tdiv_xy = mm(jnp.concatenate([cat(b3[:2]) for b3 in tbundles], axis=0), con["dd"])
+            tdvr = [
+                tdiv_xy[i * Rp : (i + 1) * Rp]
+                + zpair(tbundles[i][2], dz00, dz01, dz10, dz11)
+                for i in range(5)
+            ]
         tdv = [tdvr[0], tdvr[1], tdvr[2], None, tdvr[3], tdvr[4]]
-        trows = [catc(tFxy[v], tFz[v]) for v in (0, 1, 2, 4)]
-        trows.append(catc(twadv_xy, twadv_z))
-        trows.append(catc(twpf_xy, twpf_z))
-        trows.append(catc(wpf_xy, wpf_z))  # primal delta wpres/p
-        trows.append(catc(wpf0_xy, wpf0_z))  # base wpres/p
-        tco = mm(jnp.concatenate(trows, axis=0), con["corr"])
-        tcvr = [tco[i * Rp : (i + 1) * Rp] for i in range(8)]
+        tpairs = [(tFxy[v], tFz[v]) for v in (0, 1, 2, 4)]
+        tpairs.append((twadv_xy, twadv_z))
+        tpairs.append((twpf_xy, twpf_z))
+        tpairs.append((wpf_xy, wpf_z))  # primal delta wpres/p
+        tpairs.append((wpf0_xy, wpf0_z))  # base wpres/p
+        if HH == 1:
+            tco = mm(jnp.concatenate([catc(a, z_) for a, z_ in tpairs], axis=0), con["corr"])
+            tcvr = [tco[i * Rp : (i + 1) * Rp] for i in range(8)]
+        else:
+            tco = mm(jnp.concatenate([a for a, _ in tpairs], axis=0), con["corr"])
+            tcvr = [
+                tco[i * Rp : (i + 1) * Rp] + zface_out(z_, cz0, cz1)
+                for i, (_, z_) in enumerate(tpairs)
+            ]
         tcv = [tcvr[0], tcvr[1], tcvr[2], None, tcvr[3], tcvr[4], tcvr[5]]
         wcorr_abs = tcvr[6] + tcvr[7]
 
     if split:
         lfc_sum = lambda a, z_: (
             mm(a[:Rp], con["lfc_xy"]) + mm(a[Rp:], con["lfc_y"]) + mm(z_, con["lfc_z"])
+        )
+    elif HH > 1:
+        lfc_sum = lambda a, z_: jnp.concatenate(
+            [mm(a, con["lfc_xy"]), zface_out(z_, cz0, cz1)], axis=1
         )
     else:
         lfc_sum = lambda a, z_: mm(a, con["lfc_xy"]) + mm(z_, con["lfc_z"])
@@ -1180,7 +1437,7 @@ def _km3_body(
         # split expands as d[(W + c) p] = (W + c0) dp + dc p and
         # d[p sgh dlp] = p0 ddlp + dp dlp_abs (jnp core lines 538-587).
         wcorr0 = cvr[6]
-        dlp0 = mm(jnp.log(p0), con["dlp"]) + lfc_sum(lf0_xy, lf0_z)
+        dlp0 = dlp_op(jnp.log(p0)) + lfc_sum(lf0_xy, lf0_z)
         dlpa = dlp0 + dlp
         sp3 = lambda a: (a[:, :LANES], a[:, LANES : 2 * LANES], a[:, 2 * LANES :])
         dlpa_x, dlpa_y, dlpa_z = sp3(dlpa)
@@ -1198,7 +1455,7 @@ def _km3_body(
         # Tangent of the w pressure split at the absolute state:
         # t[(W + c) p] = (W + c_abs) tp + tc p_abs and
         # t[p sgh dlp] = p_abs t_dlp + tp dlp_abs.
-        t_dlp = mm(tdlp_point, con["dlp"]) + lfc_sum(t_lf_xy, t_lf_z)
+        t_dlp = dlp_op(tdlp_point) + lfc_sum(t_lf_xy, t_lf_z)
         tdlp_x, tdlp_y, tdlp_z = sp3(t_dlp)
         tw_df = (
             tdv[5]
@@ -1258,7 +1515,11 @@ def _km3_body(
 
         grho = q[IDX_RHO]  # gravity is linear in rho
 
-    gravity = con["inv_dzdeta"] * f(GRAVITY) * inv_sg * mm(sg * grho, con["hfk"])
+    hf_op = (
+        (lambda a: mm(a, con["hfk"])) if HH == 1
+        else (lambda a: zpair(a, hf00, hf01, hf10, hf11))
+    )
+    gravity = con["inv_dzdeta"] * f(GRAVITY) * inv_sg * hf_op(sg * grho)
     f1 = forcing_row(0)
     f2 = forcing_row(1)
     f3 = forcing_row(2) + gravity
@@ -1295,7 +1556,7 @@ def _km3_body(
                 o_ = o_ + f(2.0) * (t0 * tv[1] + t1 * tv[2] + t2 * tv[3])
             return o_
 
-        tgrav = con["inv_dzdeta"] * f(GRAVITY) * inv_sg * mm(sg * tv[0], con["hfk"])
+        tgrav = con["inv_dzdeta"] * f(GRAVITY) * inv_sg * hf_op(sg * tv[0])
         out = [
             -inv_sg * (tdv[0] + tcv[0]),
             -inv_sg * (tdv[1] + tcv[1]) - tforcing_row(0),
@@ -1341,7 +1602,7 @@ def _km3_body(
     # slabs of which only the boundary y-tiles' are consumed. ``lwe`` is
     # the one-hot (2*ty*nk, Rb) compaction picking the west column (x2=0)
     # rows then the east column (x2=nxp-1) rows.
-    tynk = ty * nk
+    tynk = ty * nk * HH
     nwe = 2 * tynk
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (tynk, LANES), 1)
     if base is None:
@@ -1375,8 +1636,8 @@ def _km3_body(
                 cv_ = jnp.exp(t0we[v * nwe : (v + 1) * nwe]) * _expm1(cv_)
         wtr, etr = cv_[:tynk], cv_[tynk:]
         we_rows.append(
-            jnp.where(lane_w < SS, wtr, f(0.0))
-            + jnp.where((lane_w >= T - SS) & (lane_w < T), etr, f(0.0))
+            jnp.where(lane_w < FSS, wtr, f(0.0))
+            + jnp.where((lane_w >= T - FSS) & (lane_w < T), etr, f(0.0))
         )
     return out, we_rows
 
@@ -1413,12 +1674,17 @@ def build_halo_ops(ops, topology, s: int = 4, dtype=jnp.float32) -> HaloOps:
 
 
 def _grid_view(qp, nel_h, nel_v, s):
-    """Packed (5, R, 128) -> (5, 6, ny, nk, nxp, g*s3) view of the REAL
-    rows/lanes (drops per-panel row pads and lane pads)."""
+    """Packed (5, R, 128) -> (5, 6, ny, nk, nxp, g*s^3) view of the REAL
+    rows/lanes with WHOLE elements per trailing entry (drops pads; merges
+    the H half-rows back into element point order, so the edge glue is
+    layout-independent)."""
     s, G, S3, nxp, rp = _pk(s, nel_h, nel_v)
-    rows6 = nel_h * nel_v * nxp
+    H = max(pick_h(s), 1)
+    rows6 = nel_h * nel_v * H * nxp
     v = qp.reshape(5, 6, rows6 + rp, LANES)[:, :, :rows6, : G * S3]
-    return v.reshape(5, 6, nel_h, nel_v, nxp, G * S3)
+    v = v.reshape(5, 6, nel_h, nel_v, H * nxp, G * S3)
+    v = _merge_h(v, H, G * S3, jnp)
+    return v
 
 
 def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: int = 4):
@@ -1428,6 +1694,7 @@ def edge_halo(qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty: int, s: i
     [T-ss, T), rows (ky_local, kz) per (panel, ytile) chunk; hs/hn:
     (6, nkxp, 128) south/north halo faces in ys/yn slot lanes."""
     s, G, S3, nxp, _rp = _pk(s, nel_h, nel_v)
+    S3 = s**3  # _grid_view merges half-rows back into whole elements
     SS = s * s
     nk, ny = nel_v, nel_h
 
@@ -1463,13 +1730,15 @@ def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, 
     """Neighbour exchange + momentum rotation + kernel-input formatting on
     an outgoing trace pool (5, 4[S,N,W,E], 6, nk, nh, ss)."""
     s, G, _S3, nxp, _rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s), 1)
     SS = s * s
-    TSS = 2 * SS
+    FSS = SS // H
+    TSS = 2 * FSS
     T = G * TSS
     nk, ny = nel_v, nel_h
-    nkxp = nk * nxp
+    nkxp = nk * H * nxp
     n_ytiles = ny // ty
-    tynk = ty * nk
+    tynk = ty * nk * H
     tynk_pad = -(-tynk // 8) * 8
     dtype = pool.dtype
 
@@ -1490,28 +1759,40 @@ def _exchange_and_format(pool, topology, hops: HaloOps, nel_h: int, nel_v: int, 
     # Lane-placement via ONE one-hot GEMM per output (this stage is bound
     # by XLA per-op overhead at small shapes, not data — see the module
     # note above; GEMMs replace the former zero-concat chains).
-    # hwe rows (p, ky, kz): west at lanes [0, ss), east at [T-ss, T).
-    kwe = np.zeros((2 * SS, LANES))
-    kwe[np.arange(SS), np.arange(SS)] = 1.0
-    kwe[SS + np.arange(SS), T - SS + np.arange(SS)] = 1.0
+    # hwe rows (p, ky, kz, h): west at lanes [0, fss), east at [T-fss, T)
+    # — each half-row gets its half's face points (fss = ss/H).
+    kwe = np.zeros((2 * FSS, LANES))
+    kwe[np.arange(FSS), np.arange(FSS)] = 1.0
+    kwe[FSS + np.arange(FSS), T - FSS + np.arange(FSS)] = 1.0
     wr = jnp.moveaxis(halo[:, 2], 2, 3)  # (5, 6, ny, nk, SS)
     er = jnp.moveaxis(halo[:, 3], 2, 3)
+    wr = wr.reshape(5, 6, ny, nk * H, FSS)
+    er = er.reshape(5, 6, ny, nk * H, FSS)
     hwe = jnp.concatenate([wr, er], axis=-1) @ jnp.asarray(kwe, dtype=dtype)
     hwe = hwe.reshape(5, 6, n_ytiles, tynk, LANES)
     hwe = jnp.pad(hwe, ((0, 0), (0, 0), (0, 0), (0, tynk_pad - tynk), (0, 0)))
     hwe = jnp.moveaxis(hwe, 0, 2).reshape(6 * n_ytiles, 5, tynk_pad, LANES)
 
-    # hs rows (p, kz, x2): group g's face lanes go to the ys slots of the
-    # y-family register (offset 64 in the combined layout, 0 when the
-    # families are split); hn to the matching yn slots (+ss).
+    # hs rows (p, kz, h, x2): group g's face lanes go to the ys slots of
+    # the y-family register (offset 64 in the combined layout, 0 when the
+    # families are split); hn to the matching yn slots (+fss).
     yoff = 0 if is_split_layout(s, G) else 64
-    ks = np.zeros((G * SS, LANES))
-    kn = np.zeros((G * SS, LANES))
+    ks = np.zeros((G * FSS, LANES))
+    kn = np.zeros((G * FSS, LANES))
     for g in range(G):
-        ks[g * SS + np.arange(SS), yoff + g * TSS + np.arange(SS)] = 1.0
-        kn[g * SS + np.arange(SS), yoff + g * TSS + SS + np.arange(SS)] = 1.0
-    sr = halo[:, 0].reshape(5, 6, nkxp, G * SS)
-    nr = halo[:, 1].reshape(5, 6, nkxp, G * SS)
+        ks[g * FSS + np.arange(FSS), yoff + g * TSS + np.arange(FSS)] = 1.0
+        kn[g * FSS + np.arange(FSS), yoff + g * TSS + FSS + np.arange(FSS)] = 1.0
+    if H == 1:
+        sr = halo[:, 0].reshape(5, 6, nkxp, G * FSS)
+        nr = halo[:, 1].reshape(5, 6, nkxp, G * FSS)
+    else:
+        # (5, 6, nk, nxp, ss) faces -> rows (kz, h, x2) with the half's
+        # fss points per row (g = 1 in half-split layouts).
+        spl = lambda a: jnp.moveaxis(
+            a.reshape(5, 6, nk, nxp, H, FSS), 4, 3
+        ).reshape(5, 6, nkxp, FSS)
+        sr = spl(halo[:, 0])
+        nr = spl(halo[:, 1])
     hs = sr @ jnp.asarray(ks, dtype=dtype)
     hn = nr @ jnp.asarray(kn, dtype=dtype)
     return hwe, jnp.moveaxis(hs, 0, 1), jnp.moveaxis(hn, 0, 1)
@@ -1527,22 +1808,27 @@ def halo_from_slabs(we, qp, topology, hops: HaloOps, nel_h: int, nel_v: int, ty:
     extraction expensive. The south/north grid rows are contiguous row
     slices of ``qp``, so their (edge-sized) extrapolation stays in XLA."""
     s, G, S3, nxp, _rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s), 1)
     SS = s * s
-    T = G * 2 * SS
+    FSS = SS // H
+    T = G * 2 * FSS
     nk, ny = nel_v, nel_h
-    nkxp = nk * nxp
+    nkxp = nk * H * nxp
     n_ytiles = ny // ty
-    tynk = ty * nk
+    tynk = ty * nk * H
     tynk_pad = we.shape[-2]
     wec = we.reshape(6, n_ytiles, 5, tynk_pad, LANES)[:, :, :, :tynk]
-    wst = wec[..., 0:SS].reshape(6, n_ytiles, 5, ty, nk, SS)
-    est = wec[..., T - SS : T].reshape(6, n_ytiles, 5, ty, nk, SS)
+    # Half-rows carry their half's fss face points; merging (h, fss) back
+    # into ss restores whole faces (kz_s is the outer face index).
+    wst = wec[..., 0:FSS].reshape(6, n_ytiles, 5, ty, nk, SS)
+    est = wec[..., T - FSS : T].reshape(6, n_ytiles, 5, ty, nk, SS)
     # (6, i, 5, ty, nk, ss) -> (5, 6, nk, ny, ss) with ky = i*ty + ky_local
     fmt = lambda a: jnp.transpose(a, (2, 0, 4, 1, 3, 5)).reshape(5, 6, nk, ny, SS)
     w_pool = fmt(wst)
     e_pool = fmt(est)
 
-    qv = _grid_view(qp, nel_h, nel_v, s).reshape(5, 6, ny, nkxp, G * S3)
+    S3 = s**3  # whole-element lanes in the merged grid view
+    qv = _grid_view(qp, nel_h, nel_v, s).reshape(5, 6, ny, nk * nxp, G * S3)
     logged = lambda a: jnp.concatenate([jnp.log(a[0:1]), a[1:4], jnp.log(a[4:5])], axis=0)
     expd = lambda a: jnp.concatenate([jnp.exp(a[0:1]), a[1:4], jnp.exp(a[4:5])], axis=0)
     sst = qv[:, :, 0].reshape(5, 6, nk, nxp, G, S3)
@@ -1576,6 +1862,7 @@ class E3PertBase(NamedTuple):
 def _edge_strips(qp, nel_h, nel_v, s):
     """State views feeding the four outward-edge extrapolations."""
     s, G, S3, nxp, _rp = _pk(s, nel_h, nel_v)
+    S3 = s**3  # whole-element lanes in the merged grid view
     nk, ny = nel_v, nel_h
     qv = _grid_view(qp, nel_h, nel_v, s)
     west = qv[:, :, :, :, 0, :S3]
@@ -1707,15 +1994,17 @@ def halo_from_slabs_delta(we, dqp, pbase: E3PertBase, topology, hops: HaloOps,
     already hold DELTA traces (the pert lwe path); the south/north rows are
     delta-extrapolated here from the packed delta state + base pools."""
     s_, G, S3, nxp, _rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s_), 1)
     SS = s_ * s_
-    T = G * 2 * SS
+    FSS = SS // H
+    T = G * 2 * FSS
     nk, ny = nel_v, nel_h
     n_ytiles = ny // ty
-    tynk = ty * nk
+    tynk = ty * nk * H
     tynk_pad = we.shape[-2]
     wec = we.reshape(6, n_ytiles, 5, tynk_pad, LANES)[:, :, :, :tynk]
-    wst = wec[..., 0:SS].reshape(6, n_ytiles, 5, ty, nk, SS)
-    est = wec[..., T - SS : T].reshape(6, n_ytiles, 5, ty, nk, SS)
+    wst = wec[..., 0:FSS].reshape(6, n_ytiles, 5, ty, nk, SS)
+    est = wec[..., T - FSS : T].reshape(6, n_ytiles, 5, ty, nk, SS)
     fmt = lambda a: jnp.transpose(a, (2, 0, 4, 1, 3, 5)).reshape(5, 6, nk, ny, SS)
     w_pool = fmt(wst)
     e_pool = fmt(est)
@@ -1752,6 +2041,7 @@ def _const_blocks(con: E3Constants, i0, i1, Rb, nkxp, tch_block):
         "hfk": con.hfk, "tch": tch_block,
         "e_y": con.e_y, "lfc_y": con.lfc_y,
         "itf_y": None if con.itf_y is None else tuple(sl(a) for a in con.itf_y),
+        "zsplit": con.zsplit,
     }
     return d
 
@@ -1765,14 +2055,15 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
     With ``tangent_qp`` (packed direction; requires ``pert``) the output is
     the JACOBIAN ACTION J(q0 + qp) . tangent_qp instead of the RHS."""
     s, G, _S3, nxp, rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s), 1)
     nk, ny = nel_v, nel_h
-    nkxp = nk * nxp
+    nkxp = nk * H * nxp
     rows6 = ny * nkxp
     n_ytiles = ny // ty
     Rb = ty * nkxp
     Rbp = Rb + rp  # whole-panel rowpad mode: blocks carry pad rows (ty = ny)
     stride6 = rows6 + rp  # per-panel row stride in the packed arrays
-    dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G}
+    dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G, "h": H}
     if rp:
         assert ty == ny and n_ytiles == 1, "rowpad implies whole-panel blocks"
         dims["rows"] = Rbp
@@ -1808,7 +2099,7 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
                     "q0": pert.q0p[:, r0 : r0 + Rbp],
                     "q0prev": pert.q0p[:, pr : pr + nkxp],
                     "q0next": pert.q0p[:, nx_ : nx_ + nkxp],
-                    "hwe0": pert.hwe0[p * n_ytiles + i, :, : ty * nk],
+                    "hwe0": pert.hwe0[p * n_ytiles + i, :, : ty * nk * H],
                     "hs0": pert.hs0[p],
                     "hn0": pert.hn0[p],
                     "rhs0": pert.rhs0p[:, r0 : r0 + Rbp],
@@ -1819,12 +2110,12 @@ def rhs_packed_pure(qp, con: E3Constants, topology, hops: HaloOps,
                     "v": tangent_qp[:, r0 : r0 + Rbp],
                     "vprev": tangent_qp[:, pr : pr + nkxp],
                     "vnext": tangent_qp[:, nx_ : nx_ + nkxp],
-                    "vwe": thwe[p * n_ytiles + i, :, : ty * nk],
+                    "vwe": thwe[p * n_ytiles + i, :, : ty * nk * H],
                     "vs": ths[p],
                     "vn": thn[p],
                 }
             o = _km3_body(
-                q, qprev, qnext, hwe[p * n_ytiles + i, :, : ty * nk], hs[p], hn[p],
+                q, qprev, qnext, hwe[p * n_ytiles + i, :, : ty * nk * H], hs[p], hn[p],
                 cblk, dims, i, n_ytiles, jnp.roll, base=base, tangent=tangent,
             )
             pan.append(jnp.stack(o))
@@ -1858,15 +2149,16 @@ def km3_fused(
     _km3_body's tangent docstring); qp then still carries the perturbation
     at which the operator is linearized."""
     s, G, _S3, nxp, rp = _pk(s, nel_h, nel_v)
+    H = max(pick_h(s), 1)
     nk, ny = nel_v, nel_h
-    nkxp = nk * nxp
+    nkxp = nk * H * nxp
     rows6 = ny * nkxp
     n_ytiles = ny // ty
     Rb = ty * nkxp
     Rbp = Rb + rp  # whole-panel rowpad mode (ty = ny): blocks carry pad rows
-    tynk = ty * nk
+    tynk = ty * nk * H
     tynk_pad = hwe.shape[-2]
-    dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G}
+    dims = {"nk": nk, "nxp": nxp, "ty": ty, "s": s, "g": G, "h": H}
     if rp:
         assert ty == ny and n_ytiles == 1, "rowpad implies whole-panel blocks"
         dims["rows"] = Rbp
@@ -1881,6 +2173,7 @@ def km3_fused(
     with_tan = tangent is not None
     with_tch = con.tch is not None
     with_split = con.itf_y is not None  # split x/y trace registers
+    with_zs = con.zsplit is not None  # half-split z matrices (s=6)
     if emit_slabs and not with_stage:
         raise ValueError("emit_slabs needs a stage combination (output must be a state)")
     if with_tan and (not with_pert or with_stage or emit_slabs or with_bal):
@@ -1908,6 +2201,7 @@ def km3_fused(
             e_y, lfc_y = next(it), next(it)
         else:
             itf_y, e_y, lfc_y = None, None, None
+        zs_refs = tuple(next(it) for _ in range(11)) if with_zs else None
         tch = tuple(next(it) for _ in range(9)) if with_tch else None
         bal_ref = next(it) if with_bal else None
         if with_pert:
@@ -1964,6 +2258,7 @@ def km3_fused(
             "itf_y": tuple(rd(a) for a in itf_y) if with_split else None,
             "e_y": rd(e_y) if with_split else None,
             "lfc_y": rd(lfc_y) if with_split else None,
+            "zsplit": tuple(rd(a) for a in zs_refs) if with_zs else None,
         }
         base = None
         if with_pert:
@@ -2040,6 +2335,9 @@ def km3_fused(
     if with_split:
         in_specs += [pan() for _ in range(5)] + [full(con.e_y), full(con.lfc_y)]
         args += list(con.itf_y) + [con.e_y, con.lfc_y]
+    if with_zs:
+        in_specs += [full(a) for a in con.zsplit]
+        args += list(con.zsplit)
     if with_tch:
         in_specs += [tch_spec for _ in range(9)]
         args += list(con.tch)
