@@ -164,6 +164,9 @@ def stage(name, estimate, fn, retries=1):
     silently eating every later stage, and retry transient relay errors
     once. A failure emits a 0-value record and the sweep moves on."""
     global _STAGE_CAP_ACTIVE
+    only = os.environ.get("BENCH_ONLY")
+    if only and not any(tok.strip() in name for tok in only.split(",") if tok.strip()):
+        return
     if not stage_fits(estimate, name):
         return
 
@@ -688,12 +691,14 @@ def bench_dcmip31_epi2(baselines, steps=3):
     with cpu_build():
         rhs = make_rhs(geom, ops, metric)
     # Mixed-precision device-resident stepping: the KIOPS Arnoldi matvec is
-    # the f32 perturbation-form jvp; basis/controller stay f64 with full
-    # CGS2 orthogonalization (required for inexact operators — see
-    # solvers/kiops_jit.py). Trajectory parity with the reference is gated
-    # by tests/test_euler3d.py::test_epi2_kiops_jit_mixed_precision_*.
+    # the FUSED Jacobian-action kernel (the analytically linearized mega
+    # kernel, models/euler_cubesphere.py jtv — default interior on TPU);
+    # basis/controller stay f64 with full CGS2 orthogonalization (required
+    # for inexact operators — see solvers/kiops_jit.py). Trajectory parity
+    # is gated by tests/test_euler3d.py (mixed-precision + fused-jtv golden
+    # tests).
     with cpu_build():
-        rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="xla",
+        rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32,
                          perturbation_base=q0)
     epi = Epi(rhs, order=2, tolerance=1e-7, exponential_solver="kiops_jit",
               mmin=16, mmax=64, rhs32=rhs32)
@@ -744,7 +749,9 @@ def bench_dcmip31_ros2(baselines, steps=3):
     with cpu_build():
         rhs = make_rhs(geom, ops, metric)
     with cpu_build():
-        rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32, interior="xla",
+        # Default interior: the fused Jacobian-action companion on TPU
+        # (rational matvec = 1 - dt/2 * fused J.v).
+        rhs32 = make_rhs(geom, ops, metric, dtype=jnp.float32,
                          perturbation_base=q0)
     ros = Ros2(rhs, tolerance=1e-7, gmres_restart=30, linear_solver="fgmres_jit",
                rhs32=rhs32)
@@ -784,18 +791,19 @@ def bench_e3_matrix(reps=2, nsteps=20):
     """The reference's constant-DOF dcmip31 RHS benchmark matrix
     (tests/rhs_benchmark/run.sh:66-70 there: num_solpts 2..6 with element
     counts 30/20/15/12/10 per direction, ~1.3M gridpoints) through the
-    fused 3D pipeline. Deviations: s=4 runs 16^3 (the 8-row Mosaic block
-    constraint admits no packing at 15^3) and s=6 (s^3=216 > 128 lanes)
-    runs the XLA path — both noted on the metric. Each shape passes the
+    fused 3D pipeline — every row fused, including s=6 via the kz
+    half-split layout (ops/pallas_euler3d.py pick_h). Deviation: s=4 runs
+    16^3 (the 8-row Mosaic block constraint admits no packing at 15^3). Each shape passes the
     same absolute accuracy gate as the canonical bench, evaluated at a
     2-step drift state, and reports algorithmic MFU from operator shapes."""
     # Per-row estimates from the r4 sweep timings (BENCH_PARTIAL.jsonl):
     # the cost is dominated by host-side metric3d construction (~N^3), and
     # the stage() soft cap cuts a relay hang (one ate 2600 s in r4) instead
     # of letting it consume the rest of the sweep.
-    shapes = [(2, 30, 400, "fused"), (3, 20, 220, "fused"),
-              (4, 16, 180, "fused (16^3: no packing at 15^3)"),
-              (5, 12, 150, "fused"), (6, 10, 220, "XLA fallback (s^3 > 128 lanes)")]
+    shapes = [(2, 30, 450, "fused"), (3, 20, 260, "fused"),
+              (4, 16, 280, "fused (16^3: no packing at 15^3)"),
+              (5, 12, 220, "fused"),
+              (6, 10, 300, "fused (kz half-split H=2: one element across 2 rows)")]
     from wxfactory_tpu.ops import pallas_euler3d as pe3
 
     def row(s, N, how):
