@@ -142,6 +142,9 @@ output_dir = {outdir}
     assert np.all(np.isfinite(np.asarray(q)))
 
 
+@pytest.mark.slow  # ~6 min host-path MG run; sphere-MG + config-path coverage
+# stays default via test_multigrid_sphere_preconditions_fgmres +
+# test_multigrid_preconditioner_via_config
 def test_multigrid_sphere_sw_via_config(tmp_path):
     """p-MG on the cubed-sphere shallow-water system (case 6 + ros2):
     per-level geometry/metric/RHS rebuild like the reference

@@ -17,7 +17,7 @@ from wxfactory_tpu.ops.dfr import make_dfr_operators
 from wxfactory_tpu.parallel.topology import CubedSphereTopology
 from wxfactory_tpu.testcases.dcmip import dcmip_gravity_wave
 
-NELH, NELV, S = 8, 8, 4
+NELH, NELV, S = 4, 4, 4
 ZTOP = 10000.0
 
 
@@ -47,7 +47,7 @@ def test_pack_roundtrip():
     np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("ty", [NELH, 2])
+@pytest.mark.parametrize("ty", [pytest.param(NELH, marks=pytest.mark.slow), 2])
 def test_km3_body_matches_xla(ty):
     geom, ops, topo, metric, q, rhs = _setup()
     ref = np.asarray(rhs(q))
@@ -184,7 +184,11 @@ def test_balanced_offset_restores_base_state_rhs():
     assert err_bal < err_plain * 1e-3, (err_bal, err_plain)
 
 
-@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 8, 2), (6, 4, 3), (16, 4, 2)])
+@pytest.mark.parametrize("nel_h,nel_v,s", [
+    (12, 3, 2), (6, 4, 3),
+    pytest.param(4, 8, 2, marks=pytest.mark.slow),
+    pytest.param(16, 4, 2, marks=pytest.mark.slow),
+])
 def test_generic_shapes_match_xla(nel_h, nel_v, s):
     """The generalized pipeline (num_solpts 2..5, g|nel_h row packings with
     NaN-safe lane padding) at the canonical dcmip31 discretization (12x12x3,
@@ -219,7 +223,11 @@ def test_generic_chained_stage_s2():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(q1), rtol=1e-12, atol=1e-12)
 
 
-@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 2, 3), (4, 8, 2)])
+@pytest.mark.parametrize("nel_h,nel_v,s", [
+    (4, 2, 3),
+    pytest.param(12, 3, 2, marks=pytest.mark.slow),
+    pytest.param(4, 8, 2, marks=pytest.mark.slow),
+])
 def test_tangent_kernel_matches_jvp(nel_h, nel_v, s):
     """Fused Jacobian action (tangent mode, _km3_body tangent=): the
     analytically linearized mega kernel must equal jax.jvp of the XLA
@@ -302,7 +310,11 @@ def test_tangent_kernel_f32_accuracy():
     assert err < max(err_ref * 10, 1e-5), (err, err_ref)
 
 
-@pytest.mark.parametrize("nel_h,nel_v,s", [(12, 3, 2), (4, 2, 3), (16, 4, 2)])
+@pytest.mark.parametrize("nel_h,nel_v,s", [
+    (12, 3, 2),
+    pytest.param(4, 2, 3, marks=pytest.mark.slow),
+    pytest.param(16, 4, 2, marks=pytest.mark.slow),
+])
 def test_pert_kernel_matches_xla_pert(nel_h, nel_v, s):
     """Perturbation-form 3D mega kernel (base planes/halos + delta math) vs
     the jnp perturbation core: exact algebra in f64, and delta-state RK

@@ -17,8 +17,8 @@ from wxfactory_tpu.parallel.shard_map_sw_fused import make_shard_map_sw_step_fus
 from wxfactory_tpu.testcases import williamson_case6
 
 
-@pytest.mark.parametrize("nshard", [1, 2])
-@pytest.mark.parametrize("pert", [False, True])
+@pytest.mark.parametrize("nshard", [pytest.param(1, marks=pytest.mark.slow), 2])
+@pytest.mark.parametrize("pert", [pytest.param(False, marks=pytest.mark.slow), True])
 def test_fused_tile_step_matches_global(nshard, pert):
     ndev = 6 * nshard * nshard
     if len(jax.devices()) < ndev:
@@ -46,8 +46,8 @@ def test_fused_tile_step_matches_global(nshard, pert):
     assert np.abs((got - want) / scale).max() < 1e-10
 
 
-@pytest.mark.parametrize("nshard", [1, 2])
-@pytest.mark.parametrize("pert", [False, True])
+@pytest.mark.parametrize("nshard", [pytest.param(1, marks=pytest.mark.slow), 2])
+@pytest.mark.parametrize("pert", [pytest.param(False, marks=pytest.mark.slow), True])
 def test_fused_tile_step_euler3d_matches_global(nshard, pert):
     """3D twin (parallel/shard_map_euler3d_fused.py): the single-tile mega
     kernel (km3_tile) + 8 ppermute halo rounds inside shard_map must match
@@ -85,7 +85,7 @@ def test_fused_tile_step_euler3d_matches_global(nshard, pert):
     assert np.abs((got - want) / scale).max() < 1e-10
 
 
-@pytest.mark.parametrize("nshard", [1, 2])
+@pytest.mark.parametrize("nshard", [pytest.param(1, marks=pytest.mark.slow), 2])
 def test_fused_tile_step_euler3d_rotating_planet(nshard):
     """Rotating-planet variant (ADVICE r3): the time-Christoffel (tch)
     operand path of the fused tile step — per-panel slicing + (6,n,n,...)
